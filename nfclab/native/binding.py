@@ -1,0 +1,117 @@
+"""ctypes bindings for the native kernel library."""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import build as _build
+
+_lib = None
+_load_error: Exception | None = None
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        path = _build.build()
+        lib = ctypes.CDLL(str(path))
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.nfclab_condition.argtypes = [
+            f32p,
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.c_float,
+            f32p,
+            f32p,
+            f32p,
+            f32p,
+            f32p,
+            f32p,
+            u32p,
+        ]
+        lib.nfclab_condition.restype = None
+        _lib = lib
+    except Exception as e:  # pragma: no cover - toolchain missing
+        _load_error = e
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+@dataclass
+class Conditioned:
+    """Dense per-sample conditioning outputs (the NfcTimeSample fields plus the
+    scan states the decoder FSMs read; NfcTech.h:208-216, 317-393)."""
+
+    value: np.ndarray      # raw magnitude samples
+    envelope: np.ndarray   # signalEnvelope after this sample
+    filtered: np.ndarray   # DC-removed value
+    deviation: np.ndarray  # meanDeviation
+    average: np.ndarray    # signalAverage
+    mod_depth: np.ndarray  # modulateDepth
+    edge_peak: np.ndarray  # carrierEdgePeak after this sample
+    edge_time: np.ndarray  # carrierEdgeTime after this sample (uint32)
+
+
+def condition_exact(value: np.ndarray, params) -> Conditioned:
+    """Run the exact sequential conditioning oracle (native C++).
+
+    `params` is a nfclab.core.params.SignalParams.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    value = np.ascontiguousarray(value, dtype=np.float32)
+    n = len(value)
+    env = np.empty(n, np.float32)
+    filt = np.empty(n, np.float32)
+    mdev = np.empty(n, np.float32)
+    avg = np.empty(n, np.float32)
+    mdepth = np.empty(n, np.float32)
+    epeak = np.empty(n, np.float32)
+    etime = np.empty(n, np.uint32)
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def p(a):
+        return a.ctypes.data_as(f32p)
+
+    lib.nfclab_condition(
+        p(value),
+        ctypes.c_int64(n),
+        ctypes.c_float(params.signal_enve_w0),
+        ctypes.c_float(params.signal_enve_w1),
+        ctypes.c_float(params.signal_mdev_w0),
+        ctypes.c_float(params.signal_mdev_w1),
+        ctypes.c_float(params.signal_mean_w0),
+        ctypes.c_float(params.signal_mean_w1),
+        ctypes.c_float(params.signal_iir_dc_a),
+        ctypes.c_int32(params.elementary_time_unit),
+        ctypes.c_float(params.signal_low_threshold),
+        ctypes.c_float(params.signal_high_threshold),
+        p(env),
+        p(filt),
+        p(mdev),
+        p(avg),
+        p(mdepth),
+        p(epeak),
+        etime.ctypes.data_as(u32p),
+    )
+    return Conditioned(value, env, filt, mdev, avg, mdepth, epeak, etime)

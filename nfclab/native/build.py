@@ -1,0 +1,54 @@
+"""Build the native (C++) runtime kernels into a shared library.
+
+The reference implements its whole runtime in C++ (rt-lang/hw/lab layers); here
+the native layer holds the bit-exact sequential oracle kernels and hot-loop
+helpers, built on demand with g++ and loaded via ctypes (no pybind11 in this
+environment).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+_SRC_DIR = Path(__file__).parent / "src"
+_BUILD_DIR = Path(__file__).parent / "_build"
+
+SOURCES = ["conditioner.cpp"]
+LIB_NAME = "libnfclab_native.so"
+
+
+def lib_path() -> Path:
+    return _BUILD_DIR / LIB_NAME
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library if missing or out of date. Returns its path."""
+    out = lib_path()
+    srcs = [_SRC_DIR / s for s in SOURCES]
+    if not force and out.exists():
+        newest_src = max(s.stat().st_mtime for s in srcs)
+        if out.stat().st_mtime >= newest_src:
+            return out
+    _BUILD_DIR.mkdir(exist_ok=True)
+    cmd = [
+        "g++",
+        "-O2",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        # keep strict IEEE fp so the oracle matches the reference float math
+        "-fno-fast-math",
+        "-ffp-contract=off",
+        "-o",
+        str(out),
+        *[str(s) for s in srcs],
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+if __name__ == "__main__":
+    print(build(force=True))

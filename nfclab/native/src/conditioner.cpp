@@ -1,0 +1,94 @@
+// Exact sequential signal-conditioning oracle.
+//
+// Reproduces, in original float32 operation order, the per-sample conditioning
+// chain of the reference decoder (NfcTech.cpp:28-105, NfcDecoderStatus fields
+// NfcTech.h:317-393):
+//
+//   - conditional exponential envelope with silence timeout reset
+//   - 1-pole IIR DC removal filter
+//   - exponential mean deviation of |filtered|
+//   - exponential signal average
+//   - modulation depth (envelope - clamp(value)) / envelope
+//   - carrier edge peak tracker (hysteresis high/low thresholds)
+//
+// This is the ground-truth against which the block-parallel TPU conditioner is
+// validated; it is also the production fallback on hosts without accelerators.
+//
+// Build: g++ -O2 -shared -fPIC (see nfclab/native/build.py)
+
+#include <cmath>
+#include <cstdint>
+#include <algorithm>
+
+extern "C" {
+
+void nfclab_condition(
+    const float *value, int64_t n,
+    float enve_w0, float enve_w1,
+    float mdev_w0, float mdev_w1,
+    float mean_w0, float mean_w1,
+    float iir_a,
+    int32_t etu,
+    float low_thr, float high_thr,
+    float *env_out, float *filt_out, float *mdev_out, float *avg_out,
+    float *mdepth_out, float *edge_peak_out, uint32_t *edge_time_out)
+{
+    float envelope = 0.0f;
+    float filter_n1 = 0.0f;
+    float deviation = 0.0f;
+    float average = 0.0f;
+    float edge_peak = 0.0f;
+    uint32_t edge_time = 0;
+    int64_t pulse_filter = 0;
+    const int64_t silence_limit = static_cast<int64_t>(etu) * 10;
+
+    for (int64_t clock = 0; clock < n; clock++) {
+        // ++signalClock; ++pulseFilter (NfcTech.cpp:34-35)
+        pulse_filter++;
+
+        const float v = value[clock];
+
+        // conditional envelope update (NfcTech.cpp:39-53)
+        const float diff = std::fabs(v - envelope) / envelope;
+        if (diff < 0.05f || pulse_filter > silence_limit) {
+            pulse_filter = 0;
+            envelope = envelope * enve_w0 + v * enve_w1;
+        } else if (clock < etu) {
+            envelope = v;
+        }
+
+        // 1-pole IIR DC removal (NfcTech.cpp:56-62)
+        const float filter_n0 = v + filter_n1 * iir_a;
+        const float filtered = filter_n0 - filter_n1;
+        filter_n1 = filter_n0;
+
+        // mean deviation and signal average (NfcTech.cpp:65-68)
+        deviation = deviation * mdev_w0 + std::fabs(filtered) * mdev_w1;
+        average = average * mean_w0 + v * mean_w1;
+
+        // modulation depth (NfcTech.cpp:74); clamp(v, 0, envelope)
+        const float clamped = std::max(0.0f, std::min(v, envelope));
+        const float mdepth = (envelope - clamped) / envelope;
+
+        // carrier edge peak tracker (NfcTech.cpp:77-92)
+        const float rectified = std::fabs(filtered);
+        if (rectified > high_thr) {
+            if (rectified > edge_peak) {
+                edge_peak = rectified;
+                edge_time = static_cast<uint32_t>(clock);
+            }
+        } else if (rectified < low_thr) {
+            edge_peak = 0.0f;
+        }
+
+        env_out[clock] = envelope;
+        filt_out[clock] = filtered;
+        mdev_out[clock] = deviation;
+        avg_out[clock] = average;
+        mdepth_out[clock] = mdepth;
+        edge_peak_out[clock] = edge_peak;
+        edge_time_out[clock] = edge_time;
+    }
+}
+
+} // extern "C"
