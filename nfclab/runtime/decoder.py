@@ -1,0 +1,211 @@
+"""Radio decoder facade: magnitude samples in, frames out.
+
+TPU-native equivalent of ``lab::NfcDecoder`` (NfcDecoder.cpp:292-523): the
+dense per-sample work (conditioning, correlators) is array-parallel; the host
+walks sparse events.  The main loop mirrors NfcDecoder.cpp:374-467: carrier
+detection + per-tech modulation detection until a tech locks, then that tech's
+frame decode until it unlocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.frame import Frame, FramePhase, FrameTech, FrameType
+from ..core.params import SignalParams
+from ..demod.common import next_true
+from ..demod.nfca import NfcATech
+from ..dsp.channels import LazyChannels
+
+
+class DecoderContext:
+    """Mirror of NfcDecoderStatus (NfcTech.h:317-393) over dense arrays."""
+
+    def __init__(self, cond, sample_rate: int, params: SignalParams, stream_time=0.0):
+        self.cond = cond
+        self.channels = LazyChannels(cond)
+        self.sample_rate = sample_rate
+        self.params = params
+        self.stream_time = stream_time
+        self.n = len(cond.value)
+        self.power_level_threshold = np.float32(params.power_level_threshold)
+        self.frames: list[Frame] = []
+        # lock state
+        self.bitrate = None
+        self.modulation = None
+        self.locked_tech = None
+        # dense power mask for scheduling
+        self._power = cond.envelope >= self.power_level_threshold
+
+    def next_power_ok(self, t: int) -> int | None:
+        return next_true(self._power, t, self.n)
+
+
+class CarrierDetector:
+    """Carrier presence events (NfcDecoder.cpp:472-523).
+
+    State changes only at hysteresis crossings of the signal average, so the
+    walker visits only candidate crossing samples.  Timestamps come from the
+    carrier edge tracker (conditioned arrays edge_peak/edge_time), emulating
+    the carrierEdgeTime consume-and-clear semantics.
+    """
+
+    def __init__(self, ctx: DecoderContext):
+        self.ctx = ctx
+        p = ctx.params
+        self._above = ctx.cond.average > np.float32(p.signal_high_threshold)
+        self._below = ctx.cond.average < np.float32(p.signal_low_threshold)
+        self.carrier_on_time = 0
+        self.carrier_off_time = 0
+        # last time carrierEdgeTime was consumed+cleared by an event
+        self._edge_cleared_at = 0
+
+    def next_interesting(self, t: int) -> int | None:
+        cands = []
+        if not self.carrier_on_time:
+            i = next_true(self._above, t, self.ctx.n)
+            if i is not None:
+                cands.append(i)
+        if not self.carrier_off_time:
+            i = next_true(self._below, t, self.ctx.n)
+            if i is not None:
+                cands.append(i)
+        return min(cands) if cands else None
+
+    def _edge_or_clock(self, t: int) -> int:
+        edge = int(self.ctx.cond.edge_time[t])
+        # carrierEdgeTime was cleared at the last event; only a newer peak
+        # update counts (NfcDecoder.cpp:479,495,504,520)
+        if edge > self._edge_cleared_at or (edge != 0 and self._edge_cleared_at == 0):
+            return edge
+        return t
+
+    def step(self, t: int):
+        ctx = self.ctx
+        if self._above[t]:
+            if not self.carrier_on_time:
+                self.carrier_on_time = self._edge_or_clock(t)
+                self._emit(t, FrameType.NfcCarrierOn, self.carrier_on_time)
+                self.carrier_off_time = 0
+                self._edge_cleared_at = t
+        elif self._below[t]:
+            if not self.carrier_off_time:
+                self.carrier_off_time = self._edge_or_clock(t)
+                self._emit(t, FrameType.NfcCarrierOff, self.carrier_off_time)
+                self.carrier_on_time = 0
+                self._edge_cleared_at = t
+
+    def _emit(self, t: int, ftype: FrameType, when: int):
+        ctx = self.ctx
+        f = Frame(
+            tech_type=int(FrameTech.NfcAnyTech),
+            frame_type=int(ftype),
+            frame_phase=int(FramePhase.NfcCarrierPhase),
+            sample_start=when,
+            sample_end=when,
+            sample_rate=ctx.sample_rate,
+        )
+        f.time_start = when / ctx.sample_rate
+        f.time_end = f.time_start
+        f.date_time = ctx.stream_time + f.time_start
+        ctx.frames.append(f)
+
+
+class NfcDecoder:
+    """One-shot decoder over a full magnitude capture."""
+
+    def __init__(
+        self,
+        enable_nfca: bool = True,
+        enable_nfcb: bool = True,
+        enable_nfcf: bool = True,
+        enable_nfcv: bool = True,
+        power_level_threshold: float = 0.01,
+        stream_time: float = 0.0,
+        conditioner: str = "native",
+    ):
+        self.enable_nfca = enable_nfca
+        self.enable_nfcb = enable_nfcb
+        self.enable_nfcf = enable_nfcf
+        self.enable_nfcv = enable_nfcv
+        self.power_level_threshold = power_level_threshold
+        self.stream_time = stream_time
+        self.conditioner = conditioner
+
+    def _condition(self, samples: np.ndarray, params: SignalParams):
+        if self.conditioner == "native":
+            from ..native import condition_exact
+
+            return condition_exact(samples, params)
+        if self.conditioner == "jax":
+            from ..dsp.conditioner import condition_jax
+
+            return condition_jax(samples, params)
+        raise ValueError(f"unknown conditioner {self.conditioner!r}")
+
+    def _make_techs(self, ctx: DecoderContext) -> list:
+        techs = []
+        if self.enable_nfca:
+            techs.append(NfcATech(ctx))
+        if self.enable_nfcb:
+            from ..demod.nfcb import NfcBTech
+
+            techs.append(NfcBTech(ctx))
+        if self.enable_nfcf:
+            from ..demod.nfcf import NfcFTech
+
+            techs.append(NfcFTech(ctx))
+        if self.enable_nfcv:
+            from ..demod.nfcv import NfcVTech
+
+            techs.append(NfcVTech(ctx))
+        return techs
+
+    def decode(self, samples: np.ndarray, sample_rate: int) -> list[Frame]:
+        """Decode a full capture; returns frames in emission order
+        (carrier + poll + listen; filter by type for golden comparison)."""
+        params = SignalParams(
+            sample_rate, power_level_threshold=self.power_level_threshold
+        )
+        cond = self._condition(samples, params)
+        ctx = DecoderContext(cond, sample_rate, params, self.stream_time)
+        carrier = CarrierDetector(ctx)
+        techs = self._make_techs(ctx)
+        for tech in techs:
+            tech.initialize()
+
+        n = ctx.n
+        t = 0
+        while t < n:
+            if ctx.modulation is None:
+                cands = [c for c in (carrier.next_interesting(t),) if c is not None]
+                for tech in techs:
+                    c = tech.next_interesting(t)
+                    if c is not None:
+                        cands.append(c)
+                if not cands:
+                    break
+                tn = min(cands)
+                if tn >= n:
+                    break
+                carrier.step(tn)
+                locked = None
+                for tech in techs:
+                    if tech.detect_step(tn):
+                        locked = tech
+                        break
+                if locked is not None:
+                    t = locked.decode_run(tn) + 1
+                else:
+                    t = tn + 1
+            else:
+                t = ctx.locked_tech.decode_run(t - 1) + 1
+        return ctx.frames
+
+    def decode_wav(self, path: str) -> list[Frame]:
+        from ..io.wav import read_wav
+
+        samples, info = read_wav(path)
+        if samples.ndim != 1:
+            raise ValueError("radio decode expects mono magnitude capture")
+        return self.decode(samples, info.sample_rate)
