@@ -40,12 +40,28 @@ def run_fixture(fixture_dir: Path, name: str, **dec_kwargs):
         assert g == w, f"{name}[{i}]: {g.diff(w)}\n got: {g}\nwant: {w}"
 
 
+NFCB_FIXTURES = [
+    "test_NFC-B_106kbps_001",
+    "test_NFC-B_106kbps_002",
+    "test_POLL_AB_001",
+]
+
+
 @pytest.mark.parametrize("name", NFCA_FIXTURES)
 def test_golden_nfca(fixture_dir, name):
     run_fixture(
         fixture_dir,
         name,
-        enable_nfcb=False,
+        enable_nfcf=False,
+        enable_nfcv=False,
+    )
+
+
+@pytest.mark.parametrize("name", NFCB_FIXTURES)
+def test_golden_nfcb(fixture_dir, name):
+    run_fixture(
+        fixture_dir,
+        name,
         enable_nfcf=False,
         enable_nfcv=False,
     )
