@@ -564,7 +564,14 @@ class NfcBTech:
                 return NoPattern, t
 
             if t < mod.search_start_time:
-                t = mod.search_start_time - 1
+                # the deep-abort and waiting checks precede the searchStart
+                # gate (NfcB.cpp:811-825): jump only over clean spans, landing
+                # on the first deep sample (whose own checks then fire)
+                target = min(mod.search_start_time - 1, waiting_end, n - 1)
+                nt = self._next_deep(
+                    mdepth, t + 1, target + 1, self.maximum_modulation_deep
+                )
+                t = (nt - 1) if nt is not None else target
                 continue
 
             phase = pb4[t]
@@ -647,6 +654,20 @@ class NfcBTech:
             return PatternS, t
 
         return Invalid, t
+
+    @staticmethod
+    def _next_deep(mdepth, t, limit, max_deep):
+        """First clock in [t, limit) with mod depth above max_deep."""
+        chunk = 4096
+        while t < limit:
+            hi = min(t + chunk, limit)
+            seg = mdepth[t:hi] > max_deep
+            nz = np.argmax(seg)
+            if seg[nz]:
+                return t + int(nz)
+            t = hi
+            chunk = min(chunk * 4, 1 << 20)
+        return None
 
     def _next_listen_event(self, pb4, mdepth, t, limit, thr):
         """Idle skip helper: next clock with phase above threshold, phase at or

@@ -107,6 +107,24 @@ class LazyChannels:
 
         return self._get(key, f)
 
+    def nfcv_listen_dense(self, br) -> np.ndarray:
+        """NFC-V listen channel by decoder clock (NfcV.cpp:825-835): the
+        squared-filtered signal box-summed over a FULL symbol (p1) in a
+        p0-cycle ring, so S0(t) = B1q(t-d-(p0-p1)) - B1q(t-d)."""
+        key = ("vq_t", br.rate_type)
+
+        def f():
+            b1q = self.box_sq(br.period1)
+            d, p0, p1 = br.symbol_delay_detect, br.period0, br.period1
+            n = len(b1q)
+            out = np.zeros(n, np.float32)
+            lo = d + p0
+            u = np.arange(lo, n) - d
+            out[lo:] = b1q[u - (p0 - p1)] - b1q[u]
+            return out
+
+        return self._get(key, f)
+
     def corr_s0_s1(self, box: np.ndarray, t, d: int, p1: int, p2: int):
         """S0, S1 at decoder clock(s) t (scalar or array)."""
         u = np.asarray(t) - d

@@ -1,12 +1,12 @@
 """Golden decode regression — the load-bearing acceptance suite.
 
 Parity with the reference harness (src/nfc-test/test-sdr/src/main/cpp/main.cpp:
-196-218): decode every bundled wav capture and compare the Poll/Listen frames
-against the paired .json ground truth with strict equality (payload bytes +
-tech/type/flags/phase/rate + exact sampleStart/sampleEnd/sampleRate).
+196-218): decode every bundled wav capture with all four NFC techs enabled and
+compare the Poll/Listen frames against the paired .json ground truth with
+strict equality (payload bytes + tech/type/flags/phase/rate + exact
+sampleStart/sampleEnd/sampleRate).
 """
 
-import glob
 from pathlib import Path
 
 import pytest
@@ -14,8 +14,7 @@ import pytest
 from nfclab.io.golden import GOLDEN_TYPES, read_golden_frames
 from nfclab.runtime.decoder import NfcDecoder
 
-# fixtures currently expected to pass; grows as techs land
-NFCA_FIXTURES = [
+ALL_FIXTURES = [
     "test_NFC-A_106kbps_001",
     "test_NFC-A_106kbps_002",
     "test_NFC-A_106kbps_003",
@@ -24,6 +23,16 @@ NFCA_FIXTURES = [
     "test_NFC-A_212kbps_001",
     "test_NFC-A_424kbps_001",
     "test_NFC-A_424kbps_002",
+    "test_NFC-B_106kbps_001",
+    "test_NFC-B_106kbps_002",
+    "test_NFC-F_212kbps_001",
+    "test_NFC-F_212kbps_002",
+    "test_NFC-F_212kbps_003",
+    "test_NFC-F_212kbps_004",
+    "test_NFC-V_26kbps_001",
+    "test_NFC-V_26kbps_002",
+    "test_POLL_ABF_001",
+    "test_POLL_AB_001",
 ]
 
 
@@ -40,28 +49,6 @@ def run_fixture(fixture_dir: Path, name: str, **dec_kwargs):
         assert g == w, f"{name}[{i}]: {g.diff(w)}\n got: {g}\nwant: {w}"
 
 
-NFCB_FIXTURES = [
-    "test_NFC-B_106kbps_001",
-    "test_NFC-B_106kbps_002",
-    "test_POLL_AB_001",
-]
-
-
-@pytest.mark.parametrize("name", NFCA_FIXTURES)
-def test_golden_nfca(fixture_dir, name):
-    run_fixture(
-        fixture_dir,
-        name,
-        enable_nfcf=False,
-        enable_nfcv=False,
-    )
-
-
-@pytest.mark.parametrize("name", NFCB_FIXTURES)
-def test_golden_nfcb(fixture_dir, name):
-    run_fixture(
-        fixture_dir,
-        name,
-        enable_nfcf=False,
-        enable_nfcv=False,
-    )
+@pytest.mark.parametrize("name", ALL_FIXTURES)
+def test_golden_all_techs(fixture_dir, name):
+    run_fixture(fixture_dir, name)
