@@ -122,6 +122,11 @@ class NfcATech:
 
     # ------------------------------------------------------- detect (event API)
 
+    def is_dirty(self) -> bool:
+        """NFC-A's detect schedule is fully event-driven (masks + scheduled
+        windows), so it never needs per-sample stepping."""
+        return False
+
     def next_interesting(self, t: int) -> int | None:
         """Earliest clock >= t at which detect_step could mutate state."""
         t = max(t, BUFFER_SIZE)

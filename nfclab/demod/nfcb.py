@@ -125,7 +125,9 @@ class NfcBTech:
 
     # ------------------------------------------------------------------ detect
 
-    def _dirty(self) -> bool:
+    def is_dirty(self) -> bool:
+        """True while any rate is mid-SoF-search (bounded, ~14 ETU); the
+        walker then steps this tech per sample."""
         for mod in self.mod[: nfc.R212K + 1]:
             if (
                 mod.symbol_start_time
@@ -138,9 +140,6 @@ class NfcBTech:
 
     def next_interesting(self, t: int) -> int | None:
         t = max(t, BUFFER_SIZE)
-        if self._dirty():
-            # bounded phases (SoF spans ~14 ETU); fine-step for exactness
-            return t
         cand = []
         for idx in self._mask_idx:
             i = np.searchsorted(idx, t)

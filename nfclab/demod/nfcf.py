@@ -124,7 +124,8 @@ class NfcFTech:
 
     # ------------------------------------------------------------------ detect
 
-    def _dirty(self) -> bool:
+    def is_dirty(self) -> bool:
+        """True while mid-preamble-search (bounded, ~48 symbols)."""
         for mod in self.mod:
             if (
                 mod.search_sync_time
@@ -138,8 +139,6 @@ class NfcFTech:
 
     def next_interesting(self, t: int) -> int | None:
         t = max(t, BUFFER_SIZE)
-        if self._dirty():
-            return t
         cand = []
         for idx in self._mask_idx:
             i = np.searchsorted(idx, t)

@@ -154,7 +154,8 @@ class NfcVTech:
 
     # ------------------------------------------------------------------ detect
 
-    def _dirty(self) -> bool:
+    def is_dirty(self) -> bool:
+        """True while mid-SOF-search (bounded, ~4 symbol periods)."""
         mod = self.mod
         return bool(
             mod.symbol_start_time or mod.correlated_peak_time or mod.search_end_time
@@ -162,8 +163,6 @@ class NfcVTech:
 
     def next_interesting(self, t: int) -> int | None:
         t = max(t, BUFFER_SIZE)
-        if self._dirty():
-            return t
         i = np.searchsorted(self._mask_idx, t)
         if i < len(self._mask_idx):
             return int(self._mask_idx[i])

@@ -1,53 +1,49 @@
-"""Block-parallel signal conditioning on TPU (JAX).
+"""Block-parallel signal conditioning on TPU (JAX), bit-exact via halo + repair.
 
-The reference conditioning chain (NfcTech.cpp:28-105) is a per-sample scan
-with bounded memory:
+The reference conditioning chain (NfcTech.cpp:28-105) is a per-sample scan:
 
-- conditional exponential envelope (W0=0.95 @10MS/s -> ~600-sample memory
-  during carrier; the silence timeout forces an update every 10 ETU)
-- 1-pole IIR DC removal (a=0.9 -> ~270-sample memory)
-- mean-deviation EMA (W0=0.98 -> ~1.5k samples)
-- signal-average EMA (W0=0.995 -> ~6k samples)
+- conditional exponential envelope with silence-timeout reset
+- 1-pole IIR DC removal
+- mean-deviation and signal-average EMAs
 
-Because every recurrence forgets its initial state well within a halo of a few
-thousand samples, the stream is split into blocks with a warm-up halo
-(overlap-save): each block scans from a canonical guessed state and the halo
-region is discarded.  This is the TPU-native formulation of SURVEY.md §5
-"long-context": block-parallel scans instead of a single sequential walk.
-The scan itself is `jax.lax.scan` over time carrying a [num_blocks] state
-vector, so every step is a full-width VPU op.
+The IIR and both EMAs forget their initial state within a few thousand
+samples, so an overlap-save halo makes interior blocks exact.  The envelope
+does NOT always converge: in carrier-off stretches it updates only on the
+10-ETU timeout, giving it a memory of ~500k samples.  The TPU-native answer
+(SURVEY.md §7.2) is speculative block parallelism with verification:
 
-Block 0 starts from the true initial state (zeros + the `clock < ETU` envelope
-seed branch), so its output is exact by construction; interior blocks are
-exact once the halo has washed out the guessed state (validated against the
-native sequential oracle in tests).
+1. pass 1: scan all blocks in parallel, each warmed up over a halo from a
+   canonical guessed state (`lax.scan` over time carrying a [num_blocks]
+   state vector — every step is a full-width VPU op);
+2. verify: a block is exact iff its halo-computed state at the boundary
+   sample equals the finalized state of its predecessor (all scan states are
+   emitted per sample, so this check is complete — the state at t fully
+   determines the future);
+3. repair: re-scan only unconverged blocks from the exact predecessor carry.
+
+Block 0 starts from the true initial state, so exactness propagates.  The
+result is bit-identical to the sequential C++ oracle (asserted in tests).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
 from ..native.binding import Conditioned
 
 
-def _scan_fn(params_tuple, carry, x):
-    import jax
+def _scan_fn(params_tuple, carry, v):
     import jax.numpy as jnp
 
     (enve_w0, enve_w1, mdev_w0, mdev_w1, mean_w0, mean_w1, iir_a, etu) = params_tuple
     env, w1, mdev, avg, pulse, clock = carry
-    v = x
 
     # conditional envelope (NfcTech.cpp:39-53)
     pulse = pulse + 1
     diff = jnp.abs(v - env) / env
     update = (diff < 0.05) | (pulse > etu * 10)
     seed = (~update) & (clock < etu)
-    new_env = jnp.where(
-        update, env * enve_w0 + v * enve_w1, jnp.where(seed, v, env)
-    )
+    new_env = jnp.where(update, env * enve_w0 + v * enve_w1, jnp.where(seed, v, env))
     pulse = jnp.where(update, 0, pulse)
 
     # IIR DC removal (NfcTech.cpp:56-62)
@@ -59,49 +55,38 @@ def _scan_fn(params_tuple, carry, x):
     mdev = mdev * mdev_w0 + jnp.abs(filt) * mdev_w1
     avg = avg * mean_w0 + v * mean_w1
 
-    # modulation depth (NfcTech.cpp:74)
-    clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
-    mdepth = (new_env - clamped) / new_env
-
     clock = clock + 1
-    return (new_env, w1, mdev, avg, pulse, clock), (new_env, filt, mdev, avg, mdepth)
-
-
-@functools.partial
-def _noop(x):
-    return x
+    new_carry = (new_env, w1, mdev, avg, pulse, clock)
+    return new_carry, (new_env, w1, mdev, avg, filt, pulse)
 
 
 def _build_scan(params_tuple):
     import jax
 
-    def run(blocks, init_env, init_w1, init_avg, init_clock):
-        import jax.numpy as jnp
-
-        nb = blocks.shape[0]
-        carry = (
-            init_env,
-            init_w1,
-            jnp.zeros(nb, jnp.float32),
-            init_avg,
-            jnp.zeros(nb, jnp.int32),
-            init_clock,
-        )
+    def run(blocks, env0, w10, mdev0, avg0, pulse0, clock0):
+        carry = (env0, w10, mdev0, avg0, pulse0, clock0)
         fn = lambda c, x: _scan_fn(params_tuple, c, x)
         _, outs = jax.lax.scan(fn, carry, blocks.T)
-        return outs  # each [T, nb]
+        return outs  # tuple of [T, nb]
 
     return run
 
 
-_JITTED = {}
+_JITTED: dict = {}
+
+
+def _scan_jit(params_tuple, nb, span):
+    import jax
+
+    key = (params_tuple, nb, span)
+    if key not in _JITTED:
+        _JITTED[key] = jax.jit(_build_scan(params_tuple))
+    return _JITTED[key]
 
 
 def condition_jax(value: np.ndarray, params, block: int = 65536, halo: int = 16384):
-    """Run the conditioning chain block-parallel under jit; returns the same
-    Conditioned arrays as the native oracle (edge tracker computed on host
-    from the filtered array, since its state is a short-memory hysteresis)."""
-    import jax
+    """Bit-exact block-parallel conditioning; returns the same `Conditioned`
+    arrays as the native sequential oracle."""
     import jax.numpy as jnp
 
     n = len(value)
@@ -118,52 +103,102 @@ def condition_jax(value: np.ndarray, params, block: int = 65536, halo: int = 163
         np.int32(params.elementary_time_unit),
     )
 
-    # block layout: block b spans [b*block, (b+1)*block), scan starts at
-    # start-halo (block 0: exact init from sample 0)
-    nb = max(1, -(-n // block))
+    nb_real = max(1, -(-n // block))
+    # bucket the block count to the next power of two so jitted programs are
+    # reused across inputs of different lengths (padding scans are discarded)
+    nb = 1
+    while nb < nb_real:
+        nb *= 2
     padded = nb * block
     starts = np.arange(nb) * block
     scan_starts = np.maximum(starts - halo, 0)
     span = block + halo
-    # gather [nb, span] windows (right-pad with last value to keep shapes static)
     pad_val = np.pad(value, (0, padded + halo - n), mode="edge")
     idx = scan_starts[:, None] + np.arange(span)[None, :]
     blocks = pad_val[idx]
 
-    # canonical warm-up init per block; block 0 gets the true init
+    # canonical warm-up init; block 0 gets the true initial state
     first = blocks[:, 0]
-    init_env = first.copy()
-    init_w1 = first * np.float32(10.0)  # steady state of w = v + 0.9 w
-    init_avg = first.copy()
-    init_clock = scan_starts.astype(np.int32)
-    init_env[0] = 0.0
-    init_w1[0] = 0.0
-    init_avg[0] = 0.0
+    env0 = first.copy()
+    w10 = first * np.float32(10.0)  # steady state of w = v + 0.9 w
+    mdev0 = np.zeros(nb, np.float32)
+    avg0 = first.copy()
+    pulse0 = np.zeros(nb, np.int32)
+    clock0 = scan_starts.astype(np.int32)
+    env0[0] = 0.0
+    w10[0] = 0.0
+    avg0[0] = 0.0
 
-    key = (params_tuple, nb, span)
-    if key not in _JITTED:
-        _JITTED[key] = jax.jit(_build_scan(params_tuple))
-    outs = _JITTED[key](
+    run = _scan_jit(params_tuple, nb, span)
+    outs = run(
         jnp.asarray(blocks),
-        jnp.asarray(init_env),
-        jnp.asarray(init_w1),
-        jnp.asarray(init_avg),
-        jnp.asarray(init_clock),
+        jnp.asarray(env0),
+        jnp.asarray(w10),
+        jnp.asarray(mdev0),
+        jnp.asarray(avg0),
+        jnp.asarray(pulse0),
+        jnp.asarray(clock0),
     )
-    env_o, filt_o, mdev_o, avg_o, mdepth_o = (np.asarray(o) for o in outs)
+    env_o, w1_o, mdev_o, avg_o, filt_o, pulse_o = (np.asarray(o) for o in outs)
 
-    def stitch(arr_t_nb):
-        out = np.empty(padded, np.float32)
-        for b in range(nb):
-            drop = starts[b] - scan_starts[b]
-            out[starts[b] : starts[b] + block] = arr_t_nb[drop : drop + block, b]
-        return out[:n]
+    # finalized per-sample outputs (padded length)
+    names = ("env", "w1", "mdev", "avg", "filt", "pulse")
+    final = {k: np.empty(padded, a.dtype) for k, a in zip(names, (env_o, w1_o, mdev_o, avg_o, filt_o, pulse_o))}
 
-    env = stitch(env_o)
-    filt = stitch(filt_o)
-    mdev = stitch(mdev_o)
-    avg = stitch(avg_o)
-    mdepth = stitch(mdepth_o)
+    def commit(b, arrs_t_nb=None, repair_out=None):
+        """Write block b's kept region from pass-1 ([T, nb] arrays) or from a
+        repair scan output ([T] arrays)."""
+        s = starts[b]
+        if repair_out is None:
+            drop = s - scan_starts[b]
+            for k, a in zip(names, arrs_t_nb):
+                final[k][s : s + block] = a[drop : drop + block, b]
+        else:
+            for k, a in zip(names, repair_out):
+                final[k][s : s + block] = a
+
+    pass1 = (env_o, w1_o, mdev_o, avg_o, filt_o, pulse_o)
+    commit(0, pass1)
+
+    repair_jit = None
+    for b in range(1, nb):
+        s = starts[b]
+        drop = s - scan_starts[b]
+        # verify: halo-computed state at boundary sample s-1 vs finalized
+        boundary_ok = all(
+            np.asarray(a[drop - 1, b]) == final[k][s - 1]
+            for k, a in zip(names, pass1)
+            if k != "filt"  # filt is derived from w1; w1 check covers it
+        )
+        if boundary_ok:
+            commit(b, pass1)
+            continue
+        # repair: exact scan of this block from the finalized carry
+        if repair_jit is None:
+            repair_jit = _scan_jit(params_tuple, 1, block)
+        seg = pad_val[s : s + block][None, :]
+        outs_r = repair_jit(
+            jnp.asarray(seg),
+            jnp.asarray(final["env"][s - 1 : s]),
+            jnp.asarray(final["w1"][s - 1 : s]),
+            jnp.asarray(final["mdev"][s - 1 : s]),
+            jnp.asarray(final["avg"][s - 1 : s]),
+            jnp.asarray(final["pulse"][s - 1 : s]),
+            np.asarray([s], np.int32),
+        )
+        commit(b, repair_out=[np.asarray(o)[:, 0] for o in outs_r])
+
+    env = final["env"][:n]
+    filt = final["filt"][:n]
+    mdev = final["mdev"][:n]
+    avg = final["avg"][:n]
+
+    # modulation depth on host with strict IEEE ops (NfcTech.cpp:74); the TPU
+    # divide is not guaranteed correctly rounded and this field feeds
+    # threshold comparisons in the detectors
+    with np.errstate(invalid="ignore", divide="ignore"):
+        clamped = np.maximum(np.float32(0.0), np.minimum(value, env))
+        mdepth = (env - clamped) / env
 
     epeak, etime = _edge_tracker(filt, params)
     return Conditioned(value, env, filt, mdev, avg, mdepth, epeak, etime)
@@ -171,39 +206,16 @@ def condition_jax(value: np.ndarray, params, block: int = 65536, halo: int = 163
 
 def _edge_tracker(filt: np.ndarray, params):
     """Carrier edge peak tracker (NfcTech.cpp:77-92), reconstructed from the
-    filtered array: running max of |filtered| with reset at low-threshold
-    crossings.  Vectorized as a segmented cummax over reset regions."""
+    filtered array: running max of |filtered| above the high threshold, reset
+    at low-threshold samples.  Walks only the sparse event samples."""
     rect = np.abs(filt)
     high = rect > np.float32(params.signal_high_threshold)
     low = rect < np.float32(params.signal_low_threshold)
     n = len(filt)
 
-    # state machine per sample is: peak = 0 after the last low sample unless a
-    # higher high-sample appeared since.  Compute segment ids at low crossings.
-    reset_id = np.cumsum(low)  # segment id increments at every low sample
-    # candidate values: rect where high else 0
-    cand = np.where(high, rect, 0.0).astype(np.float32)
-    # running max of cand within each reset segment
-    peak = np.empty(n, np.float32)
-    time = np.empty(n, np.uint32)
-    # vectorized segmented running argmax via np.maximum.accumulate on a keyed
-    # transform: process per segment boundaries
-    bounds = np.flatnonzero(low)
-    prev = 0
-    last_peak = 0.0
-    last_time = 0
-    seg_edges = np.concatenate([bounds, [n]])
-    # Iterate only over segments that contain at least one high sample
-    run_max = np.maximum.accumulate(cand)
-    # fallback scalar walk only over high samples for exact time semantics
-    peak_val = 0.0
-    peak_t = 0
-    hi_idx = np.flatnonzero(high)
-    lo_idx = bounds
-    peak[:] = 0.0
-    time[:] = 0
-    # merge walk over high/low events (sparse in practice)
-    events = np.union1d(hi_idx, lo_idx)
+    peak = np.zeros(n, np.float32)
+    time = np.zeros(n, np.uint32)
+    events = np.flatnonzero(high | low)
     cur_peak = 0.0
     cur_time = 0
     prev_e = 0

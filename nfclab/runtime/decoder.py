@@ -34,11 +34,15 @@ class DecoderContext:
         self.bitrate = None
         self.modulation = None
         self.locked_tech = None
-        # dense power mask for scheduling
-        self._power = cond.envelope >= self.power_level_threshold
+        # precomputed power-ok sample indices for event scheduling
+        self._power_idx = np.flatnonzero(cond.envelope >= self.power_level_threshold)
 
     def next_power_ok(self, t: int) -> int | None:
-        return next_true(self._power, t, self.n)
+        idx = self._power_idx
+        i = np.searchsorted(idx, t)
+        if i >= len(idx):
+            return None
+        return int(idx[i])
 
 
 class CarrierDetector:
@@ -55,6 +59,8 @@ class CarrierDetector:
         p = ctx.params
         self._above = ctx.cond.average > np.float32(p.signal_high_threshold)
         self._below = ctx.cond.average < np.float32(p.signal_low_threshold)
+        self._above_idx = np.flatnonzero(self._above)
+        self._below_idx = np.flatnonzero(self._below)
         self.carrier_on_time = 0
         self.carrier_off_time = 0
         # last time carrierEdgeTime was consumed+cleared by an event
@@ -63,13 +69,13 @@ class CarrierDetector:
     def next_interesting(self, t: int) -> int | None:
         cands = []
         if not self.carrier_on_time:
-            i = next_true(self._above, t, self.ctx.n)
-            if i is not None:
-                cands.append(i)
+            i = np.searchsorted(self._above_idx, t)
+            if i < len(self._above_idx):
+                cands.append(int(self._above_idx[i]))
         if not self.carrier_off_time:
-            i = next_true(self._below, t, self.ctx.n)
-            if i is not None:
-                cands.append(i)
+            i = np.searchsorted(self._below_idx, t)
+            if i < len(self._below_idx):
+                cands.append(int(self._below_idx[i]))
         return min(cands) if cands else None
 
     def _edge_or_clock(self, t: int) -> int:
@@ -177,29 +183,63 @@ class NfcDecoder:
         n = ctx.n
         t = 0
         while t < n:
-            if ctx.modulation is None:
-                cands = [c for c in (carrier.next_interesting(t),) if c is not None]
-                for tech in techs:
-                    c = tech.next_interesting(t)
+            if ctx.modulation is not None:
+                t = ctx.locked_tech.decode_run(t - 1) + 1
+                continue
+
+            # techs in bounded mid-search phases must be stepped per sample;
+            # the rest contribute scheduled/mask events only
+            dirty = [te for te in techs if te.is_dirty()]
+            dirty_ids = {id(te) for te in dirty}
+            cands = []
+            c = carrier.next_interesting(t)
+            if c is not None:
+                cands.append(c)
+            for te in techs:
+                if id(te) not in dirty_ids:
+                    c = te.next_interesting(t)
                     if c is not None:
                         cands.append(c)
-                if not cands:
-                    break
+            if cands:
                 tn = min(cands)
-                if tn >= n:
-                    break
-                carrier.step(tn)
-                locked = None
-                for tech in techs:
-                    if tech.detect_step(tn):
-                        locked = tech
-                        break
-                if locked is not None:
-                    t = locked.decode_run(tn) + 1
-                else:
-                    t = tn + 1
+            elif dirty:
+                tn = n - 1
             else:
-                t = ctx.locked_tech.decode_run(t - 1) + 1
+                break
+            if tn >= n:
+                tn = n - 1
+
+            locked = None
+            if dirty:
+                # fine-step only the dirty techs through (t, tn); clean techs
+                # provably have no state changes in this span
+                u = t
+                while u < tn and locked is None:
+                    for te in techs:
+                        if id(te) in dirty_ids and te.detect_step(u):
+                            locked = te
+                            break
+                    if locked is None:
+                        u += 1
+                if locked is None:
+                    carrier.step(tn)
+                    for te in techs:
+                        if te.detect_step(tn):
+                            locked = te
+                            break
+                    u = tn
+            else:
+                carrier.step(tn)
+                for te in techs:
+                    if te.detect_step(tn):
+                        locked = te
+                        break
+                u = tn
+
+            if locked is not None:
+                t = locked.decode_run(u) + 1
+            else:
+                t = u + 1
         return ctx.frames
 
     def decode_wav(self, path: str) -> list[Frame]:
