@@ -1,0 +1,139 @@
+"""Batched dense decode frontend (the TPU hot path).
+
+Everything the host FSMs consume is computed here as one jitted array program
+over a batch of signal blocks [B, T]:
+
+- conditioning scan (envelope, IIR-filtered, deviation, average) — `lax.scan`
+  over time carrying [B]-wide state (every step a full-width VPU op)
+- modulation depth
+- per-tech/rate correlator channels: half-symbol box sums of the raw value,
+  squared-filtered listen channel, BPSK product integrator windows
+  (NfcA.cpp:236-255, 963-973, 1243-1266 and the B/F/V equivalents)
+- detect event masks per tech
+
+This frontend is the unit the temporal/batch sharding layers (nfclab.shard)
+distribute over a device mesh; the host symbol-walk consumes only the sparse
+mask events.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import nfc
+from ..core.params import SignalParams, nfca_bitrates
+from .conditioner import _scan_fn
+
+
+def _params_tuple(params: SignalParams):
+    return (
+        np.float32(params.signal_enve_w0),
+        np.float32(params.signal_enve_w1),
+        np.float32(params.signal_mdev_w0),
+        np.float32(params.signal_mdev_w1),
+        np.float32(params.signal_mean_w0),
+        np.float32(params.signal_mean_w1),
+        np.float32(params.signal_iir_dc_a),
+        np.int32(params.elementary_time_unit),
+    )
+
+
+def _box_sum_t(x, width: int):
+    """Boxcar sum over the trailing `width` samples along the last axis,
+    with an implicit zero left pad (matches the reference ring warm-up)."""
+    import jax.numpy as jnp
+
+    c = jnp.cumsum(x, axis=-1)
+    return c - jnp.pad(c[..., :-width], ((0, 0), (width, 0)))
+
+
+def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
+    """Build the jittable frontend fn: value[B, T] -> dict of dense outputs.
+
+    corr_thresholds: per-tech correlation thresholds (defaults mirror the
+    reference: A=0.75, B=0.10 edge, F=0.50, V=0.50).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pt = _params_tuple(params)
+    thr = {"nfca": 0.75, "nfcb": 0.10, "nfcf": 0.50, "nfcv": 0.50}
+    if corr_thresholds:
+        thr.update(corr_thresholds)
+    bitrates_a = nfca_bitrates(params.sample_rate)
+
+    def frontend(value):
+        b, t = value.shape
+        carry = (
+            value[:, 0] * 0.0,
+            value[:, 0] * 0.0,
+            jnp.zeros(b, jnp.float32),
+            value[:, 0] * 0.0,
+            jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32),
+        )
+        fn = lambda c, x: _scan_fn(pt, c, x)
+        _, outs = jax.lax.scan(fn, carry, value.T)
+        env, _w1, mdev, avg, filt, _pulse = (o.T for o in outs)
+
+        clamped = jnp.maximum(0.0, jnp.minimum(value, env))
+        mdepth = (env - clamped) / env
+
+        out = {
+            "envelope": env,
+            "filtered": filt,
+            "deviation": mdev,
+            "average": avg,
+            "mod_depth": mdepth,
+        }
+
+        # NFC-A/B/F detect channels share the raw-value box sums; compute one
+        # per distinct half-symbol width
+        widths = sorted({br.period2 for br in bitrates_a})
+        boxes = {w: _box_sum_t(value, w) for w in widths}
+
+        sq = filt * filt * jnp.float32(10.0)
+
+        for br in bitrates_a:
+            d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
+            box = boxes[p2]
+            gap = p1 - p2
+            # SD(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
+            bm0 = box
+            bm_g = jnp.pad(box[:, :-gap], ((0, 0), (gap, 0)))
+            bm_1 = jnp.pad(box[:, :-1], ((0, 0), (1, 0)))
+            sd = ((bm0 - bm_g) - (bm_g - bm_1)) / jnp.float32(p2)
+            sd = jnp.pad(sd[:, : t - d], ((0, 0), (d, 0))) if d else sd
+            out[f"sd_a_{br.rate_type}"] = sd
+            # detect mask (NfcA.cpp:224-291): |SD| above correlation threshold
+            # at power-ok samples
+            out[f"mask_a_{br.rate_type}"] = (
+                env >= jnp.float32(params.power_level_threshold)
+            ) & (jnp.abs(sd) > jnp.float32(thr["nfca"]) * env)
+            # listen squared channel box for this width
+            out[f"boxq_{p2}"] = _box_sum_t(sq, p2)
+
+        # BPSK product channels for A r212/424 (p1 lags 47/24)
+        for br in bitrates_a[1:]:
+            p1, p4, d = br.period1, br.period4, br.symbol_delay_detect
+            prod = jnp.pad(filt[:, p1:] * filt[:, :-p1], ((0, 0), (p1, 0)))
+            prod = prod * jnp.float32(10.0)
+            pb4 = _box_sum_t(prod, p4)
+            out[f"pb4_a_{br.rate_type}"] = jnp.pad(
+                pb4[:, : t - d], ((0, 0), (d, 0))
+            )
+
+        return out
+
+    return frontend
+
+
+@functools.lru_cache(maxsize=8)
+def jitted_frontend(sample_rate: int, power_level_threshold: float = 0.01):
+    import jax
+
+    params = SignalParams(sample_rate, power_level_threshold=power_level_threshold)
+    return jax.jit(make_frontend(params))

@@ -4,12 +4,23 @@ from pathlib import Path
 import pytest
 
 # force deterministic CPU execution for unit tests; the multi-chip sharding
-# tests use a virtual 8-device CPU mesh (see shard tests)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# tests use a virtual 8-device CPU mesh.  The axon sitecustomize pins
+# jax_platforms to the TPU plugin, so the env var alone is not enough — tests
+# that use jax call ensure_cpu_devices() below before touching it.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+_cpu_forced = False
+
+
+def ensure_cpu_devices():
+    global _cpu_forced
+    if not _cpu_forced:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        _cpu_forced = True
 
 FIXTURE_DIR = Path("/root/reference/wav")
 
