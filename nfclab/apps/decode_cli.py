@@ -1,0 +1,168 @@
+"""Headless decode CLI.
+
+Covers both reference command-line surfaces:
+
+- ``nfclab-decode test <wav...|dir>``: the golden regression harness
+  (src/nfc-test/test-sdr/src/main/cpp/main.cpp:182-231): decode each wav,
+  compare against the sibling .json, print PASS/FAIL, create the golden on
+  first run (TEST UPDATED).
+- ``nfclab-decode run <wav...>``: the app-rx receiver surface
+  (src/nfc-app/app-rx/src/main/cpp/main.cpp:350-440): print each decoded
+  frame as a text line or compact JSON line (--json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from pathlib import Path
+
+from ..core.frame import Frame, FrameFlags, FrameTech, FrameType
+from ..io.golden import GOLDEN_TYPES, read_golden_frames, write_golden_frames
+from ..runtime.decoder import NfcDecoder
+
+_TECH_NAMES = {
+    int(FrameTech.NfcATech): "NfcA",
+    int(FrameTech.NfcBTech): "NfcB",
+    int(FrameTech.NfcFTech): "NfcF",
+    int(FrameTech.NfcVTech): "NfcV",
+    int(FrameTech.NfcAnyTech): "NFC",
+    int(FrameTech.Iso7816Tech): "ISO7816",
+    int(FrameTech.IsoAnyTech): "ISO",
+}
+_TYPE_NAMES = {
+    int(FrameType.NfcCarrierOn): "CARRIER_ON",
+    int(FrameType.NfcCarrierOff): "CARRIER_OFF",
+    int(FrameType.NfcPollFrame): "POLL",
+    int(FrameType.NfcListenFrame): "LISTEN",
+    int(FrameType.IsoATRFrame): "ATR",
+    int(FrameType.IsoRequestFrame): "REQUEST",
+    int(FrameType.IsoResponseFrame): "RESPONSE",
+    int(FrameType.IsoExchangeFrame): "EXCHANGE",
+}
+
+
+def frame_json(frame: Frame) -> str:
+    """Compact JSON line (app-rx printFrameJSON parity, main.cpp:350-440)."""
+    obj: dict = {
+        "timestamp": int(frame.sample_start),
+        "tech": _TECH_NAMES.get(int(frame.tech_type), "UNKNOWN"),
+        "type": _TYPE_NAMES.get(int(frame.frame_type), "UNKNOWN"),
+        "tech_type": int(frame.tech_type),
+        "frame_type": int(frame.frame_type),
+        "time_start": 0 if frame.time_start == 0.0 else frame.time_start,
+        "time_end": 0 if frame.time_end == 0.0 else frame.time_end,
+        "sample_start": int(frame.sample_start),
+        "sample_end": int(frame.sample_end),
+        "sample_rate": int(frame.sample_rate),
+        "date_time": (
+            int(frame.date_time)
+            if frame.date_time == math.floor(frame.date_time)
+            else frame.date_time
+        ),
+    }
+    if frame.frame_rate > 0:
+        obj["rate"] = int(frame.frame_rate)
+    if frame.data:
+        obj["data"] = ":".join(f"{b:02x}" for b in frame.data)
+        obj["length"] = len(frame.data)
+    flags = []
+    if frame.has_flags(FrameFlags.CrcError):
+        flags.append("crc-error")
+    if frame.has_flags(FrameFlags.ParityError):
+        flags.append("parity-error")
+    if frame.has_flags(FrameFlags.SyncError):
+        flags.append("sync-error")
+    if frame.has_flags(FrameFlags.Truncated):
+        flags.append("truncated")
+    if frame.has_flags(FrameFlags.Encrypted):
+        flags.append("encrypted")
+    if frame.frame_type in (int(FrameType.NfcPollFrame), int(FrameType.IsoRequestFrame)):
+        flags.append("request")
+    elif frame.frame_type in (
+        int(FrameType.NfcListenFrame),
+        int(FrameType.IsoResponseFrame),
+    ):
+        flags.append("response")
+    if flags:
+        obj["flags"] = flags
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def frame_text(frame: Frame) -> str:
+    """Text line (app-rx printFrame parity)."""
+    tech = _TECH_NAMES.get(int(frame.tech_type), "?")
+    ftype = _TYPE_NAMES.get(int(frame.frame_type), "?")
+    data = ":".join(f"{b:02X}" for b in frame.data)
+    return f"{frame.time_start:010.3f} {tech:8s} {ftype:8s} {data}"
+
+
+def _decode(path: str, args) -> list[Frame]:
+    dec = NfcDecoder(
+        enable_nfca=not args.disable_nfca,
+        enable_nfcb=not args.disable_nfcb,
+        enable_nfcf=not args.disable_nfcf,
+        enable_nfcv=not args.disable_nfcv,
+        power_level_threshold=args.power_threshold,
+        conditioner=args.conditioner,
+    )
+    return dec.decode_wav(path)
+
+
+def cmd_test(args) -> int:
+    paths: list[Path] = []
+    for p in args.paths:
+        p = Path(p)
+        if p.is_dir():
+            paths.extend(sorted(p.glob("*.wav")))
+        else:
+            paths.append(p)
+    failures = 0
+    for wav in paths:
+        target = wav.with_suffix(".json")
+        frames = [f for f in _decode(str(wav), args) if f.frame_type in GOLDEN_TYPES]
+        if target.exists():
+            want = read_golden_frames(str(target))
+            ok = frames == want
+            print(f"TEST FILE {wav.stem}: {'PASS' if ok else 'FAIL'}")
+            failures += not ok
+        else:
+            write_golden_frames(str(target), frames)
+            print(f"TEST FILE {wav.stem}: TEST UPDATED!")
+    return 1 if failures else 0
+
+
+def cmd_run(args) -> int:
+    for wav in args.paths:
+        for frame in _decode(wav, args):
+            if args.json:
+                print(frame_json(frame))
+            else:
+                print(frame_text(frame))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nfclab-decode")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("test", cmd_test), ("run", cmd_run)):
+        p = sub.add_parser(name)
+        p.add_argument("paths", nargs="+")
+        p.add_argument("--json", "-j", action="store_true")
+        p.add_argument("--disable-nfca", action="store_true")
+        p.add_argument("--disable-nfcb", action="store_true")
+        p.add_argument("--disable-nfcf", action="store_true")
+        p.add_argument("--disable-nfcv", action="store_true")
+        p.add_argument("--power-threshold", type=float, default=0.01)
+        p.add_argument(
+            "--conditioner", choices=("native", "jax"), default="native"
+        )
+        p.set_defaults(fn=fn)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
