@@ -1,0 +1,276 @@
+"""Streaming task pipeline.
+
+Parity with the reference's task orchestration (SURVEY.md §2.6): long-lived
+worker tasks connected by named Subject streams, run on an executor thread
+pool (rt::Executor, 10 workers by default).  Stream topology matches the
+reference wire protocol (SURVEY.md §1):
+
+    radio.signal.iq    IQ blocks from source      -> fourier, storage
+    radio.signal.raw   magnitude blocks           -> decoder, resampler
+    logic.signal.raw   logic analyzer blocks      -> iso decoder, resampler
+    signal.fft         spectrum bins              -> consumers
+    adaptive.signal    adaptive render stream     -> consumers, trace writer
+    radio.decoder.frame / logic.decoder.frame     decoded frames
+    <task>.status / <task>.command                control plane
+
+The dense decode itself is block-buffered: signal blocks accumulate and the
+event-driven decoder runs at EOF (the in-band empty buffer), preserving the
+one-shot decoder's exactness.  Incremental decode is a planned optimization;
+the task surface is already streaming-shaped.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable
+
+import numpy as np
+
+from ..core.frame import Frame
+from ..dsp.magnitude import SoftwareAgc, iq_to_magnitude
+from ..hw.record import RecordDevice
+from ..hw.signal import SignalBuffer, SignalType
+from .metrics import Throughput
+from .subject import Subject
+
+
+class Executor:
+    """Fixed worker pool with exception-fenced task bodies
+    (rt/Executor.h:31-48, Executor.cpp:87-104)."""
+
+    def __init__(self, pool_size: int = 10):
+        self.pool_size = pool_size
+        self._threads: list[threading.Thread] = []
+        self._tasks: list["Task"] = []
+
+    def submit(self, task: "Task"):
+        self._tasks.append(task)
+        t = threading.Thread(target=self._run, args=(task,), daemon=True)
+        self._threads.append(t)
+        t.start()
+
+    @staticmethod
+    def _run(task: "Task"):
+        try:
+            task.run()
+        except Exception as e:  # exception fence: one task crash is contained
+            task.status.next({"status": "error", "error": repr(e)}, retain=True)
+
+    def shutdown(self, timeout: float = 10.0):
+        for task in self._tasks:
+            task.terminate()
+        for t in self._threads:
+            t.join(timeout)
+
+
+class Task:
+    """AbstractTask parity (lab-tasks/tasks/AbstractTask.h:37-79): auto-wired
+    <subject>.status / <subject>.command pair + command queue."""
+
+    def __init__(self, name: str, subject: str):
+        self.task_name = name
+        self.status = Subject.name(f"{subject}.status")
+        self.command = Subject.name(f"{subject}.command")
+        self.commands: "queue.Queue[dict]" = queue.Queue()
+        self.command.subscribe(self.commands.put, replay=False)
+        self.throughput = Throughput()
+        self._terminated = threading.Event()
+
+    def update_status(self, status: str, **fields):
+        self.status.next({"status": status, **fields}, retain=True)
+
+    def terminate(self):
+        self._terminated.set()
+
+    @property
+    def terminated(self) -> bool:
+        return self._terminated.is_set()
+
+    def run(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class RadioSourceTask(Task):
+    """Replay source: WAV -> radio.signal.iq + radio.signal.raw with
+    IQ->magnitude conversion and software AGC (RadioDeviceTask parity).
+    Live SDR capture plugs in behind the same Device interface."""
+
+    def __init__(self, device: RecordDevice, block: int = 65536):
+        super().__init__("worker.RadioSource", "radio.receiver")
+        self.device = device
+        self.block = block
+        self.iq_stream = Subject.name("radio.signal.iq")
+        self.raw_stream = Subject.name("radio.signal.raw")
+        self.agc = SoftwareAgc()
+        self._avrg = 0.0
+
+    def run(self):
+        self.device.open("read")
+        self.update_status("streaming")
+        rate = 0
+        while not self.terminated and not self.device.is_eof():
+            buf = self.device.read(self.block)
+            rate = buf.sample_rate
+            if buf.signal_type == SignalType.SIGNAL_TYPE_RADIO_IQ:
+                mag, power, self._avrg = iq_to_magnitude(buf.data, self._avrg)
+                self.iq_stream.next(buf)
+                raw = SignalBuffer(
+                    mag, buf.sample_rate, buf.offset,
+                    signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+                )
+                self.raw_stream.next(raw)
+                self.agc.update(self._avrg, buf.offset, buf.elements)
+            else:
+                self.raw_stream.next(buf)
+            self.throughput.update(buf.elements)
+        # in-band EOF (RadioDeviceTask.cpp:229-233)
+        self.iq_stream.next(SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ))
+        self.raw_stream.next(SignalBuffer.eof(rate))
+        self.update_status("complete", samples=self.throughput.total)
+
+
+class RadioDecoderTask(Task):
+    """radio.signal.raw -> radio.decoder.frame (RadioDecoderTask parity)."""
+
+    def __init__(self, decoder=None):
+        super().__init__("worker.RadioDecoder", "radio.decoder")
+        from .decoder import NfcDecoder
+
+        self.decoder = decoder or NfcDecoder()
+        self.frame_stream = Subject.name("radio.decoder.frame")
+        self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
+        Subject.name("radio.signal.raw").subscribe(
+            self.signal_queue.put, replay=False
+        )
+
+    def run(self):
+        self.update_status("streaming")
+        chunks: list[np.ndarray] = []
+        rate = 0
+        while not self.terminated:
+            try:
+                buf = self.signal_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not buf.valid:  # EOF marker
+                break
+            rate = buf.sample_rate
+            chunks.append(np.asarray(buf.data, np.float32))
+            self.throughput.update(buf.elements)
+        if chunks:
+            samples = np.concatenate(chunks)
+            for frame in self.decoder.decode(samples, rate):
+                self.frame_stream.next(frame)
+        self.frame_stream.next(None)  # EOF
+        self.update_status("complete", frames=self.throughput.total)
+
+
+class LogicDecoderTask(Task):
+    """logic.signal.raw -> logic.decoder.frame (LogicDecoderTask parity)."""
+
+    def __init__(self, decoder=None):
+        super().__init__("worker.LogicDecoder", "logic.decoder")
+        from .logic_decoder import IsoDecoder
+
+        self.decoder = decoder or IsoDecoder()
+        self.frame_stream = Subject.name("logic.decoder.frame")
+        self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
+        Subject.name("logic.signal.raw").subscribe(
+            self.signal_queue.put, replay=False
+        )
+
+    def run(self):
+        self.update_status("streaming")
+        chunks: list[np.ndarray] = []
+        rate = 0
+        while not self.terminated:
+            try:
+                buf = self.signal_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not buf.valid:
+                break
+            rate = buf.sample_rate
+            chunks.append(np.asarray(buf.data, np.float32))
+        if chunks:
+            samples = np.concatenate(chunks)
+            for frame in self.decoder.decode(samples, rate):
+                self.frame_stream.next(frame)
+        self.frame_stream.next(None)
+        self.update_status("complete")
+
+
+class ResamplingTask(Task):
+    """radio/logic raw -> adaptive.signal (SignalResamplingTask parity)."""
+
+    def __init__(self):
+        super().__init__("worker.SignalResampling", "adaptive")
+        from ..dsp.resample import resample_logic, resample_radio
+
+        self._radio = resample_radio
+        self._logic = resample_logic
+        self.out = Subject.name("adaptive.signal")
+        self.q: "queue.Queue[SignalBuffer]" = queue.Queue()
+        Subject.name("radio.signal.raw").subscribe(self.q.put, replay=False)
+        Subject.name("logic.signal.raw").subscribe(self.q.put, replay=False)
+
+    def run(self):
+        self.update_status("streaming")
+        while not self.terminated:
+            try:
+                buf = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not buf.valid:
+                break
+            if buf.signal_type == SignalType.SIGNAL_TYPE_RADIO_SAMPLES:
+                vals, offs = self._radio(buf.data)
+                self.out.next(
+                    SignalBuffer(
+                        np.stack([vals, offs], axis=-1),
+                        buf.sample_rate,
+                        buf.offset,
+                        signal_type=SignalType.SIGNAL_TYPE_RADIO_SIGNAL,
+                    )
+                )
+            elif buf.signal_type == SignalType.SIGNAL_TYPE_LOGIC_SAMPLES:
+                for ch, (vals, offs) in self._logic(buf.data).items():
+                    self.out.next(
+                        SignalBuffer(
+                            np.stack([vals, offs], axis=-1),
+                            buf.sample_rate,
+                            buf.offset,
+                            signal_type=SignalType.SIGNAL_TYPE_LOGIC_SIGNAL,
+                            stream_id=ch,
+                        )
+                    )
+            self.throughput.update(buf.elements)
+        self.update_status("complete")
+
+
+def run_radio_pipeline(wav_path: str, timeout: float = 300.0) -> list[Frame]:
+    """Wire up source -> decoder (+resampler) and run to completion; the
+    app-rx orchestration in one call."""
+    Subject.clear_registry()
+    frames: list[Frame] = []
+    done = threading.Event()
+
+    def collect(frame):
+        if frame is None:
+            done.set()
+        else:
+            frames.append(frame)
+
+    source = RadioSourceTask(RecordDevice(wav_path))
+    decoder = RadioDecoderTask()
+    resampler = ResamplingTask()
+    Subject.name("radio.decoder.frame").subscribe(collect, replay=False)
+
+    executor = Executor()
+    executor.submit(decoder)
+    executor.submit(resampler)
+    executor.submit(source)
+    done.wait(timeout)
+    executor.shutdown()
+    return frames
