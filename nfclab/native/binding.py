@@ -44,6 +44,19 @@ def _load():
             u32p,
         ]
         lib.nfclab_condition.restype = None
+        lib.nfclab_iq_magnitude.argtypes = [
+            f32p,
+            ctypes.c_int64,
+            f32p,
+            f32p,
+            f32p,
+        ]
+        lib.nfclab_iq_magnitude.restype = None
+        lib.nfclab_sdr_driver_count.restype = ctypes.c_int
+        lib.nfclab_sdr_driver_name.argtypes = [ctypes.c_int]
+        lib.nfclab_sdr_driver_name.restype = ctypes.c_char_p
+        lib.nfclab_sdr_enumerate.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.nfclab_sdr_enumerate.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -52,6 +65,38 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def iq_magnitude_native(iq: np.ndarray, avrg: float = 0.0):
+    """Native IQ->magnitude (RadioDeviceTask.cpp:560-660 hot loop)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    iq = np.ascontiguousarray(iq, dtype=np.float32)
+    n = len(iq)
+    mag = np.empty(n, np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    avrg_io = ctypes.c_float(avrg)
+    power = ctypes.c_float(0.0)
+    lib.nfclab_iq_magnitude(
+        iq.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        mag.ctypes.data_as(f32p),
+        ctypes.byref(avrg_io),
+        ctypes.byref(power),
+    )
+    return mag, float(power.value), float(avrg_io.value)
+
+
+def sdr_drivers() -> list[str]:
+    """Available native SDR capture drivers."""
+    lib = _load()
+    if lib is None:
+        return []
+    return [
+        lib.nfclab_sdr_driver_name(i).decode()
+        for i in range(lib.nfclab_sdr_driver_count())
+    ]
 
 
 @dataclass
