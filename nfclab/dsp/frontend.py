@@ -65,18 +65,15 @@ def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
         thr.update(corr_thresholds)
     bitrates_a = nfca_bitrates(params.sample_rate)
 
+    from .conditioner import _build_scan
+
+    scan = _build_scan(pt)
+
     def frontend(value):
         b, t = value.shape
-        carry = (
-            value[:, 0] * 0.0,
-            value[:, 0] * 0.0,
-            jnp.zeros(b, jnp.float32),
-            value[:, 0] * 0.0,
-            jnp.zeros(b, jnp.int32),
-            jnp.zeros(b, jnp.int32),
-        )
-        fn = lambda c, x: _scan_fn(pt, c, x)
-        _, outs = jax.lax.scan(fn, carry, value.T)
+        zeros_f = jnp.zeros(b, jnp.float32)
+        zeros_i = jnp.zeros(b, jnp.int32)
+        outs = scan(value, zeros_f, zeros_f, zeros_f, zeros_f, zeros_i, zeros_i)
         env, _w1, mdev, avg, filt, _pulse = (o.T for o in outs)
 
         clamped = jnp.maximum(0.0, jnp.minimum(value, env))
