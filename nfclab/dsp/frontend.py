@@ -73,8 +73,18 @@ def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
         b, t = value.shape
         zeros_f = jnp.zeros(b, jnp.float32)
         zeros_i = jnp.zeros(b, jnp.int32)
-        outs = scan(value, zeros_f, zeros_f, zeros_f, zeros_f, zeros_i, zeros_i)
-        env, _w1, mdev, avg, filt, _pulse = (o.T for o in outs)
+        if b % 1024 == 0 and t % 256 == 0:
+            # VPU-native Pallas path (bit-exact with the scan path)
+            from .pallas.conditioner_kernel import condition_scan_pallas
+
+            env, _w1, mdev, avg, filt, _pulse = condition_scan_pallas(
+                value, zeros_f, zeros_f, zeros_f, zeros_f, zeros_i, zeros_i, pt
+            )
+        else:
+            outs = scan(
+                value, zeros_f, zeros_f, zeros_f, zeros_f, zeros_i, zeros_i
+            )
+            env, _w1, mdev, avg, filt, _pulse = (o.T for o in outs)
 
         clamped = jnp.maximum(0.0, jnp.minimum(value, env))
         mdepth = (env - clamped) / env
