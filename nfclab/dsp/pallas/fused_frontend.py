@@ -1,0 +1,245 @@
+"""Fused Pallas frontend: conditioning + every correlator channel, one pass.
+
+The hot decode path needs, per sample: the conditioning states and a family
+of boxcar sums (raw-value boxes for the ASK correlators, squared-filtered
+boxes for the listen channels, lagged-product boxes for the BPSK
+integrators).  Computing these as separate XLA passes costs one HBM round
+trip each; this kernel produces all of them in a single sweep:
+
+- 1024 streams/instance as one (8, 128) tile per step (VPU-native);
+- sequential time grid, carry + ring buffers resident in VMEM:
+  value ring (128), filtered ring (128), squared ring (256), product rings
+  (8/16/32) — sized for the largest window (189 for the NFC-V listen box);
+- running box sums maintained incrementally exactly like the reference's
+  own float32 integrators (NfcA.cpp:246-250 et al.), with identical
+  roundoff family; zero-filled rings reproduce the reference's warm-up.
+
+Outputs (12 x [B, T] f32): env, filt, mdev, avg,
+  bv12, bv24, bv47, bv94        raw-value boxes (A rates p2 + V p2)
+  q47, q189                     squared-filtered boxes (A/V listen)
+  p24x6, p47x12, p94x24         BPSK product boxes (A424/A212+B212/B106)
+
+Window constants are for 10 MS/s capture rate (the reference's recommended
+rate); other rates fall back to the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+LANES = 1024
+TILE = 64
+
+# 10 MS/s window set
+BV_WIDTHS = (12, 24, 47, 94)
+Q_WIDTHS = (47, 189)
+PB = ((24, 6), (47, 12), (94, 24))  # (lag, box)
+
+RV_RING = 128
+RF_RING = 128
+RQ_RING = 256
+RP_RINGS = (8, 16, 32)
+
+N_OUT = 4 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
+
+
+def _fused_kernel(params, value_ref, init_ref, out_refs, carry, rv, rf, rq,
+                  rp0, rp1, rp2, sums):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    (enve_w0, enve_w1, mdev_w0, mdev_w1, mean_w0, mean_w1, iir_a, etu) = params
+
+    t_idx = pl.program_id(1)
+    rps = (rp0, rp1, rp2)
+
+    @pl.when(t_idx == 0)
+    def _():
+        z = jnp.zeros((8, 128), jnp.float32)
+        carry[0] = init_ref[0]  # env
+        carry[1] = init_ref[1]  # w1
+        carry[2] = init_ref[2]  # mdev
+        carry[3] = init_ref[3]  # avg
+        for k in range(rv.shape[0]):
+            rv[k] = z
+        for k in range(rf.shape[0]):
+            rf[k] = z
+        for k in range(rq.shape[0]):
+            rq[k] = z
+        for rp in rps:
+            for k in range(rp.shape[0]):
+                rp[k] = z
+        for k in range(sums.shape[0]):
+            sums[k] = z
+
+    def body(j, _):
+        t = t_idx * TILE + j
+        v = value_ref[j]
+        env = carry[0]
+        w1 = carry[1]
+        mdev = carry[2]
+        avg = carry[3]
+
+        # conditioning (NfcTech.cpp:39-68); envelope silence timeout handled
+        # by the pulse counter packed into the sign-free integer range of f32
+        diff = jnp.abs(v - env) / env
+        # the silence counter is carried as integer-valued f32 (exact up to
+        # 2^24, and it resets on every update)
+        pcount = carry[4] + 1.0
+        update = (diff < 0.05) | (pcount > etu * 10.0)
+        seed = (~update) & (t < etu)
+        new_env = jnp.where(update, env * enve_w0 + v * enve_w1,
+                            jnp.where(seed, v, env))
+        pcount = jnp.where(update, 0.0, pcount)
+
+        w0 = v + w1 * iir_a
+        filt = w0 - w1
+        w1 = w0
+        mdev = mdev * mdev_w0 + jnp.abs(filt) * mdev_w1
+        avg = avg * mean_w0 + v * mean_w1
+
+        carry[0] = new_env
+        carry[1] = w1
+        carry[2] = mdev
+        carry[3] = avg
+        carry[4] = pcount
+
+        out_refs[0][j] = new_env
+        out_refs[1][j] = filt
+        out_refs[2][j] = mdev
+        out_refs[3][j] = avg
+
+        # raw-value boxes
+        o = 4
+        s = 0
+        slot_v = jax.lax.rem(t, RV_RING)
+        for w in BV_WIDTHS:
+            old = rv[jax.lax.rem(t - w + RV_RING, RV_RING)]
+            sums[s] = sums[s] + v - old
+            out_refs[o][j] = sums[s]
+            o += 1
+            s += 1
+        rv[slot_v] = v
+
+        # squared-filtered boxes
+        q = filt * filt * 10.0
+        slot_q = jax.lax.rem(t, RQ_RING)
+        for w in Q_WIDTHS:
+            old = rq[jax.lax.rem(t - w + RQ_RING, RQ_RING)]
+            sums[s] = sums[s] + q - old
+            out_refs[o][j] = sums[s]
+            o += 1
+            s += 1
+        rq[slot_q] = q
+
+        # BPSK product boxes: prod = filt[t] * filt[t-lag] * 10
+        slot_f = jax.lax.rem(t, RF_RING)
+        for (lag, box), rp, rsize in zip(PB, rps, RP_RINGS):
+            lagged = rf[jax.lax.rem(t - lag + RF_RING, RF_RING)]
+            prod = filt * lagged * 10.0
+            slot_p = jax.lax.rem(t, rsize)
+            old = rp[jax.lax.rem(t - box + rsize, rsize)]
+            sums[s] = sums[s] + prod - old
+            out_refs[o][j] = sums[s]
+            rp[slot_p] = prod
+            o += 1
+            s += 1
+        rf[slot_f] = filt
+        return 0
+
+    jax.lax.fori_loop(0, TILE, body, 0)
+
+
+class _View:
+    """Ref view dropping a leading singleton dim."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, j):
+        return self.ref[0, j]
+
+    def __setitem__(self, j, value):
+        self.ref[0, j] = value
+
+    @property
+    def shape(self):
+        return self.ref.shape[1:]
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted(params, g: int, t: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_t = t // TILE
+    n_sums = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
+
+    tile_spec = pl.BlockSpec(
+        (1, TILE, 8, 128), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    init_spec = pl.BlockSpec(
+        (1, 5, 8, 128), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def kernel(value_ref, init_ref, *rest):
+        out_refs = [
+            _View(r) for r in rest[:N_OUT]
+        ]
+        carry, rv, rf, rq, rp0, rp1, rp2, sums = rest[N_OUT:]
+        _fused_kernel(
+            params, _View(value_ref), _View(init_ref), out_refs, carry,
+            rv, rf, rq, rp0, rp1, rp2, sums,
+        )
+
+    out_shape = [jax.ShapeDtypeStruct((g, t, 8, 128), jnp.float32)] * N_OUT
+
+    def run(value, init):
+        return pl.pallas_call(
+            kernel,
+            grid=(g, n_t),
+            in_specs=[tile_spec, init_spec],
+            out_specs=[tile_spec] * N_OUT,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((5, 8, 128), jnp.float32),  # carry
+                pltpu.VMEM((RV_RING, 8, 128), jnp.float32),
+                pltpu.VMEM((RF_RING, 8, 128), jnp.float32),
+                pltpu.VMEM((RQ_RING, 8, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[0], 8, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[1], 8, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[2], 8, 128), jnp.float32),
+                pltpu.VMEM((n_sums, 8, 128), jnp.float32),
+            ],
+        )(value, init)
+
+    return jax.jit(run)
+
+
+OUTPUT_NAMES = (
+    ["envelope", "filtered", "deviation", "average"]
+    + [f"bv{w}" for w in BV_WIDTHS]
+    + [f"q{w}" for w in Q_WIDTHS]
+    + [f"p{lag}x{box}" for lag, box in PB]
+)
+
+
+def fused_frontend(value, params):
+    """value: [B, T], B % 1024 == 0, T % TILE == 0 -> dict of [B, T] f32."""
+    import jax.numpy as jnp
+
+    b, t = value.shape
+    assert b % LANES == 0 and t % TILE == 0
+    g = b // LANES
+    vt = jnp.asarray(value, jnp.float32).reshape(g, 8, 128, t).transpose(0, 3, 1, 2)
+    init = jnp.zeros((g, 5, 8, 128), jnp.float32)
+    outs = _jitted(params, g, t)(vt, init)
+    res = {}
+    for name, o in zip(OUTPUT_NAMES, outs):
+        res[name] = o.transpose(0, 2, 3, 1).reshape(b, t)
+    return res

@@ -1,0 +1,81 @@
+"""Batch decode: many captures through one TPU conditioning pass, parallel
+host symbol walks.
+
+This is the data-parallel throughput configuration (SURVEY.md §2.10): the
+dense frontend batches across captures on the device (the `stream` mesh axis
+in the multi-chip case), while the thin event walks fan out over host worker
+processes — the TPU-native replacement for the reference's one-thread-per-
+task pool.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from ..core.frame import Frame
+from ..core.params import SignalParams
+from ..io.wav import read_wav
+from .decoder import NfcDecoder
+
+
+def _walk_one(args) -> list[Frame]:
+    """Host-side walk over precomputed conditioning (runs in a worker
+    process; imports stay local so workers never touch the TPU)."""
+    samples, sample_rate, cond_arrays, kwargs = args
+    from ..native.binding import Conditioned
+
+    cond = Conditioned(*cond_arrays)
+    dec = NfcDecoder(**kwargs)
+    return dec.decode(samples, sample_rate, cond=cond)
+
+
+def decode_batch(
+    paths: list[str],
+    workers: int | None = None,
+    conditioner: str = "jax",
+    **decoder_kwargs,
+) -> dict[str, list[Frame]]:
+    """Decode many wav captures: conditioning on the accelerator (in the
+    parent process), event walks across a process pool."""
+    from ..dsp.conditioner import condition_jax
+    from ..native import condition_exact
+
+    jobs = []
+    for path in paths:
+        samples, info = read_wav(path)
+        params = SignalParams(
+            info.sample_rate,
+            power_level_threshold=decoder_kwargs.get(
+                "power_level_threshold", 0.01
+            ),
+        )
+        if conditioner == "jax":
+            cond = condition_jax(samples, params)
+        else:
+            cond = condition_exact(samples, params)
+        cond_arrays = (
+            cond.value,
+            cond.envelope,
+            cond.filtered,
+            cond.deviation,
+            cond.average,
+            cond.mod_depth,
+            cond.edge_peak,
+            cond.edge_time,
+        )
+        jobs.append((samples, info.sample_rate, cond_arrays, decoder_kwargs))
+
+    workers = workers or min(len(paths), os.cpu_count() or 1)
+    results: dict[str, list[Frame]] = {}
+    if workers <= 1 or len(paths) == 1:
+        for path, job in zip(paths, jobs):
+            results[path] = _walk_one(job)
+        return results
+
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        for path, frames in zip(paths, pool.map(_walk_one, jobs)):
+            results[path] = frames
+    return results

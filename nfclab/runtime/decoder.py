@@ -167,13 +167,18 @@ class NfcDecoder:
             techs.append(NfcVTech(ctx))
         return techs
 
-    def decode(self, samples: np.ndarray, sample_rate: int) -> list[Frame]:
+    def decode(
+        self, samples: np.ndarray, sample_rate: int, cond=None
+    ) -> list[Frame]:
         """Decode a full capture; returns frames in emission order
-        (carrier + poll + listen; filter by type for golden comparison)."""
+        (carrier + poll + listen; filter by type for golden comparison).
+        `cond` may carry precomputed conditioning (the batch API runs the
+        TPU pass once for many captures, then walks each on host)."""
         params = SignalParams(
             sample_rate, power_level_threshold=self.power_level_threshold
         )
-        cond = self._condition(samples, params)
+        if cond is None:
+            cond = self._condition(samples, params)
         ctx = DecoderContext(cond, sample_rate, params, self.stream_time)
         carrier = CarrierDetector(ctx)
         techs = self._make_techs(ctx)
