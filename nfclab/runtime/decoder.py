@@ -129,6 +129,8 @@ class NfcDecoder:
         power_level_threshold: float = 0.01,
         stream_time: float = 0.0,
         conditioner: str = "native",
+        debug: bool = False,
+        debug_path: str | None = None,
     ):
         self.enable_nfca = enable_nfca
         self.enable_nfcb = enable_nfcb
@@ -137,6 +139,8 @@ class NfcDecoder:
         self.power_level_threshold = power_level_threshold
         self.stream_time = stream_time
         self.conditioner = conditioner
+        self.debug = debug
+        self.debug_path = debug_path
 
     def _condition(self, samples: np.ndarray, params: SignalParams):
         if self.conditioner == "native":
@@ -184,6 +188,19 @@ class NfcDecoder:
         techs = self._make_techs(ctx)
         for tech in techs:
             tech.initialize()
+
+        if self.debug:
+            # 10-channel internal-signal tap (NfcTech.h:47-126 parity)
+            from ..dsp.debugtap import write_radio_debug
+
+            sd = []
+            for tech in techs:
+                chans = getattr(tech, "_sd", None)
+                if isinstance(chans, list):
+                    sd.extend(chans)
+                elif chans is not None:
+                    sd.append(chans)
+            write_radio_debug(cond, sd, sample_rate, self.debug_path)
 
         n = ctx.n
         t = 0

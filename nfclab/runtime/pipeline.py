@@ -249,6 +249,150 @@ class ResamplingTask(Task):
         self.update_status("complete")
 
 
+class LogicSourceTask(Task):
+    """Replay source for logic captures: WAV -> logic.signal.raw
+    (LogicDeviceTask parity; live DSLogic/Sipeed capture plugs in behind the
+    same Device interface)."""
+
+    def __init__(self, device: RecordDevice, block: int = 65536):
+        super().__init__("worker.LogicSource", "logic.receiver")
+        self.device = device
+        self.block = block
+        self.raw_stream = Subject.name("logic.signal.raw")
+
+    def run(self):
+        self.device.open("read")
+        self.update_status("streaming")
+        rate = 0
+        while not self.terminated and not self.device.is_eof():
+            buf = self.device.read(self.block)
+            rate = buf.sample_rate
+            self.raw_stream.next(buf)
+            self.throughput.update(buf.elements)
+        self.raw_stream.next(
+            SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_LOGIC_SAMPLES)
+        )
+        self.update_status("complete", samples=self.throughput.total)
+
+
+class FourierTask(Task):
+    """Latest IQ block -> signal.fft spectrum bins (FourierProcessTask
+    parity; the reference refreshes at ~100 fps, here per published block)."""
+
+    def __init__(self, length: int = 1024, bandwidth: float = 10e6):
+        super().__init__("worker.FourierProcess", "fourier")
+        from ..dsp.spectrum import SpectrumProcessor
+
+        self.processor = SpectrumProcessor(length=length, bandwidth=bandwidth)
+        self.out = Subject.name("signal.fft")
+        self.q: "queue.Queue[SignalBuffer]" = queue.Queue()
+        Subject.name("radio.signal.iq").subscribe(self.q.put, replay=False)
+
+    def run(self):
+        self.update_status("streaming")
+        while not self.terminated:
+            try:
+                buf = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not buf.valid:
+                break
+            need = self.processor.length * max(
+                1, int(buf.sample_rate / self.processor.bandwidth)
+            )
+            if buf.elements < need:
+                continue
+            mag = self.processor.process(buf.data, buf.sample_rate)
+            self.out.next(
+                SignalBuffer(
+                    mag,
+                    buf.sample_rate,
+                    buf.offset,
+                    signal_type=SignalType.SIGNAL_TYPE_FFT_BIN,
+                )
+            )
+            self.throughput.update(buf.elements)
+        self.update_status("complete")
+
+
+class SignalStorageTask(Task):
+    """Record raw streams to WAV (SignalStorageTask write path parity)."""
+
+    def __init__(self, path: str, source_subject: str = "radio.signal.raw"):
+        super().__init__("worker.SignalStorage", "recorder")
+        self.device = RecordDevice(path)
+        self.q: "queue.Queue[SignalBuffer]" = queue.Queue()
+        Subject.name(source_subject).subscribe(self.q.put, replay=False)
+
+    def run(self):
+        self.device.open("write")
+        self.update_status("recording")
+        while not self.terminated:
+            try:
+                buf = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if not buf.valid:
+                break
+            self.device.write(buf)
+            self.throughput.update(buf.elements)
+        self.device.close()
+        self.update_status("complete", samples=self.throughput.total)
+
+
+class TraceStorageTask(Task):
+    """Accumulate frames + adaptive streams, write a TRZ on completion
+    (TraceStorageTask write path parity)."""
+
+    def __init__(self, path: str):
+        super().__init__("worker.TraceStorage", "storage")
+        self.path = path
+        self.frames: list[Frame] = []
+        self.signals: list[SignalBuffer] = []
+        self._done = threading.Event()
+        Subject.name("radio.decoder.frame").subscribe(
+            self._on_frame, replay=False
+        )
+        Subject.name("logic.decoder.frame").subscribe(
+            self._on_frame, replay=False
+        )
+        Subject.name("adaptive.signal").subscribe(
+            self.signals.append, replay=False
+        )
+
+    def _on_frame(self, frame):
+        if frame is None:
+            self._done.set()
+        else:
+            self.frames.append(frame)
+
+    def run(self):
+        self.update_status("accumulating")
+        while not self.terminated and not self._done.wait(0.1):
+            pass
+        from ..io.trz import SignalStream, write_trace
+
+        streams = []
+        for buf in self.signals:
+            kind = (
+                "logic"
+                if buf.signal_type == SignalType.SIGNAL_TYPE_LOGIC_SIGNAL
+                else "radio"
+            )
+            streams.append(
+                SignalStream(
+                    buf.stream_id,
+                    buf.sample_rate,
+                    kind,
+                    (buf.data[:, 1] + buf.offset).astype(np.int64),
+                    buf.data[:, 0],
+                    buf.offset,
+                )
+            )
+        write_trace(self.path, self.frames, streams)
+        self.update_status("complete", frames=len(self.frames))
+
+
 def run_radio_pipeline(wav_path: str, timeout: float = 300.0) -> list[Frame]:
     """Wire up source -> decoder (+resampler) and run to completion; the
     app-rx orchestration in one call."""

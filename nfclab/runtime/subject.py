@@ -14,6 +14,34 @@ import threading
 from typing import Any, Callable
 
 
+class Event:
+    """Command envelope: code + payload map + resolve/reject callbacks
+    (rt/Event.h:30-41, rt/Promise.h parity)."""
+
+    def __init__(self, code: str, params: dict | None = None,
+                 on_resolve=None, on_reject=None):
+        self.code = code
+        self.params = params or {}
+        self._on_resolve = on_resolve
+        self._on_reject = on_reject
+        self.settled = False
+
+    def resolve(self, *args):
+        if not self.settled:
+            self.settled = True
+            if self._on_resolve:
+                self._on_resolve(*args)
+
+    def reject(self, *args):
+        if not self.settled:
+            self.settled = True
+            if self._on_reject:
+                self._on_reject(*args)
+
+    def get(self, key, default=None):
+        return self.params.get(key, default)
+
+
 class Subject:
     _registry: dict[str, "Subject"] = {}
     _registry_lock = threading.Lock()
