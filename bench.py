@@ -18,23 +18,34 @@ per-chip share.  The reference C++ decoder sustains ~10 MS/s per desktop CPU.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 PER_CHIP_BASELINE = 62.5e6  # 1 GS/s / 16 chips (BASELINE.md)
 
+# persistent XLA compilation cache so repeat runs skip the multi-minute
+# first compile of the Pallas kernels
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+
 
 def main():
     import jax
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from nfclab.core.params import SignalParams
-    from nfclab.dsp.frontend import make_frontend
+    from nfclab.dsp.frontend import make_fused_frontend
 
-    frontend = make_frontend(SignalParams(10_000_000))
+    frontend = make_fused_frontend(SignalParams(10_000_000))
     # one scalar per output forces full execution before the host timestamp
-    red = jax.jit(lambda x: sum(jnp.sum(v[:, -1]) for v in frontend(x).values()))
+    red = jax.jit(
+        lambda x: sum(jnp.sum(v[:, -1]) for v in frontend(x).values())
+    )
 
     rng = np.random.default_rng(0)
     batch, span = 2048, 65536 + 16384

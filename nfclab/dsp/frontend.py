@@ -144,3 +144,49 @@ def jitted_frontend(sample_rate: int, power_level_threshold: float = 0.01):
 
     params = SignalParams(sample_rate, power_level_threshold=power_level_threshold)
     return jax.jit(make_frontend(params))
+
+
+def make_fused_frontend(params: SignalParams, corr_threshold: float = 0.75):
+    """Production-throughput frontend: the fused Pallas kernel (conditioning
+    + every box channel in one sweep) plus the elementwise SD/mask derivation
+    for the NFC-A detect path.  Box sums carry the same f32 running-sum
+    roundoff family as the reference's own integrators; the bit-exact golden
+    path uses the unfused conditioner + host f64 channels."""
+    import jax.numpy as jnp
+
+    from .pallas.fused_frontend import fused_frontend
+
+    pt = _params_tuple(params)
+    bitrates = nfca_bitrates(params.sample_rate)
+
+    def run(value):
+        out = fused_frontend(value, pt)
+        env = out["envelope"]
+        b, t = env.shape
+        clamped = jnp.maximum(0.0, jnp.minimum(value, env))
+        out["mod_depth"] = (env - clamped) / env
+        power = env >= jnp.float32(params.power_level_threshold)
+        for br in bitrates:
+            box = out[f"bv{br.period2}"]
+            d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
+            gap = p1 - p2
+            bm_g = jnp.pad(box[:, :-gap], ((0, 0), (gap, 0)))
+            bm_1 = jnp.pad(box[:, :-1], ((0, 0), (1, 0)))
+            sd = ((box - bm_g) - (bm_g - bm_1)) / jnp.float32(p2)
+            if d:
+                sd = jnp.pad(sd[:, : t - d], ((0, 0), (d, 0)))
+            out[f"sd_a_{br.rate_type}"] = sd
+            out[f"mask_a_{br.rate_type}"] = power & (
+                jnp.abs(sd) > jnp.float32(corr_threshold) * env
+            )
+        return out
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def jitted_fused_frontend(sample_rate: int, power_level_threshold: float = 0.01):
+    import jax
+
+    params = SignalParams(sample_rate, power_level_threshold=power_level_threshold)
+    return jax.jit(make_fused_frontend(params))

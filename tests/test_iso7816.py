@@ -112,6 +112,53 @@ def test_t0_tpdu_exchange():
     assert not ex[0].has_flags(FrameFlags.ParityError)
 
 
+def test_t1_protocol_switch_and_block():
+    """PPS negotiates T=1, then an I-Block exchange decodes as
+    request/response blocks (Iso7816.cpp:759-796, 1174-1230)."""
+    w = WaveBuilder()
+    w.hold(1000)
+    w.vcc = 1.0
+    w.hold(1000)
+    w.clk_on = True
+    w.hold(1000)
+    w.rst = 1.0
+    w.hold(5000)
+    # ATR: TS, T0 with TD1 present, TD1 = T=1, TCK (xor of T0..TD1)
+    for b in (0x3B, 0x80, 0x01, 0x80 ^ 0x01):
+        w.character(b)
+    w.hold(80_000)
+    # PPS request: FF 11 11 FF (PPS1 present, T=1, Fi=1/Di=1)
+    for b in (0xFF, 0x11, 0x11, 0xFF):
+        w.character(b)
+    w.hold(80_000)
+    # PPS response (echo)
+    for b in (0xFF, 0x11, 0x11, 0xFF):
+        w.character(b)
+    w.hold(80_000)
+    # T=1 I-Block: NAD=00 PCB=00 LEN=02 INF=A4:04 LRC=xor(PCB..INF)=A2
+    iblock = [0x00, 0x00, 0x02, 0xA4, 0x04, 0x00 ^ 0x02 ^ 0xA4 ^ 0x04]
+    for b in iblock:
+        w.character(b)
+    w.hold(80_000)
+    # response I-Block: NAD=00 PCB=00 LEN=01 INF=90 LRC=..
+    rblock = [0x00, 0x00, 0x01, 0x90, 0x00 ^ 0x01 ^ 0x90]
+    for b in rblock:
+        w.character(b)
+    w.hold(300_000)
+
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    types = [f.frame_type for f in frames]
+    assert int(FrameType.IsoATRFrame) in types
+    reqs = [f for f in frames if f.frame_type == int(FrameType.IsoRequestFrame)]
+    resps = [f for f in frames if f.frame_type == int(FrameType.IsoResponseFrame)]
+    # PPS request + I-Block request; PPS response + I-Block response
+    assert bytes([0xFF, 0x11, 0x11, 0xFF]) in [f.data for f in reqs]
+    assert bytes(iblock) in [f.data for f in reqs]
+    assert bytes(rblock) in [f.data for f in resps]
+    for f in reqs + resps:
+        assert not f.has_flags(FrameFlags.CrcError)
+
+
 def test_parity_error_flagged():
     # T=0: a parity error causes the receiver to pull the error signal low;
     # here the character repeats with good parity is not modeled, so the
