@@ -271,3 +271,19 @@ class NfcDecoder:
         if samples.ndim != 1:
             raise ValueError("radio decode expects mono magnitude capture")
         return self.decode(samples, info.sample_rate)
+
+    @classmethod
+    def from_config(cls, config) -> "NfcDecoder":
+        """Build from a runtime.config.Config tree (the Configure-command
+        merge-patch surface of RadioDecoderTask.cpp:207-366)."""
+        proto = config.get("decoder.protocol", {}) or {}
+        return cls(
+            enable_nfca=proto.get("nfca", {}).get("enabled", True),
+            enable_nfcb=proto.get("nfcb", {}).get("enabled", True),
+            enable_nfcf=proto.get("nfcf", {}).get("enabled", True),
+            enable_nfcv=proto.get("nfcv", {}).get("enabled", True),
+            power_level_threshold=config.get(
+                "decoder.powerLevelThreshold", 0.01
+            ),
+            debug=config.get("decoder.debugEnabled", False),
+        )

@@ -249,6 +249,31 @@ class ResamplingTask(Task):
         self.update_status("complete")
 
 
+class DeviceMonitorTask(Task):
+    """1 Hz device hotplug scan (RadioDeviceTask.cpp:167-246 refresh loop):
+    re-enumerates the factory registry, publishes attach/detach status."""
+
+    def __init__(self, pattern: str = "*", interval: float = 1.0):
+        super().__init__("worker.DeviceMonitor", "device.monitor")
+        from ..hw.device import DeviceFactory
+
+        self.factory = DeviceFactory
+        self.pattern = pattern
+        self.interval = interval
+        self.present: set[str] = set()
+
+    def run(self):
+        self.update_status("scanning")
+        while not self.terminated:
+            found = set(self.factory.enumerate(self.pattern))
+            for ident in sorted(found - self.present):
+                self.update_status("attached", device=ident)
+            for ident in sorted(self.present - found):
+                self.update_status("detached", device=ident)
+            self.present = found
+            self._terminated.wait(self.interval)
+
+
 class LogicSourceTask(Task):
     """Replay source for logic captures: WAV -> logic.signal.raw
     (LogicDeviceTask parity; live DSLogic/Sipeed capture plugs in behind the

@@ -1,0 +1,94 @@
+"""CLI smoke tests (decode_cli, trace_cli) + config + debug tap + monitor."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _run(args, input_text=None):
+    return subprocess.run(
+        [sys.executable, "-m", *args],
+        capture_output=True,
+        text=True,
+        input=input_text,
+        timeout=300,
+    )
+
+
+def test_decode_cli_test_mode(fixture_dir):
+    r = _run(
+        ["nfclab.apps.decode_cli", "test", str(fixture_dir / "test_NFC-A_106kbps_001.wav")]
+    )
+    assert r.returncode == 0
+    assert "PASS" in r.stdout
+
+
+def test_decode_cli_json_pipe(fixture_dir):
+    r = _run(
+        [
+            "nfclab.apps.decode_cli",
+            "run",
+            "--json",
+            str(fixture_dir / "test_NFC-A_106kbps_001.wav"),
+        ]
+    )
+    assert r.returncode == 0
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.strip()]
+    polls = [l for l in lines if l.get("type") == "POLL"]
+    assert len(polls) == 5
+    r2 = _run(["nfclab.tools.trace_cli", "--no-carrier"], input_text=r.stdout)
+    assert r2.returncode == 0
+    assert "WUPA" in r2.stdout
+
+
+def test_decoder_from_config():
+    from nfclab.runtime.config import Config
+    from nfclab.runtime.decoder import NfcDecoder
+
+    cfg = Config({"decoder": {"protocol": {"nfcb": {"enabled": False}}}})
+    dec = NfcDecoder.from_config(cfg)
+    assert dec.enable_nfca and not dec.enable_nfcb
+
+
+def test_debug_tap(tmp_path, fixture_dir):
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.decoder import NfcDecoder
+
+    out = tmp_path / "debug.wav"
+    dec = NfcDecoder(
+        enable_nfcb=False,
+        enable_nfcf=False,
+        enable_nfcv=False,
+        debug=True,
+        debug_path=str(out),
+    )
+    dec.decode_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    data, info = read_wav(str(out))
+    assert info.channels == 10
+    assert len(data) == 114227
+
+
+def test_device_monitor():
+    import time
+
+    from nfclab.hw.device import DeviceFactory
+    from nfclab.runtime.pipeline import DeviceMonitorTask, Executor
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    devices = ["mock://a"]
+    DeviceFactory.register_device("mock", lambda: list(devices), lambda i: None)
+    events = []
+    mon = DeviceMonitorTask("mock", interval=0.05)
+    mon.status.subscribe(events.append, replay=False)
+    ex = Executor()
+    ex.submit(mon)
+    time.sleep(0.15)
+    devices.append("mock://b")
+    time.sleep(0.15)
+    ex.shutdown()
+    kinds = {(e["status"], e.get("device")) for e in events}
+    assert ("attached", "mock://a") in kinds
+    assert ("attached", "mock://b") in kinds
