@@ -103,7 +103,13 @@ class NfcATech:
         self.frame.frame_guard_time = self.protocol.frame_guard_time
         self.frame.request_guard_time = self.protocol.request_guard_time
 
-        # dense detect channels + event masks
+        self.bind_channels()
+
+    def bind_channels(self):
+        """(Re)compute dense detect channels + event masks from the current
+        context arrays; FSM state is untouched (the streaming decoder calls
+        this after each growth of the conditioned stream)."""
+        ctx = self.ctx
         ch = ctx.channels
         env = ctx.cond.envelope
         power = env >= ctx.power_level_threshold

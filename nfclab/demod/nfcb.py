@@ -105,16 +105,21 @@ class NfcBTech:
         self.frame.frame_guard_time = self.protocol.frame_guard_time
         self.frame.request_guard_time = self.protocol.request_guard_time
 
-        # detect trigger masks for the falling edge (NfcB.cpp:283); only
-        # r106k/r212k participate in detection (NfcB.cpp:249)
+        self.bind_channels()
+
+    def bind_channels(self):
+        """Detect trigger masks for the falling edge (NfcB.cpp:283); only
+        r106k/r212k participate in detection (NfcB.cpp:249).  Safe to call
+        again after the conditioned stream grows (state untouched)."""
+        ctx = self.ctx
         env = ctx.cond.envelope
         filt = ctx.cond.filtered
         power = env >= ctx.power_level_threshold
         self._mask_idx = []
         for br in self.bitrates[: nfc.R212K + 1]:
             d = br.symbol_delay_detect
-            shifted = np.empty_like(filt)
             if d:
+                shifted = np.empty_like(filt)
                 shifted[d:] = filt[: len(filt) - d]
                 shifted[:d] = 0.0
             else:

@@ -109,6 +109,10 @@ class NfcFTech:
         self.frame.frame_guard_time = self.protocol.frame_guard_time
         self.frame.request_guard_time = self.protocol.request_guard_time
 
+        self.bind_channels()
+
+    def bind_channels(self):
+        ctx = self.ctx
         ch = ctx.channels
         env = ctx.cond.envelope
         power = env >= ctx.power_level_threshold

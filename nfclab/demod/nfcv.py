@@ -134,7 +134,11 @@ class NfcVTech:
         self.frame.frame_guard_time = self.protocol.frame_guard_time
         self.frame.request_guard_time = self.protocol.request_guard_time
 
-        # dense detect channel: S0(t) = (B2v(t-d-(p1-p2)) - B2v(t-d)) / p2
+        self.bind_channels()
+
+    def bind_channels(self):
+        """Dense detect channel: S0(t) = (B2v(t-d-(p1-p2)) - B2v(t-d)) / p2."""
+        ctx = self.ctx
         br = self.bitrate
         box = ctx.channels.box_value(br.period2)
         n = len(box)

@@ -55,16 +55,21 @@ class CarrierDetector:
     """
 
     def __init__(self, ctx: DecoderContext):
+        self.carrier_on_time = 0
+        self.carrier_off_time = 0
+        # last time carrierEdgeTime was consumed+cleared by an event
+        self._edge_cleared_at = 0
+        self.bind(ctx)
+
+    def bind(self, ctx: DecoderContext):
+        """(Re)compute crossing masks from the current context; FSM state is
+        untouched (streaming rebind)."""
         self.ctx = ctx
         p = ctx.params
         self._above = ctx.cond.average > np.float32(p.signal_high_threshold)
         self._below = ctx.cond.average < np.float32(p.signal_low_threshold)
         self._above_idx = np.flatnonzero(self._above)
         self._below_idx = np.flatnonzero(self._below)
-        self.carrier_on_time = 0
-        self.carrier_off_time = 0
-        # last time carrierEdgeTime was consumed+cleared by an event
-        self._edge_cleared_at = 0
 
     def next_interesting(self, t: int) -> int | None:
         cands = []
@@ -202,66 +207,7 @@ class NfcDecoder:
                     sd.append(chans)
             write_radio_debug(cond, sd, sample_rate, self.debug_path)
 
-        n = ctx.n
-        t = 0
-        while t < n:
-            if ctx.modulation is not None:
-                t = ctx.locked_tech.decode_run(t - 1) + 1
-                continue
-
-            # techs in bounded mid-search phases must be stepped per sample;
-            # the rest contribute scheduled/mask events only
-            dirty = [te for te in techs if te.is_dirty()]
-            dirty_ids = {id(te) for te in dirty}
-            cands = []
-            c = carrier.next_interesting(t)
-            if c is not None:
-                cands.append(c)
-            for te in techs:
-                if id(te) not in dirty_ids:
-                    c = te.next_interesting(t)
-                    if c is not None:
-                        cands.append(c)
-            if cands:
-                tn = min(cands)
-            elif dirty:
-                tn = n - 1
-            else:
-                break
-            if tn >= n:
-                tn = n - 1
-
-            locked = None
-            if dirty:
-                # fine-step only the dirty techs through (t, tn); clean techs
-                # provably have no state changes in this span
-                u = t
-                while u < tn and locked is None:
-                    for te in techs:
-                        if id(te) in dirty_ids and te.detect_step(u):
-                            locked = te
-                            break
-                    if locked is None:
-                        u += 1
-                if locked is None:
-                    carrier.step(tn)
-                    for te in techs:
-                        if te.detect_step(tn):
-                            locked = te
-                            break
-                    u = tn
-            else:
-                carrier.step(tn)
-                for te in techs:
-                    if te.detect_step(tn):
-                        locked = te
-                        break
-                u = tn
-
-            if locked is not None:
-                t = locked.decode_run(u) + 1
-            else:
-                t = u + 1
+        walk(ctx, carrier, techs, 0)
         return ctx.frames
 
     def decode_wav(self, path: str) -> list[Frame]:
@@ -287,3 +233,69 @@ class NfcDecoder:
             ),
             debug=config.get("decoder.debugEnabled", False),
         )
+
+
+def walk(ctx, carrier, techs, t: int) -> int:
+    """Run the main decode loop (NfcDecoder.cpp:374-467 structure) from
+    clock t until the stream is exhausted of events; returns the clock to
+    resume from when more samples arrive (streaming)."""
+    n = ctx.n
+    while t < n:
+        if ctx.modulation is not None:
+            t = ctx.locked_tech.decode_run(t - 1) + 1
+            continue
+
+        # techs in bounded mid-search phases must be stepped per sample;
+        # the rest contribute scheduled/mask events only
+        dirty = [te for te in techs if te.is_dirty()]
+        dirty_ids = {id(te) for te in dirty}
+        cands = []
+        c = carrier.next_interesting(t)
+        if c is not None:
+            cands.append(c)
+        for te in techs:
+            if id(te) not in dirty_ids:
+                c = te.next_interesting(t)
+                if c is not None:
+                    cands.append(c)
+        if cands:
+            tn = min(cands)
+        elif dirty:
+            tn = n - 1
+        else:
+            break
+        if tn >= n:
+            tn = n - 1
+
+        locked = None
+        if dirty:
+            # fine-step only the dirty techs through (t, tn); clean techs
+            # provably have no state changes in this span
+            u = t
+            while u < tn and locked is None:
+                for te in techs:
+                    if id(te) in dirty_ids and te.detect_step(u):
+                        locked = te
+                        break
+                if locked is None:
+                    u += 1
+            if locked is None:
+                carrier.step(tn)
+                for te in techs:
+                    if te.detect_step(tn):
+                        locked = te
+                        break
+                u = tn
+        else:
+            carrier.step(tn)
+            for te in techs:
+                if te.detect_step(tn):
+                    locked = te
+                    break
+            u = tn
+
+        if locked is not None:
+            t = locked.decode_run(u) + 1
+        else:
+            t = u + 1
+    return t

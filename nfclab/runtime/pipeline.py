@@ -131,13 +131,14 @@ class RadioSourceTask(Task):
 
 
 class RadioDecoderTask(Task):
-    """radio.signal.raw -> radio.decoder.frame (RadioDecoderTask parity)."""
+    """radio.signal.raw -> radio.decoder.frame (RadioDecoderTask parity).
 
-    def __init__(self, decoder=None):
+    Truly streaming: each block feeds the incremental decoder and completed
+    frames are published immediately."""
+
+    def __init__(self, **decoder_kwargs):
         super().__init__("worker.RadioDecoder", "radio.decoder")
-        from .decoder import NfcDecoder
-
-        self.decoder = decoder or NfcDecoder()
+        self.decoder_kwargs = decoder_kwargs
         self.frame_stream = Subject.name("radio.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("radio.signal.raw").subscribe(
@@ -145,9 +146,10 @@ class RadioDecoderTask(Task):
         )
 
     def run(self):
+        from .streaming import StreamingNfcDecoder
+
         self.update_status("streaming")
-        chunks: list[np.ndarray] = []
-        rate = 0
+        dec: StreamingNfcDecoder | None = None
         while not self.terminated:
             try:
                 buf = self.signal_queue.get(timeout=0.1)
@@ -155,12 +157,13 @@ class RadioDecoderTask(Task):
                 continue
             if not buf.valid:  # EOF marker
                 break
-            rate = buf.sample_rate
-            chunks.append(np.asarray(buf.data, np.float32))
+            if dec is None:
+                dec = StreamingNfcDecoder(buf.sample_rate, **self.decoder_kwargs)
+            for frame in dec.feed(np.asarray(buf.data, np.float32)):
+                self.frame_stream.next(frame)
             self.throughput.update(buf.elements)
-        if chunks:
-            samples = np.concatenate(chunks)
-            for frame in self.decoder.decode(samples, rate):
+        if dec is not None:
+            for frame in dec.finish():
                 self.frame_stream.next(frame)
         self.frame_stream.next(None)  # EOF
         self.update_status("complete", frames=self.throughput.total)
