@@ -72,6 +72,8 @@ class NfcATech:
         self.chained_flags = 0
         self.last_frame_end = 0
         self._bpsk_c = F(0.0)  # telescoped BPSK integrator constant
+        self._version = 0  # bumped on any detect-state mutation (scheduler cache)
+        self._ni_cache = None
         # dense channels
         self._sd = []  # signed detect SD per rate
         self._mask_idx = []  # sorted clock indices where |SD| may cross threshold
@@ -103,12 +105,16 @@ class NfcATech:
         self.frame.frame_guard_time = self.protocol.frame_guard_time
         self.frame.request_guard_time = self.protocol.request_guard_time
 
+        self._version += 1
+        self._ni_cache = None
         self.bind_channels()
 
     def bind_channels(self):
         """(Re)compute dense detect channels + event masks from the current
         context arrays; FSM state is untouched (the streaming decoder calls
         this after each growth of the conditioned stream)."""
+        self._version += 1
+        self._ni_cache = None
         ctx = self.ctx
         ch = ctx.channels
         env = ctx.cond.envelope
@@ -134,8 +140,19 @@ class NfcATech:
         return False
 
     def next_interesting(self, t: int) -> int | None:
-        """Earliest clock >= t at which detect_step could mutate state."""
+        """Earliest clock >= t at which detect_step could mutate state.
+        Cached between detect-state mutations (the walker consults this every
+        iteration; results are monotonic while state is unchanged)."""
         t = max(t, BUFFER_SIZE)
+        c = self._ni_cache
+        if c is not None and c[0] == self._version and c[1] <= t:
+            if c[2] is None or c[2] >= t:
+                return c[2]
+        val = self._next_interesting_compute(t)
+        self._ni_cache = (self._version, t, val)
+        return val
+
+    def _next_interesting_compute(self, t: int) -> int | None:
         cand = []
         for br, mod, idx in zip(self.bitrates, self.mod, self._mask_idx):
             i = np.searchsorted(idx, t)
@@ -166,6 +183,7 @@ class NfcATech:
 
             # recover status from previous partial search (NfcA.cpp:268-279)
             if mod.correlated_peak_time and t > mod.correlated_peak_time + br.period1:
+                self._version += 1
                 mod.symbol_start_time = 0
                 mod.symbol_end_time = 0
                 mod.search_start_time = 0
@@ -184,6 +202,7 @@ class NfcATech:
                 deep = ctx.cond.mod_depth[t - br.symbol_delay_detect - br.period8]
                 if sd < -min_corr:
                     if sd < mod.correlated_peak_value:
+                        self._version += 1
                         mod.correlated_peak_value = sd
                         mod.correlated_peak_time = t
                         mod.search_end_time = t + br.period4
@@ -193,6 +212,7 @@ class NfcATech:
             else:
                 # rising-edge search (NfcA.cpp:307-318)
                 if sd > min_corr and sd > mod.correlated_peak_value:
+                    self._version += 1
                     mod.correlated_peak_value = sd
                     mod.correlated_peak_time = t
 
@@ -201,6 +221,7 @@ class NfcATech:
 
             if not mod.symbol_start_time:
                 # first search window closed (NfcA.cpp:324-349)
+                self._version += 1
                 if mod.detector_peak_value < self.minimum_modulation_deep:
                     mod.symbol_start_time = 0
                     mod.symbol_end_time = 0
@@ -222,6 +243,7 @@ class NfcATech:
                 continue
 
             # pulse measured (NfcA.cpp:352-378)
+            self._version += 1
             mod.symbol_end_time = mod.correlated_peak_time
             mod.search_pulse_width = mod.symbol_end_time - mod.symbol_start_time
             min_width = br.period1 - br.period4
@@ -293,6 +315,7 @@ class NfcATech:
 
     def reset_modulation(self):
         """NfcA.cpp:1451-1475 — full unlock back to detection."""
+        self._version += 1
         for mod in self.mod:
             mod.reset()
         self.stream.reset()

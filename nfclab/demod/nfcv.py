@@ -146,8 +146,9 @@ class NfcVTech:
         gap = br.period1 - br.period2
         sd = np.zeros(n, np.float32)
         lo = d + br.period1
-        u = np.arange(lo, n) - d
-        sd[lo:] = (box[u - gap] - box[u]) / np.float32(br.period2)
+        sd[lo:] = (box[lo - d - gap : n - d - gap] - box[lo - d : n - d]) / np.float32(
+            br.period2
+        )
         self._sd = sd
 
         env = ctx.cond.envelope

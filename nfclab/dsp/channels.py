@@ -34,8 +34,16 @@ import numpy as np
 
 def box_sum(x: np.ndarray, width: int) -> np.ndarray:
     """B[u] = sum x[max(0, u-width+1) .. u], float32 output computed with a
-    float64 prefix sum (the reference's f32 running integrator drifts by a
-    comparable epsilon; goldens are the accuracy contract)."""
+    float64 running sum (the reference's f32 running integrator drifts by a
+    comparable epsilon; goldens are the accuracy contract).  Native C++
+    single pass when available; numpy prefix-sum fallback."""
+    try:
+        from ..native.binding import box_sum_native, native_available
+
+        if native_available():
+            return box_sum_native(x, width)
+    except Exception:
+        pass
     c = np.cumsum(x.astype(np.float64))
     out = c.copy()
     out[width:] = c[width:] - c[:-width]
@@ -59,6 +67,13 @@ class LazyChannels:
 
     def box_sq(self, p2: int) -> np.ndarray:
         def f():
+            try:
+                from ..native.binding import box_sq_native, native_available
+
+                if native_available():
+                    return box_sq_native(self.cond.filtered, p2)
+            except Exception:
+                pass
             q = self.cond.filtered.astype(np.float32)
             q = q * q * np.float32(10.0)
             return box_sum(q, p2)
@@ -67,6 +82,13 @@ class LazyChannels:
 
     def box_bpsk(self, p1: int, p4: int) -> np.ndarray:
         def f():
+            try:
+                from ..native.binding import box_bpsk_native, native_available
+
+                if native_available():
+                    return box_bpsk_native(self.cond.filtered, p1, p4)
+            except Exception:
+                pass
             fl = self.cond.filtered.astype(np.float32)
             prod = np.zeros_like(fl)
             prod[p1:] = fl[p1:] * fl[:-p1] * np.float32(10.0)
@@ -86,8 +108,8 @@ class LazyChannels:
             n = len(bq)
             out = np.zeros(n, np.float32)
             lo = d + p1
-            u = np.arange(lo, n) - d
-            out[lo:] = bq[u] - bq[u - (p1 - p2)]
+            gap = p1 - p2
+            out[lo:] = bq[lo - d : n - d] - bq[lo - d - gap : n - d - gap]
             return out
 
         return self._get(key, f)
@@ -119,8 +141,8 @@ class LazyChannels:
             n = len(b1q)
             out = np.zeros(n, np.float32)
             lo = d + p0
-            u = np.arange(lo, n) - d
-            out[lo:] = b1q[u - (p0 - p1)] - b1q[u]
+            gap = p0 - p1
+            out[lo:] = b1q[lo - d - gap : n - d - gap] - b1q[lo - d : n - d]
             return out
 
         return self._get(key, f)
@@ -141,9 +163,12 @@ class LazyChannels:
             n = len(box)
             sd = np.zeros(n, np.float32)
             lo = d + p1  # first clock with a fully valid window history
-            u = np.arange(lo, n) - d
-            s0 = box[u] - box[u - (p1 - p2)]
-            s1 = box[u - (p1 - p2)] - box[u - 1]
+            gap = p1 - p2
+            a0 = box[lo - d : n - d]
+            a1 = box[lo - d - gap : n - d - gap]
+            a2 = box[lo - d - 1 : n - d - 1]
+            s0 = a0 - a1
+            s1 = a1 - a2
             sd[lo:] = (s0 - s1) / np.float32(p2)
             return sd
 

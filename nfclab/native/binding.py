@@ -68,6 +68,51 @@ def _load():
             u32p,
         ]
         lib.nfclab_condition_stream.restype = None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.nfclab_detect_span.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            f32p,  # env
+            f32p,  # filt
+            f32p,  # mdepth
+            f32p,  # value
+            ctypes.c_float,  # power_thr
+            ctypes.c_int,  # b_on
+            i32p,
+            f64p,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_int,  # f_on
+            i32p,
+            f64p,
+            ctypes.c_int,
+            f32p,
+            f32p,
+            f32p,
+            f32p,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_int,  # v_on
+            i32p,
+            f64p,
+            f32p,
+            ctypes.c_float,
+            ctypes.c_float,
+        ]
+        lib.nfclab_detect_span.restype = ctypes.c_int64
+        for name in ("nfclab_box_sum", "nfclab_box_sq"):
+            fn = getattr(lib, name)
+            fn.argtypes = [f32p, ctypes.c_int64, ctypes.c_int32, f32p]
+            fn.restype = None
+        lib.nfclab_box_bpsk.argtypes = [
+            f32p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            f32p,
+        ]
+        lib.nfclab_box_bpsk.restype = None
         lib.nfclab_iq_magnitude.argtypes = [
             f32p,
             ctypes.c_int64,
@@ -232,3 +277,29 @@ def condition_exact(value: np.ndarray, params) -> Conditioned:
         etime.ctypes.data_as(u32p),
     )
     return Conditioned(value, env, filt, mdev, avg, mdepth, epeak, etime)
+
+
+def _box_call(name, x, *args):
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(len(x), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    getattr(lib, name)(
+        x.ctypes.data_as(f32p),
+        ctypes.c_int64(len(x)),
+        *[ctypes.c_int32(a) for a in args],
+        out.ctypes.data_as(f32p),
+    )
+    return out
+
+
+def box_sum_native(x, width):
+    return _box_call("nfclab_box_sum", x, width)
+
+
+def box_sq_native(filt, width):
+    return _box_call("nfclab_box_sq", filt, width)
+
+
+def box_bpsk_native(filt, lag, width):
+    return _box_call("nfclab_box_bpsk", filt, lag, width)

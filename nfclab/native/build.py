@@ -16,7 +16,7 @@ from pathlib import Path
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
 
-SOURCES = ["conditioner.cpp", "magnitude.cpp", "sdr_bridge.cpp"]
+SOURCES = ["conditioner.cpp", "magnitude.cpp", "sdr_bridge.cpp", "detect_span.cpp", "channels.cpp"]
 LIB_NAME = "libnfclab_native.so"
 
 

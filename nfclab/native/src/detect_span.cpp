@@ -1,0 +1,417 @@
+// Native dirty-span detect stepper.
+//
+// The host event walker steps NFC-B/F/V per sample while they are
+// mid-SoF-search ("dirty" spans, bounded but frequent under foreign-tech
+// modulation).  This kernel executes those spans natively, reading the same
+// dense arrays the Python FSMs read and mutating the same state (marshaled
+// as flat double arrays).  Exact port of nfclab/demod/{nfcb,nfcf,nfcv}.py
+// detect_step (themselves golden-exact transcriptions of tech/NfcB.cpp:238-432,
+// tech/NfcF.cpp:206-408, tech/NfcV.cpp:236-435).
+//
+// Lock semantics: when any tech would lock at sample t, ALL states are
+// restored to their pre-t snapshot and t is returned — the Python walker
+// then re-executes sample t (applying the lock tail with full frame/context
+// bookkeeping).  Returns -1 when the span completes without a lock.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// modulation state layout (doubles), shared across techs
+enum {
+    M_MODE = 0,
+    M_SEARCH_START,
+    M_SEARCH_END,
+    M_SEARCH_SYNC,
+    M_PULSE_WIDTH,
+    M_VALUE_THR,
+    M_LAST_PHASE,
+    M_LAST_VALUE,
+    M_SYNC_VALUE,
+    M_CORR0,
+    M_SYM_START,
+    M_SYM_END,
+    M_CORR_PEAK_V,
+    M_CORR_PEAK_T,
+    M_DET_PEAK_V,
+    M_DET_PEAK_T,
+    M_FIELDS
+};
+
+// bitrate params layout (int32)
+enum { P_D = 0, P_P0, P_P1, P_P2, P_P4, P_P8, P_PRE1, P_FIELDS };
+
+struct BState {
+    double *st;          // [rates][M_FIELDS]
+    const int32_t *par;  // [rates][P_FIELDS]
+    int rates;
+    float min_deep;
+    float max_deep;
+};
+
+struct FState {
+    double *st;
+    const int32_t *par;
+    const float *sd[2];
+    const float *box[2];
+    int rates;
+    float corr_thr;
+    float max_deep;
+};
+
+struct VState {
+    double *st;  // single struct
+    const int32_t *par;
+    const float *sd;
+    float corr_thr;
+    float min_deep;
+    int32_t pulse_len_2bit;
+    int32_t pulse_len_8bit;
+};
+
+inline void reset_fields(double *m, const int *idx, int count)
+{
+    for (int i = 0; i < count; i++)
+        m[idx[i]] = 0.0;
+}
+
+// ---- NFC-B detect step (demod/nfcb.py detect_step; NfcB.cpp:238-432) ----
+// returns rate index on lock, -1 otherwise
+int step_b(BState &B, int64_t t, const float *env_a, const float *filt,
+           const float *mdepth, float power_thr)
+{
+    const float env = env_a[t];
+    if (t < 1024 || env < power_thr)
+        return -1;
+
+    for (int r = 0; r < B.rates; r++) {
+        double *m = B.st + r * M_FIELDS;
+        const int32_t *p = B.par + r * P_FIELDS;
+        const int64_t d = p[P_D];
+        const int64_t u = t - d;
+        const float signal_edge = filt[u];
+        const float signal_deep = mdepth[u];
+
+        // recover (NfcB.cpp:265-274)
+        if (signal_deep > B.max_deep ||
+            (m[M_DET_PEAK_T] != 0.0 && t > (int64_t)m[M_DET_PEAK_T] + p[P_P1])) {
+            static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_START,
+                                    M_SEARCH_END, M_SEARCH_SYNC,
+                                    M_DET_PEAK_T, M_DET_PEAK_V};
+            reset_fields(m, f, 7);
+        }
+
+        if (m[M_SYM_START] == 0.0) {
+            m[M_VALUE_THR] = env * B.min_deep;
+            const float thr = (float)m[M_VALUE_THR];
+            if (signal_edge < -thr && signal_edge < (float)m[M_DET_PEAK_V]) {
+                m[M_DET_PEAK_V] = signal_edge;
+                m[M_DET_PEAK_T] = (double)t;
+                m[M_SEARCH_END] = (double)(t + p[P_P4]);
+            }
+            if ((double)t != m[M_SEARCH_END])
+                continue;
+            m[M_SYM_START] = m[M_DET_PEAK_T] - p[P_P8];
+            m[M_SEARCH_START] = m[M_SYM_START] + 10.0 * p[P_P1] - p[P_P2];
+            m[M_SEARCH_END] = m[M_SYM_START] + 11.0 * p[P_P1] + p[P_P2];
+            m[M_VALUE_THR] = std::fabs((float)m[M_DET_PEAK_V] * 0.5f);
+            m[M_DET_PEAK_V] = 0.0;
+            m[M_DET_PEAK_T] = 0.0;
+            continue;
+        }
+
+        if (m[M_SYM_END] == 0.0) {
+            const float thr = (float)m[M_VALUE_THR];
+            if ((double)t < m[M_SEARCH_START]) {
+                if (signal_edge > thr) {
+                    static const int f[] = {M_SYM_START, M_SYM_END,
+                                            M_SEARCH_START, M_SEARCH_END,
+                                            M_DET_PEAK_T, M_DET_PEAK_V};
+                    reset_fields(m, f, 6);
+                }
+                continue;
+            }
+            if (signal_edge > thr && signal_edge > (float)m[M_DET_PEAK_V]) {
+                m[M_DET_PEAK_V] = signal_edge;
+                m[M_DET_PEAK_T] = (double)t;
+                m[M_SEARCH_END] = (double)(t + p[P_P4]);
+            }
+            if ((double)t != m[M_SEARCH_END])
+                continue;
+            if (m[M_DET_PEAK_T] == 0.0) {
+                static const int f[] = {M_SYM_START, M_SYM_END,
+                                        M_SEARCH_START, M_SEARCH_END,
+                                        M_DET_PEAK_V};
+                reset_fields(m, f, 5);
+                continue;
+            }
+            m[M_SYM_END] = m[M_DET_PEAK_T];
+            m[M_SEARCH_START] = m[M_DET_PEAK_T] + 2.0 * p[P_P1] - p[P_P2];
+            m[M_SEARCH_END] = m[M_DET_PEAK_T] + 3.0 * p[P_P1] + p[P_P2];
+            m[M_VALUE_THR] = std::fabs((float)m[M_DET_PEAK_V]) / 2;
+            m[M_DET_PEAK_V] = 0.0;
+            m[M_DET_PEAK_T] = 0.0;
+            continue;
+        }
+
+        {
+            const float thr = (float)m[M_VALUE_THR];
+            if ((double)t < m[M_SEARCH_START]) {
+                if (signal_edge < -thr) {
+                    static const int f[] = {M_SYM_START, M_SYM_END,
+                                            M_SEARCH_START, M_SEARCH_END,
+                                            M_DET_PEAK_T, M_DET_PEAK_V};
+                    reset_fields(m, f, 6);
+                }
+                continue;
+            }
+            if (signal_edge < -thr && (float)m[M_DET_PEAK_V] > signal_edge) {
+                m[M_DET_PEAK_V] = signal_edge;
+                m[M_DET_PEAK_T] = (double)t;
+                m[M_SEARCH_END] = (double)(t + p[P_P4]);
+            }
+            if ((double)t != m[M_SEARCH_END])
+                continue;
+            if (m[M_DET_PEAK_T] == 0.0) {
+                static const int f[] = {M_SYM_START, M_SYM_END,
+                                        M_SEARCH_START, M_SEARCH_END,
+                                        M_DET_PEAK_T, M_DET_PEAK_V};
+                reset_fields(m, f, 6);
+                break;  // NfcB.cpp:401 breaks the rate loop
+            }
+            return r;  // SoF complete: lock (tail executed by the caller)
+        }
+    }
+    return -1;
+}
+
+// ---- NFC-F detect step (demod/nfcf.py detect_step; NfcF.cpp:206-408) ----
+// F's correlation reads come from the half-symbol box channel (d = 0):
+//   S0(t) = box[t] - box[t-gap],  S1(t) = box[t-gap] - box[t-1]
+int step_f(FState &F, int64_t t, const float *env_a, const float *mdepth,
+           float power_thr)
+{
+    const float env = env_a[t];
+    if (t < 1024 || env < power_thr)
+        return -1;
+    const float min_corr = env * F.corr_thr;
+
+    for (int r = 0; r < F.rates; r++) {
+        double *m = F.st + r * M_FIELDS;
+        const int32_t *p = F.par + r * P_FIELDS;
+        const float *box = F.box[r];
+        const int64_t gap = p[P_P1] - p[P_P2];
+        const float sd = std::fabs(F.sd[r][t]);
+        const float signal_deep = mdepth[t];
+
+        // recover (NfcF.cpp:260-271)
+        if (signal_deep > F.max_deep ||
+            (m[M_CORR_PEAK_T] != 0.0 &&
+             t > (int64_t)m[M_CORR_PEAK_T] + p[P_P1])) {
+            static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_START,
+                                    M_SEARCH_END, M_SEARCH_SYNC,
+                                    M_DET_PEAK_T, M_DET_PEAK_V,
+                                    M_CORR_PEAK_T, M_CORR_PEAK_V};
+            reset_fields(m, f, 9);
+        }
+
+        if ((double)t < m[M_SEARCH_START])
+            continue;
+
+        if (sd > min_corr && sd > (float)m[M_CORR_PEAK_V]) {
+            m[M_CORR_PEAK_V] = sd;
+            m[M_CORR_PEAK_T] = (double)t;
+            if (m[M_SEARCH_SYNC] == 0.0) {
+                const float s0 = box[t] - box[t - gap];
+                m[M_SYNC_VALUE] = sd;
+                m[M_CORR0] = s0;
+                m[M_SEARCH_END] = (double)(t + p[P_P8]);
+            }
+        }
+
+        if ((double)t == m[M_SEARCH_SYNC]) {
+            const float s0 = box[t] - box[t - gap];
+            m[M_SYNC_VALUE] = sd;
+            m[M_LAST_VALUE] = s0;
+        }
+
+        if ((double)t != m[M_SEARCH_END])
+            continue;
+
+        const double pw = m[M_PULSE_WIDTH];
+        m[M_PULSE_WIDTH] = pw + 1.0;
+        if (pw < 94.0) {
+            if (m[M_CORR_PEAK_T] == 0.0 ||
+                (float)m[M_SYNC_VALUE] < (float)m[M_VALUE_THR]) {
+                static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_SYNC,
+                                        M_SYNC_VALUE, M_SEARCH_START,
+                                        M_SEARCH_END, M_PULSE_WIDTH,
+                                        M_VALUE_THR, M_CORR_PEAK_V,
+                                        M_CORR_PEAK_T};
+                reset_fields(m, f, 10);
+                continue;
+            }
+        }
+
+        if ((float)m[M_SYNC_VALUE] > (float)m[M_VALUE_THR]) {
+            // continue preamble tracking (NfcF.cpp:331-351)
+            if (m[M_SYM_START] == 0.0)
+                m[M_SYM_START] = m[M_CORR_PEAK_T] - p[P_P2];
+            m[M_SYM_END] = m[M_CORR_PEAK_T];
+            m[M_SEARCH_SYNC] = m[M_SYM_END] + p[P_P2];
+            m[M_SEARCH_START] = m[M_SEARCH_SYNC] - p[P_P8];
+            m[M_SEARCH_END] = m[M_SEARCH_SYNC] + p[P_P8];
+            m[M_VALUE_THR] = (float)m[M_CORR_PEAK_V] / 2;
+            m[M_LAST_PHASE] = m[M_LAST_VALUE];
+            m[M_CORR_PEAK_T] = 0.0;
+            m[M_CORR_PEAK_V] = 0.0;
+            continue;
+        }
+
+        // polarity compensation (NfcF.cpp:354-355)
+        if (((float)m[M_LAST_PHASE] < 0 && (float)m[M_CORR0] < 0) ||
+            ((float)m[M_LAST_PHASE] > 0 && (float)m[M_CORR0] > 0))
+            m[M_SYM_START] -= p[P_P2];
+
+        const double plen = m[M_SYM_END] - m[M_SYM_START];
+        if (plen < (double)(p[P_PRE1] - p[P_P4]) ||
+            plen > (double)(p[P_PRE1] + p[P_P4])) {
+            static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_SYNC,
+                                    M_SYNC_VALUE, M_SEARCH_START,
+                                    M_SEARCH_END, M_PULSE_WIDTH, M_VALUE_THR,
+                                    M_CORR_PEAK_V, M_CORR_PEAK_T};
+            reset_fields(m, f, 10);
+            continue;
+        }
+
+        return r;  // preamble complete: lock (tail executed by the caller)
+    }
+    return -1;
+}
+
+// ---- NFC-V detect step (demod/nfcv.py detect_step; NfcV.cpp:236-435) ----
+int step_v(VState &V, int64_t t, const float *env_a, const float *value,
+           const float *mdepth, float power_thr)
+{
+    const float env = env_a[t];
+    if (t < 1024 || env < power_thr)
+        return -1;
+    double *m = V.st;
+    const int32_t *p = V.par;
+    const float min_corr = env * V.corr_thr;
+    const float s0 = V.sd[t];
+    const float signal_deep = mdepth[t - p[P_D] - p[P_P8]];
+
+    if (m[M_CORR_PEAK_T] != 0.0 &&
+        t > (int64_t)m[M_CORR_PEAK_T] + p[P_P0]) {
+        static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_START,
+                                M_SEARCH_END, M_SEARCH_SYNC,
+                                M_DET_PEAK_T, M_DET_PEAK_V,
+                                M_CORR_PEAK_T, M_CORR_PEAK_V};
+        reset_fields(m, f, 9);
+    }
+
+    if ((double)t < m[M_SEARCH_START])
+        return -1;
+
+    if (s0 > min_corr) {
+        if (s0 > (float)m[M_CORR_PEAK_V]) {
+            m[M_CORR_PEAK_V] = s0;
+            m[M_CORR_PEAK_T] = (double)t;
+            m[M_SEARCH_END] = (double)(t + p[P_P4]);
+        }
+        if (signal_deep > (float)m[M_DET_PEAK_V]) {
+            m[M_DET_PEAK_V] = signal_deep;
+            m[M_DET_PEAK_T] = (double)t;
+        }
+    }
+
+    if ((double)t != m[M_SEARCH_END])
+        return -1;
+
+    const float signal_data = value[t - p[P_D]];
+    if (signal_data < min_corr || m[M_CORR_PEAK_T] == 0.0 ||
+        (float)m[M_DET_PEAK_V] < V.min_deep) {
+        static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_START,
+                                M_SEARCH_END, M_CORR_PEAK_T, M_CORR_PEAK_V,
+                                M_DET_PEAK_T, M_DET_PEAK_V};
+        reset_fields(m, f, 8);
+        return -1;
+    }
+
+    if (m[M_SYM_START] == 0.0) {
+        m[M_SYM_START] = m[M_CORR_PEAK_T] - p[P_P2];
+        m[M_SEARCH_START] = m[M_SYM_START] + 2.0 * p[P_P1];
+        m[M_SEARCH_END] = m[M_SYM_START] + 4.0 * p[P_P1];
+        m[M_CORR_PEAK_T] = 0.0;
+        m[M_CORR_PEAK_V] = 0.0;
+        m[M_DET_PEAK_T] = 0.0;
+        m[M_DET_PEAK_V] = 0.0;
+        return -1;
+    }
+
+    return 200;  // second pulse: code discrimination + lock tail in Python
+}
+
+} // namespace
+
+extern "C" {
+
+// Steps samples [t0, t1) for the enabled dirty techs (B before F before V —
+// the walker's tech order).  On any "interesting" outcome (lock or a sample
+// the native port defers), restores all states to the pre-sample snapshot
+// and returns that sample's clock; returns -1 when the span completes.
+int64_t nfclab_detect_span(
+    int64_t t0, int64_t t1,
+    const float *env, const float *filt, const float *mdepth,
+    const float *value, float power_thr,
+    int b_on, const int32_t *b_par, double *b_st, int b_rates,
+    float b_min_deep, float b_max_deep,
+    int f_on, const int32_t *f_par, double *f_st, int f_rates,
+    const float *f_sd0, const float *f_sd1,
+    const float *f_box0, const float *f_box1,
+    float f_corr_thr, float f_max_deep,
+    int v_on, const int32_t *v_par, double *v_st, const float *v_sd,
+    float v_corr_thr, float v_min_deep)
+{
+    BState B {b_st, b_par, b_rates, b_min_deep, b_max_deep};
+    FState F {f_st, f_par, {f_sd0, f_sd1}, {f_box0, f_box1}, f_rates,
+              f_corr_thr, f_max_deep};
+    VState V {v_st, v_par, v_sd, v_corr_thr, v_min_deep, 0, 0};
+
+    double snap_b[2 * M_FIELDS];
+    double snap_f[2 * M_FIELDS];
+    double snap_v[M_FIELDS];
+
+    for (int64_t t = t0; t < t1; t++) {
+        if (b_on)
+            std::memcpy(snap_b, b_st, sizeof(double) * b_rates * M_FIELDS);
+        if (f_on)
+            std::memcpy(snap_f, f_st, sizeof(double) * f_rates * M_FIELDS);
+        if (v_on)
+            std::memcpy(snap_v, v_st, sizeof(double) * M_FIELDS);
+
+        int hit = -1;
+        if (b_on && step_b(B, t, env, filt, mdepth, power_thr) >= 0)
+            hit = 0;
+        if (hit < 0 && f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
+            hit = 1;
+        if (hit < 0 && v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
+            hit = 2;
+
+        if (hit >= 0) {
+            if (b_on)
+                std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
+            if (f_on)
+                std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
+            if (v_on)
+                std::memcpy(v_st, snap_v, sizeof(double) * M_FIELDS);
+            return t;
+        }
+    }
+    return -1;
+}
+
+} // extern "C"

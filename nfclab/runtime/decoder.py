@@ -59,6 +59,7 @@ class CarrierDetector:
         self.carrier_off_time = 0
         # last time carrierEdgeTime was consumed+cleared by an event
         self._edge_cleared_at = 0
+        self._ni_cache = None
         self.bind(ctx)
 
     def bind(self, ctx: DecoderContext):
@@ -70,8 +71,19 @@ class CarrierDetector:
         self._below = ctx.cond.average < np.float32(p.signal_low_threshold)
         self._above_idx = np.flatnonzero(self._above)
         self._below_idx = np.flatnonzero(self._below)
+        self._ni_cache = None
 
     def next_interesting(self, t: int) -> int | None:
+        c = self._ni_cache
+        state = (self.carrier_on_time, self.carrier_off_time)
+        if c is not None and c[0] == state and c[1] <= t:
+            if c[2] is None or c[2] >= t:
+                return c[2]
+        val = self._next_interesting_compute(t)
+        self._ni_cache = (state, t, val)
+        return val
+
+    def _next_interesting_compute(self, t: int) -> int | None:
         cands = []
         if not self.carrier_on_time:
             i = np.searchsorted(self._above_idx, t)
@@ -272,6 +284,15 @@ def walk(ctx, carrier, techs, t: int) -> int:
             # fine-step only the dirty techs through (t, tn); clean techs
             # provably have no state changes in this span
             u = t
+            if u < tn and all(
+                type(te).__name__ in ("NfcBTech", "NfcFTech", "NfcVTech")
+                for te in dirty
+            ):
+                # native span stepper: returns either tn (span done) or the
+                # first sample needing Python handling (which re-executes it)
+                from .native_walk import run_native_span
+
+                u = run_native_span(ctx, dirty, u, tn)
             while u < tn and locked is None:
                 for te in techs:
                     if id(te) in dirty_ids and te.detect_step(u):

@@ -1,0 +1,175 @@
+"""Native dirty-span execution: bridges the Python walker to the C++
+detect-span stepper (native/src/detect_span.cpp).
+
+Marshals each dirty tech's per-rate ModulationStatus into a flat double
+array, runs the span natively, and unmarshals.  On an "interesting" sample
+(lock or deferred action) the native side restores the pre-sample snapshot
+and the walker re-executes that sample in Python — so the native path can
+never diverge from the pure-Python semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..core import nfc
+
+# modulation field order (matches detect_span.cpp M_* enum)
+_FIELDS = (
+    "search_mode_state",
+    "search_start_time",
+    "search_end_time",
+    "search_sync_time",
+    "search_pulse_width",
+    "search_value_threshold",
+    "search_last_phase",
+    "search_last_value",
+    "search_sync_value",
+    "search_corr_0",
+    "symbol_start_time",
+    "symbol_end_time",
+    "correlated_peak_value",
+    "correlated_peak_time",
+    "detector_peak_value",
+    "detector_peak_time",
+)
+_INT_FIELDS = {
+    "search_mode_state",
+    "search_start_time",
+    "search_end_time",
+    "search_sync_time",
+    "search_pulse_width",
+    "symbol_start_time",
+    "symbol_end_time",
+    "correlated_peak_time",
+    "detector_peak_time",
+}
+_NF = len(_FIELDS)
+
+_F32P = None
+_F64P = None
+_I32P = None
+
+
+def _ptr_f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ptr_f64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _ptr_i32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _pack(mods) -> np.ndarray:
+    out = np.zeros((len(mods), _NF), np.float64)
+    for i, m in enumerate(mods):
+        for j, f in enumerate(_FIELDS):
+            out[i, j] = float(getattr(m, f))
+    return out
+
+
+def _unpack(arr: np.ndarray, mods):
+    for i, m in enumerate(mods):
+        for j, f in enumerate(_FIELDS):
+            v = arr[i, j]
+            if f in _INT_FIELDS:
+                setattr(m, f, int(v))
+            else:
+                setattr(m, f, np.float32(v))
+
+
+def _params(bitrates, with_pre1: bool = False) -> np.ndarray:
+    out = np.zeros((len(bitrates), 7), np.int32)
+    for i, br in enumerate(bitrates):
+        out[i] = (
+            br.symbol_delay_detect,
+            br.period0,
+            br.period1,
+            br.period2,
+            br.period4,
+            br.period8,
+            getattr(br, "preamble1", 0) if with_pre1 else 0,
+        )
+    return out
+
+
+_EMPTY_F32 = np.zeros(1, np.float32)
+_EMPTY_F64 = np.zeros(1, np.float64)
+_EMPTY_I32 = np.zeros(1, np.int32)
+
+
+def run_native_span(ctx, dirty, t0: int, t1: int) -> int:
+    """Step dirty techs natively over [t0, t1); returns the clock to resume
+    Python stepping from (t1 when the span completed cleanly)."""
+    from ..native.binding import _load
+
+    lib = _load()
+    if lib is None:
+        return t0
+
+    by_name = {type(te).__name__: te for te in dirty}
+    b = by_name.get("NfcBTech")
+    f = by_name.get("NfcFTech")
+    v = by_name.get("NfcVTech")
+
+    cond = ctx.cond
+
+    if b is not None:
+        b_mods = b.mod[: nfc.R212K + 1]
+        b_par = _params(b.bitrates[: nfc.R212K + 1])
+        b_st = _pack(b_mods)
+    if f is not None:
+        f_par = _params(f.bitrates, with_pre1=True)
+        f_st = _pack(f.mod)
+        f_sd = f._sd
+        f_box = [ctx.channels.box_value(br.period2) for br in f.bitrates]
+    if v is not None:
+        v_par = _params([v.bitrate])
+        v_st = _pack([v.mod])
+        v_sd = v._sd
+
+    res = lib.nfclab_detect_span(
+        ctypes.c_int64(t0),
+        ctypes.c_int64(t1),
+        _ptr_f32(cond.envelope),
+        _ptr_f32(cond.filtered),
+        _ptr_f32(cond.mod_depth),
+        _ptr_f32(cond.value),
+        ctypes.c_float(float(ctx.power_level_threshold)),
+        ctypes.c_int(1 if b is not None else 0),
+        _ptr_i32(b_par if b is not None else _EMPTY_I32),
+        _ptr_f64(b_st if b is not None else _EMPTY_F64),
+        ctypes.c_int(len(b_mods) if b is not None else 0),
+        ctypes.c_float(float(b.minimum_modulation_deep) if b is not None else 0.0),
+        ctypes.c_float(float(b.maximum_modulation_deep) if b is not None else 0.0),
+        ctypes.c_int(1 if f is not None else 0),
+        _ptr_i32(f_par if f is not None else _EMPTY_I32),
+        _ptr_f64(f_st if f is not None else _EMPTY_F64),
+        ctypes.c_int(len(f.mod) if f is not None else 0),
+        _ptr_f32(f_sd[0] if f is not None else _EMPTY_F32),
+        _ptr_f32(f_sd[1] if f is not None and len(f_sd) > 1 else _EMPTY_F32),
+        _ptr_f32(f_box[0] if f is not None else _EMPTY_F32),
+        _ptr_f32(f_box[1] if f is not None and len(f_box) > 1 else _EMPTY_F32),
+        ctypes.c_float(float(f.correlation_threshold) if f is not None else 0.0),
+        ctypes.c_float(float(f.maximum_modulation_deep) if f is not None else 0.0),
+        ctypes.c_int(1 if v is not None else 0),
+        _ptr_i32(v_par if v is not None else _EMPTY_I32),
+        _ptr_f64(v_st if v is not None else _EMPTY_F64),
+        _ptr_f32(v_sd if v is not None else _EMPTY_F32),
+        ctypes.c_float(float(v.correlation_threshold) if v is not None else 0.0),
+        ctypes.c_float(float(v.minimum_modulation_deep) if v is not None else 0.0),
+    )
+
+    if b is not None:
+        _unpack(b_st, b_mods)
+    if f is not None:
+        _unpack(f_st, f.mod)
+    if v is not None:
+        _unpack(v_st, [v.mod])
+
+    return int(res) if res >= 0 else t1
