@@ -101,6 +101,19 @@ def _load():
             ctypes.c_float,
         ]
         lib.nfclab_detect_span.restype = ctypes.c_int64
+        lib.nfclab_detect_all.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            f32p, f32p, f32p, f32p, f32p, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, i32p, f64p, f32p, f32p, f32p,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, i32p, f64p, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, i32p, f64p, ctypes.c_int,
+            f32p, f32p, f32p, f32p, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, i32p, f64p, f32p, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.nfclab_detect_all.restype = ctypes.c_int64
         for name in ("nfclab_box_sum", "nfclab_box_sq"):
             fn = getattr(lib, name)
             fn.argtypes = [f32p, ctypes.c_int64, ctypes.c_int32, f32p]

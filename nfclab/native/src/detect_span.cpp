@@ -355,9 +355,187 @@ int step_v(VState &V, int64_t t, const float *env_a, const float *value,
     return 200;  // second pulse: code discrimination + lock tail in Python
 }
 
+// ---- NFC-A detect step (demod/nfca.py detect_step; NfcA.cpp:217-411) ----
+struct AState {
+    double *st;          // [3][M_FIELDS]
+    const int32_t *par;  // [3][P_FIELDS]
+    const float *sd[3];
+    float corr_thr;
+    float min_deep;
+};
+
+int step_a(AState &A, int64_t t, const float *env_a, const float *mdepth,
+           float power_thr)
+{
+    const float env = env_a[t];
+    if (t < 1024 || env < power_thr)
+        return -1;
+    const float min_corr = env * A.corr_thr;
+
+    for (int r = 0; r < 3; r++) {
+        double *m = A.st + r * M_FIELDS;
+        const int32_t *p = A.par + r * P_FIELDS;
+        const float sd = A.sd[r][t];
+
+        // recover (NfcA.cpp:268-279)
+        if (m[M_CORR_PEAK_T] != 0.0 &&
+            t > (int64_t)m[M_CORR_PEAK_T] + p[P_P1]) {
+            static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_START,
+                                    M_SEARCH_END, M_SEARCH_SYNC,
+                                    M_DET_PEAK_T, M_DET_PEAK_V,
+                                    M_CORR_PEAK_T, M_CORR_PEAK_V};
+            reset_fields(m, f, 9);
+        }
+
+        if ((double)t < m[M_SEARCH_START])
+            continue;
+
+        if (m[M_SYM_START] == 0.0) {
+            const float deep = mdepth[t - p[P_D] - p[P_P8]];
+            if (sd < -min_corr) {
+                if (sd < (float)m[M_CORR_PEAK_V]) {
+                    m[M_CORR_PEAK_V] = sd;
+                    m[M_CORR_PEAK_T] = (double)t;
+                    m[M_SEARCH_END] = (double)(t + p[P_P4]);
+                }
+                if (deep > (float)m[M_DET_PEAK_V]) {
+                    m[M_DET_PEAK_V] = deep;
+                    m[M_DET_PEAK_T] = (double)t;
+                }
+            }
+        } else {
+            if (sd > min_corr && sd > (float)m[M_CORR_PEAK_V]) {
+                m[M_CORR_PEAK_V] = sd;
+                m[M_CORR_PEAK_T] = (double)t;
+            }
+        }
+
+        if ((double)t != m[M_SEARCH_END])
+            continue;
+
+        if (m[M_SYM_START] == 0.0) {
+            if ((float)m[M_DET_PEAK_V] < A.min_deep) {
+                static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_SYNC,
+                                        M_SEARCH_START, M_SEARCH_END,
+                                        M_PULSE_WIDTH, M_CORR_PEAK_T,
+                                        M_CORR_PEAK_V, M_DET_PEAK_T,
+                                        M_DET_PEAK_V};
+                reset_fields(m, f, 10);
+                continue;
+            }
+            m[M_SEARCH_SYNC] = m[M_CORR_PEAK_T] + p[P_P2];
+            m[M_SEARCH_START] = m[M_SEARCH_SYNC] - p[P_P8];
+            m[M_SEARCH_END] = m[M_SEARCH_SYNC] + p[P_P8];
+            m[M_SYM_START] = m[M_CORR_PEAK_T] - p[P_P2];
+            m[M_CORR_PEAK_T] = 0.0;
+            m[M_CORR_PEAK_V] = 0.0;
+            continue;
+        }
+
+        // pulse measured (NfcA.cpp:352-378): reset applied natively, the
+        // lock path deferred to the caller (snapshot restore + re-execute)
+        const double sym_end = m[M_CORR_PEAK_T];
+        const double width = sym_end - m[M_SYM_START];
+        const double min_w = (double)(p[P_P1] - p[P_P4]);
+        const double max_w = (double)(p[P_P1] + p[P_P4]);
+        if (m[M_CORR_PEAK_T] == 0.0 || (float)m[M_DET_PEAK_V] < A.min_deep ||
+            width < min_w || width > max_w) {
+            m[M_SYM_END] = sym_end;
+            m[M_PULSE_WIDTH] = width;
+            static const int f[] = {M_SYM_START, M_SYM_END, M_SEARCH_SYNC,
+                                    M_SEARCH_START, M_SEARCH_END,
+                                    M_PULSE_WIDTH, M_CORR_PEAK_T,
+                                    M_CORR_PEAK_V, M_DET_PEAK_T,
+                                    M_DET_PEAK_V};
+            reset_fields(m, f, 10);
+            continue;
+        }
+        return r;  // modulation lock: defer to Python
+    }
+    return -1;
+}
+
 } // namespace
 
 extern "C" {
+
+// Full native detect walk: carrier crossings + all four techs per sample.
+// Stops (with snapshot restore) at any sample needing Python handling:
+// carrier crossing events, tech locks.  Returns that clock, or -1 at t1.
+int64_t nfclab_detect_all(
+    int64_t t0, int64_t t1,
+    const float *env, const float *filt, const float *mdepth,
+    const float *value, const float *avg, float power_thr,
+    // carrier
+    int carrier_on_time, int carrier_off_time, float low_thr, float high_thr,
+    // A
+    int a_on, const int32_t *a_par, double *a_st,
+    const float *a_sd0, const float *a_sd1, const float *a_sd2,
+    float a_corr_thr, float a_min_deep,
+    // B
+    int b_on, const int32_t *b_par, double *b_st, int b_rates,
+    float b_min_deep, float b_max_deep,
+    // F
+    int f_on, const int32_t *f_par, double *f_st, int f_rates,
+    const float *f_sd0, const float *f_sd1,
+    const float *f_box0, const float *f_box1,
+    float f_corr_thr, float f_max_deep,
+    // V
+    int v_on, const int32_t *v_par, double *v_st, const float *v_sd,
+    float v_corr_thr, float v_min_deep)
+{
+    AState A {a_st, a_par, {a_sd0, a_sd1, a_sd2}, a_corr_thr, a_min_deep};
+    BState B {b_st, b_par, b_rates, b_min_deep, b_max_deep};
+    FState F {f_st, f_par, {f_sd0, f_sd1}, {f_box0, f_box1}, f_rates,
+              f_corr_thr, f_max_deep};
+    VState V {v_st, v_par, v_sd, v_corr_thr, v_min_deep, 0, 0};
+
+    double snap_a[3 * M_FIELDS];
+    double snap_b[2 * M_FIELDS];
+    double snap_f[2 * M_FIELDS];
+    double snap_v[M_FIELDS];
+
+    for (int64_t t = t0; t < t1; t++) {
+        // carrier hysteresis crossing (NfcDecoder.cpp:472-523): rare; the
+        // event itself (frame emit + state flip) runs in Python
+        const float a = avg[t];
+        if ((carrier_on_time == 0 && a > high_thr) ||
+            (carrier_off_time == 0 && a < low_thr))
+            return t;
+
+        if (a_on)
+            std::memcpy(snap_a, a_st, sizeof(snap_a));
+        if (b_on)
+            std::memcpy(snap_b, b_st, sizeof(double) * b_rates * M_FIELDS);
+        if (f_on)
+            std::memcpy(snap_f, f_st, sizeof(double) * f_rates * M_FIELDS);
+        if (v_on)
+            std::memcpy(snap_v, v_st, sizeof(snap_v));
+
+        int hit = -1;
+        if (a_on && step_a(A, t, env, mdepth, power_thr) >= 0)
+            hit = 0;
+        if (hit < 0 && b_on && step_b(B, t, env, filt, mdepth, power_thr) >= 0)
+            hit = 1;
+        if (hit < 0 && f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
+            hit = 2;
+        if (hit < 0 && v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
+            hit = 3;
+
+        if (hit >= 0) {
+            if (a_on)
+                std::memcpy(a_st, snap_a, sizeof(snap_a));
+            if (b_on)
+                std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
+            if (f_on)
+                std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
+            if (v_on)
+                std::memcpy(v_st, snap_v, sizeof(snap_v));
+            return t;
+        }
+    }
+    return -1;
+}
 
 // Steps samples [t0, t1) for the enabled dirty techs (B before F before V —
 // the walker's tech order).  On any "interesting" outcome (lock or a sample

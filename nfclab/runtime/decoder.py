@@ -247,14 +247,50 @@ class NfcDecoder:
         )
 
 
+def _native_detect_available(techs) -> bool:
+    try:
+        from ..native.binding import native_available
+
+        if not native_available():
+            return False
+    except Exception:
+        return False
+    return all(
+        type(te).__name__ in ("NfcATech", "NfcBTech", "NfcFTech", "NfcVTech")
+        for te in techs
+    )
+
+
 def walk(ctx, carrier, techs, t: int) -> int:
     """Run the main decode loop (NfcDecoder.cpp:374-467 structure) from
     clock t until the stream is exhausted of events; returns the clock to
     resume from when more samples arrive (streaming)."""
     n = ctx.n
+    use_native = _native_detect_available(techs)
     while t < n:
         if ctx.modulation is not None:
             t = ctx.locked_tech.decode_run(t - 1) + 1
+            continue
+
+        if use_native:
+            # full native detect walk: stops at carrier crossings / locks,
+            # which are then re-executed exactly in Python
+            from .native_walk import run_native_detect_all
+
+            u = run_native_detect_all(ctx, carrier, techs, t, n)
+            if u >= n:
+                t = n
+                break
+            carrier.step(u)
+            locked = None
+            for te in techs:
+                if te.detect_step(u):
+                    locked = te
+                    break
+            if locked is not None:
+                t = locked.decode_run(u) + 1
+            else:
+                t = u + 1
             continue
 
         # techs in bounded mid-search phases must be stepped per sample;

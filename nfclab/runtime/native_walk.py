@@ -103,6 +103,101 @@ _EMPTY_F64 = np.zeros(1, np.float64)
 _EMPTY_I32 = np.zeros(1, np.int32)
 
 
+def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
+    """Step carrier + every enabled tech natively over [t0, t1); returns the
+    first sample needing Python handling (carrier crossing or tech lock,
+    re-executed by the caller) or t1 when the stream is exhausted."""
+    from ..native.binding import _load
+
+    lib = _load()
+    if lib is None:
+        return t0
+
+    by_name = {type(te).__name__: te for te in techs}
+    a = by_name.get("NfcATech")
+    b = by_name.get("NfcBTech")
+    f = by_name.get("NfcFTech")
+    v = by_name.get("NfcVTech")
+    cond = ctx.cond
+
+    if a is not None:
+        a_par = _params(a.bitrates)
+        a_st = _pack(a.mod)
+        a_sd = a._sd
+    if b is not None:
+        b_mods = b.mod[: nfc.R212K + 1]
+        b_par = _params(b.bitrates[: nfc.R212K + 1])
+        b_st = _pack(b_mods)
+    if f is not None:
+        f_par = _params(f.bitrates, with_pre1=True)
+        f_st = _pack(f.mod)
+        f_sd = f._sd
+        f_box = [ctx.channels.box_value(br.period2) for br in f.bitrates]
+    if v is not None:
+        v_par = _params([v.bitrate])
+        v_st = _pack([v.mod])
+
+    res = lib.nfclab_detect_all(
+        ctypes.c_int64(t0),
+        ctypes.c_int64(t1),
+        _ptr_f32(cond.envelope),
+        _ptr_f32(cond.filtered),
+        _ptr_f32(cond.mod_depth),
+        _ptr_f32(cond.value),
+        _ptr_f32(cond.average),
+        ctypes.c_float(float(ctx.power_level_threshold)),
+        ctypes.c_int(int(carrier.carrier_on_time)),
+        ctypes.c_int(int(carrier.carrier_off_time)),
+        ctypes.c_float(float(ctx.params.signal_low_threshold)),
+        ctypes.c_float(float(ctx.params.signal_high_threshold)),
+        ctypes.c_int(1 if a is not None else 0),
+        _ptr_i32(a_par if a is not None else _EMPTY_I32),
+        _ptr_f64(a_st if a is not None else _EMPTY_F64),
+        _ptr_f32(a_sd[0] if a is not None else _EMPTY_F32),
+        _ptr_f32(a_sd[1] if a is not None else _EMPTY_F32),
+        _ptr_f32(a_sd[2] if a is not None else _EMPTY_F32),
+        ctypes.c_float(float(a.correlation_threshold) if a is not None else 0.0),
+        ctypes.c_float(
+            float(a.minimum_modulation_deep) if a is not None else 0.0
+        ),
+        ctypes.c_int(1 if b is not None else 0),
+        _ptr_i32(b_par if b is not None else _EMPTY_I32),
+        _ptr_f64(b_st if b is not None else _EMPTY_F64),
+        ctypes.c_int(len(b_mods) if b is not None else 0),
+        ctypes.c_float(float(b.minimum_modulation_deep) if b is not None else 0.0),
+        ctypes.c_float(float(b.maximum_modulation_deep) if b is not None else 0.0),
+        ctypes.c_int(1 if f is not None else 0),
+        _ptr_i32(f_par if f is not None else _EMPTY_I32),
+        _ptr_f64(f_st if f is not None else _EMPTY_F64),
+        ctypes.c_int(len(f.mod) if f is not None else 0),
+        _ptr_f32(f_sd[0] if f is not None else _EMPTY_F32),
+        _ptr_f32(f_sd[1] if f is not None and len(f_sd) > 1 else _EMPTY_F32),
+        _ptr_f32(f_box[0] if f is not None else _EMPTY_F32),
+        _ptr_f32(f_box[1] if f is not None and len(f_box) > 1 else _EMPTY_F32),
+        ctypes.c_float(float(f.correlation_threshold) if f is not None else 0.0),
+        ctypes.c_float(float(f.maximum_modulation_deep) if f is not None else 0.0),
+        ctypes.c_int(1 if v is not None else 0),
+        _ptr_i32(v_par if v is not None else _EMPTY_I32),
+        _ptr_f64(v_st if v is not None else _EMPTY_F64),
+        _ptr_f32(v._sd if v is not None else _EMPTY_F32),
+        ctypes.c_float(float(v.correlation_threshold) if v is not None else 0.0),
+        ctypes.c_float(float(v.minimum_modulation_deep) if v is not None else 0.0),
+    )
+
+    if a is not None:
+        _unpack(a_st, a.mod)
+        a._version += 1
+        a._ni_cache = None
+    if b is not None:
+        _unpack(b_st, b_mods)
+    if f is not None:
+        _unpack(f_st, f.mod)
+    if v is not None:
+        _unpack(v_st, [v.mod])
+
+    return int(res) if res >= 0 else t1
+
+
 def run_native_span(ctx, dirty, t0: int, t1: int) -> int:
     """Step dirty techs natively over [t0, t1); returns the clock to resume
     Python stepping from (t1 when the span completed cleanly)."""
