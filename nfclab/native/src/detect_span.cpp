@@ -17,31 +17,9 @@
 #include <cstdint>
 #include <cstring>
 
+#include "fsm_common.h"
+
 namespace {
-
-// modulation state layout (doubles), shared across techs
-enum {
-    M_MODE = 0,
-    M_SEARCH_START,
-    M_SEARCH_END,
-    M_SEARCH_SYNC,
-    M_PULSE_WIDTH,
-    M_VALUE_THR,
-    M_LAST_PHASE,
-    M_LAST_VALUE,
-    M_SYNC_VALUE,
-    M_CORR0,
-    M_SYM_START,
-    M_SYM_END,
-    M_CORR_PEAK_V,
-    M_CORR_PEAK_T,
-    M_DET_PEAK_V,
-    M_DET_PEAK_T,
-    M_FIELDS
-};
-
-// bitrate params layout (int32)
-enum { P_D = 0, P_P0, P_P1, P_P2, P_P4, P_P8, P_PRE1, P_FIELDS };
 
 struct BState {
     double *st;          // [rates][M_FIELDS]

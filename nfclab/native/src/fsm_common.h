@@ -1,0 +1,87 @@
+// Shared state layouts for the native FSM kernels.
+//
+// Modulation state is marshaled from Python ModulationStatus objects as a
+// flat double array; stream (bit-assembly) state as a small int64 array plus
+// a byte buffer.  Layouts must match nfclab/runtime/native_walk.py.
+
+#ifndef NFCLAB_FSM_COMMON_H
+#define NFCLAB_FSM_COMMON_H
+
+#include <cstdint>
+
+// modulation state (doubles)
+enum {
+    M_MODE = 0,
+    M_SEARCH_START,
+    M_SEARCH_END,
+    M_SEARCH_SYNC,
+    M_PULSE_WIDTH,
+    M_VALUE_THR,
+    M_LAST_PHASE,
+    M_LAST_VALUE,
+    M_SYNC_VALUE,
+    M_CORR0,
+    M_SYM_START,
+    M_SYM_END,
+    M_CORR_PEAK_V,
+    M_CORR_PEAK_T,
+    M_DET_PEAK_V,
+    M_DET_PEAK_T,
+    M_FIELDS
+};
+
+// bitrate params (int32)
+enum { P_D = 0, P_P0, P_P1, P_P2, P_P4, P_P8, P_PRE1, P_FIELDS };
+
+// symbol result (doubles; written by symbol decoders for the Python side)
+enum {
+    S_PATTERN = 0,
+    S_VALUE,
+    S_START,
+    S_END,
+    S_EDGE,
+    S_FIELDS
+};
+
+// stream (bit assembly) state (int64)
+enum {
+    ST_PREVIOUS = 0,
+    ST_PATTERN,
+    ST_BITS,
+    ST_SKIP,
+    ST_DATA,
+    ST_FLAGS,
+    ST_PARITY,
+    ST_BYTES,
+    ST_FIELDS
+};
+
+// frame-level result codes
+enum {
+    R_END_OF_SIGNAL = 0,  // ran out of samples; state preserved
+    R_FRAME = 1,          // frame completed; bytes in stream buffer
+    R_RESET = 2,          // resetModulation (unlock) — caller applies
+    R_FRAME_SEARCH = 3,   // resetFrameSearch (retry SoF) — caller applies
+    R_NO_PATTERN = 4,     // listen-start timeout/abort (NoPattern)
+    R_SOF = 5,            // listen SoF found; caller sets frame start
+};
+
+// frame flags (must match core/frame.py FrameFlags)
+enum {
+    FLAG_SHORT = 0x01,
+    FLAG_ENCRYPTED = 0x02,
+    FLAG_TRUNCATED = 0x08,
+    FLAG_PARITY_ERROR = 0x10,
+    FLAG_CRC_ERROR = 0x20,
+    FLAG_SYNC_ERROR = 0x40,
+};
+
+inline bool fsm_check_parity(uint64_t value, uint64_t parity)
+{
+    for (int i = 0; i < 8; i++)
+        if (value & (1u << i))
+            parity ^= 1;
+    return parity != 0;
+}
+
+#endif
