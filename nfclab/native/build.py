@@ -16,7 +16,15 @@ from pathlib import Path
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
 
-SOURCES = ["conditioner.cpp", "magnitude.cpp", "sdr_bridge.cpp", "detect_span.cpp", "channels.cpp"]
+SOURCES = [
+    "conditioner.cpp",
+    "magnitude.cpp",
+    "sdr_bridge.cpp",
+    "detect_span.cpp",
+    "channels.cpp",
+    "decode_v.cpp",
+]
+HEADERS = ["fsm_common.h"]
 LIB_NAME = "libnfclab_native.so"
 
 
@@ -29,7 +37,8 @@ def build(force: bool = False) -> Path:
     out = lib_path()
     srcs = [_SRC_DIR / s for s in SOURCES]
     if not force and out.exists():
-        newest_src = max(s.stat().st_mtime for s in srcs)
+        deps = srcs + [_SRC_DIR / h for h in HEADERS]
+        newest_src = max(s.stat().st_mtime for s in deps)
         if out.stat().st_mtime >= newest_src:
             return out
     _BUILD_DIR.mkdir(exist_ok=True)

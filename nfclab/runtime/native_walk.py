@@ -65,6 +65,14 @@ def _ptr_i32(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def _ptr_i64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _ptr_u8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def _pack(mods) -> np.ndarray:
     out = np.zeros((len(mods), _NF), np.float64)
     for i, m in enumerate(mods):
@@ -96,6 +104,71 @@ def _params(bitrates, with_pre1: bool = False) -> np.ndarray:
             getattr(br, "preamble1", 0) if with_pre1 else 0,
         )
     return out
+
+
+# ----------------------------------------------------------- decode marshals
+# (symbol/stream layouts match fsm_common.h S_* / ST_* enums)
+
+_SYM_FIELDS = ("pattern", "value", "start", "end", "edge")
+_STREAM_FIELDS = (
+    "previous",
+    "pattern",
+    "bits",
+    "skip",
+    "data",
+    "flags",
+    "parity",
+    "bytes",
+)
+
+# frame-level result codes (fsm_common.h R_*)
+R_END_OF_SIGNAL = 0
+R_FRAME = 1
+R_RESET = 2
+R_FRAME_SEARCH = 3
+R_NO_PATTERN = 4
+R_SOF = 5
+
+STREAM_CAP = 4096
+
+
+def pack_symbol(sym) -> np.ndarray:
+    return np.array([float(getattr(sym, f)) for f in _SYM_FIELDS], np.float64)
+
+
+def unpack_symbol(arr: np.ndarray, sym):
+    sym.pattern = int(arr[0])
+    sym.value = int(arr[1])
+    sym.start = int(arr[2])
+    sym.end = int(arr[3])
+    sym.edge = int(arr[4])
+    sym.length = sym.end - sym.start
+
+
+def pack_stream(stream):
+    st = np.array([int(getattr(stream, f)) for f in _STREAM_FIELDS], np.int64)
+    buf = np.zeros(STREAM_CAP, np.uint8)
+    if stream.bytes:
+        buf[: stream.bytes] = np.frombuffer(
+            bytes(stream.buffer[: stream.bytes]), np.uint8
+        )
+    return st, buf
+
+
+def unpack_stream(st: np.ndarray, buf: np.ndarray, stream):
+    for i, f in enumerate(_STREAM_FIELDS):
+        setattr(stream, f, int(st[i]))
+    stream.buffer = bytearray(buf[: stream.bytes].tobytes())
+
+
+def native_decode_lib():
+    """The loaded native library if it exports the decode-phase loops."""
+    from ..native.binding import _load
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "nfclab_v_poll_frame"):
+        return None
+    return lib
 
 
 _EMPTY_F32 = np.zeros(1, np.float32)
