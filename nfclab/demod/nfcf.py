@@ -307,16 +307,103 @@ class NfcFTech:
     # ------------------------------------------------------------ decode entry
 
     def decode_run(self, t: int) -> int:
+        from ..runtime.native_walk import native_decode_lib
+
+        lib = native_decode_lib()
         ctx = self.ctx
         while ctx.modulation is not None and t + 1 < ctx.n:
             if self.frame.frame_type == int(FrameType.NfcPollFrame):
-                t = self.decode_poll_frame(t)
+                t = (
+                    self._frame_native(lib, t, listen=False)
+                    if lib is not None
+                    else self.decode_poll_frame(t)
+                )
                 if ctx.modulation is None or t + 1 >= ctx.n:
                     break
             if self.frame.frame_type == int(FrameType.NfcListenFrame):
-                t = self.decode_listen_frame(t)
+                t = (
+                    self._frame_native(lib, t, listen=True)
+                    if lib is not None
+                    else self.decode_listen_frame(t)
+                )
             elif self.frame.frame_type != int(FrameType.NfcPollFrame):
                 break
+        return t
+
+    def _frame_native(self, lib, t: int, listen: bool) -> int:
+        """Native poll/listen frame loop (decode_f.cpp nfclab_f_frame)."""
+        import ctypes
+
+        from ..runtime import native_walk as nw
+
+        ctx = self.ctx
+        br = ctx.bitrate
+        mod = ctx.modulation
+        st_mod = nw._pack([mod])
+        sym = nw.pack_symbol(self.symbol)
+        st, buf = nw.pack_stream(self.stream)
+        aux = np.zeros(4, np.int64)
+        t_io = np.array([t], np.int64)
+        par = nw._params([br], with_pre1=True)
+        sd_arr = self._sd[br.rate_type - nfc.R212K]
+        box = ctx.channels.box_value(br.period2)
+
+        code = lib.nfclab_f_frame(
+            nw._ptr_f32(sd_arr),
+            nw._ptr_f32(box),
+            nw._ptr_f32(ctx.cond.deviation),
+            ctypes.c_int64(ctx.n),
+            nw._ptr_i32(par),
+            nw._ptr_f64(st_mod),
+            nw._ptr_f64(sym),
+            ctypes.c_int32(1 if listen else 0),
+            ctypes.c_int32(1 if self.frame.frame_start else 0),
+            ctypes.c_int64(self.frame.guard_end),
+            ctypes.c_int64(self.frame.waiting_end),
+            ctypes.c_int64(self.max_frame_size),
+            nw._ptr_i64(t_io),
+            nw._ptr_i64(st),
+            nw._ptr_u8(buf),
+            nw._ptr_i64(aux),
+        )
+
+        nw._unpack(st_mod, [mod])
+        nw.unpack_symbol(sym, self.symbol)
+        nw.unpack_stream(st, buf, self.stream)
+        t = int(t_io[0])
+        if listen and aux[3]:
+            self.frame.frame_start = int(aux[2])
+
+        if code == nw.R_FRAME:
+            frame_type = int(
+                FrameType.NfcListenFrame if listen else FrameType.NfcPollFrame
+            )
+            frame = self._finish_frame(frame_type, bool(aux[0]))
+            if frame is not None:
+                self.process(frame)
+                ctx.frames.append(frame)
+                if listen:
+                    self.reset_modulation()
+                else:
+                    self.stream.reset()
+                    m = ctx.modulation
+                    if m is not None:
+                        m.symbol_start_time = 0
+                        m.symbol_end_time = 0
+                        m.search_mode_state = 0
+                        m.search_sync_time = 0
+                        m.search_start_time = 0
+                        m.search_end_time = 0
+                        m.search_pulse_width = 0
+                        m.search_last_value = 0.0
+                        m.search_last_phase = 0.0
+                        m.search_value_threshold = 0.0
+                        m.search_phase_threshold = 0.0
+                        m.correlated_peak_value = 0.0
+            else:
+                self.reset_modulation()
+        elif code == nw.R_NO_PATTERN:
+            self.reset_modulation()
         return t
 
     # ---------------------------------------------------------------- framing

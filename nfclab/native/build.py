@@ -23,6 +23,7 @@ SOURCES = [
     "detect_span.cpp",
     "channels.cpp",
     "decode_v.cpp",
+    "decode_f.cpp",
 ]
 HEADERS = ["fsm_common.h"]
 LIB_NAME = "libnfclab_native.so"
