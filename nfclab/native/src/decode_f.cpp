@@ -5,10 +5,6 @@
 // (themselves golden-exact transcriptions of tech/NfcF.cpp:428-1042).
 // Frame build (_finish_frame: sync check, short-stream reject) and the
 // protocol layer stay in Python.
-//
-// Slot notes: search_corr_1 is carried in the M_DET_PEAK_V slot (not part
-// of the 16-field marshal layout; NFC-F's decode phase never touches the
-// detector peak, so the slot is free and round-trips consistently).
 
 #include <cmath>
 #include <cstdint>
@@ -89,7 +85,7 @@ int f_symbol_ask(FDecode &D, int64_t &t)
             float s0, s1;
             f_corr(D, t, s0, s1);
             m[M_CORR0] = s0;
-            m[M_DET_PEAK_V] = s1;  // search_corr_1
+            m[M_CORR1] = s1;
         }
 
         if ((double)t != m[M_SEARCH_END])
@@ -112,7 +108,7 @@ int f_symbol_ask(FDecode &D, int64_t &t)
 
         const int mode = (int)m[M_MODE];
         const float c0 = (float)m[M_CORR0];
-        const float c1 = (float)m[M_DET_PEAK_V];
+        const float c1 = (float)m[M_CORR1];
         if ((mode == F_OBSERVED && c0 > c1) ||
             (mode == F_REVERSED && c0 < c1)) {
             D.sym[S_VALUE] = 0;

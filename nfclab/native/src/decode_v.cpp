@@ -7,10 +7,6 @@
 // in Python; modulation + symbol + stream state is marshaled once per
 // frame-level call (layouts in fsm_common.h / runtime/native_walk.py).
 //
-// Note: search_corr_1 is carried in the M_LAST_VALUE slot (the marshal
-// layout has 16 fields; NFC-V listen uses corr0/corr1 but never
-// last_value, so the slot is free and round-trips consistently).
-
 #include <cmath>
 #include <cstdint>
 
@@ -212,7 +208,7 @@ int listen_start_ask(VDecode &D, int64_t &t)
         m[M_SEARCH_END] = m[M_SEARCH_SYNC] + p[P_P4];
         m[M_VALUE_THR] = (double)(float)(m[M_CORR_PEAK_V] * 0.25);
         m[M_CORR0] = 0.0;
-        m[M_LAST_VALUE] = 0.0;  // search_corr_1
+        m[M_CORR1] = 0.0;
         m[M_CORR_PEAK_T] = 0.0;
         m[M_CORR_PEAK_V] = 0.0;
 
@@ -244,7 +240,7 @@ int listen_symbol_ask(VDecode &D, int64_t &t)
         if (sd_val > (float)m[M_VALUE_THR] &&
             sd_val > (float)m[M_CORR_PEAK_V]) {
             m[M_CORR0] = s0;
-            m[M_LAST_VALUE] = -s0;  // search_corr_1
+            m[M_CORR1] = -s0;
             m[M_CORR_PEAK_V] = sd_val;
             m[M_SYM_END] = (double)t;
         }
@@ -264,7 +260,7 @@ int listen_symbol_ask(VDecode &D, int64_t &t)
         m[M_CORR_PEAK_T] = 0.0;
         m[M_CORR_PEAK_V] = 0.0;
 
-        const int value = ((float)m[M_CORR0] > (float)m[M_LAST_VALUE]) ? 0 : 1;
+        const int value = ((float)m[M_CORR0] > (float)m[M_CORR1]) ? 0 : 1;
         D.sym[S_VALUE] = (double)value;
         D.sym[S_START] = m[M_SYM_START] - d;
         D.sym[S_END] = m[M_SYM_END] - d;

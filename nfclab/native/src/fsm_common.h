@@ -27,6 +27,10 @@ enum {
     M_CORR_PEAK_T,
     M_DET_PEAK_V,
     M_DET_PEAK_T,
+    M_CORR_D,
+    M_CORR1,
+    M_RISE_TIME,
+    M_PHASE_THR,
     M_FIELDS
 };
 

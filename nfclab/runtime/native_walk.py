@@ -34,8 +34,13 @@ _FIELDS = (
     "correlated_peak_time",
     "detector_peak_value",
     "detector_peak_time",
+    "search_corr_d",
+    "search_corr_1",
+    "symbol_rise_time",
+    "search_phase_threshold",
 )
 _INT_FIELDS = {
+    "symbol_rise_time",
     "search_mode_state",
     "search_start_time",
     "search_end_time",
