@@ -333,16 +333,201 @@ class NfcATech:
         """Run the locked-tech decode loop from last-processed clock `t`;
         returns the last processed clock (NfcDecoder.cpp:420-440 dispatch +
         NfcA.cpp:416-427 decodeFrame)."""
+        from ..runtime.native_walk import native_decode_lib
+
+        lib = native_decode_lib()
         ctx = self.ctx
         while ctx.modulation is not None and t + 1 < ctx.n:
             if self.frame.frame_type == int(FrameType.NfcPollFrame):
-                t = self.decode_poll_frame(t)
+                t = (
+                    self._poll_frame_native(lib, t)
+                    if lib is not None
+                    else self.decode_poll_frame(t)
+                )
                 if ctx.modulation is None or t + 1 >= ctx.n:
                     break
             if self.frame.frame_type == int(FrameType.NfcListenFrame):
-                t = self.decode_listen_frame(t)
+                t = (
+                    self._listen_frame_native(lib, t)
+                    if lib is not None
+                    else self.decode_listen_frame(t)
+                )
             elif self.frame.frame_type != int(FrameType.NfcPollFrame):
                 break
+        return t
+
+    # ------------------------------------------------------------- native path
+
+    def _clear_poll_modulation(self):
+        """Partial modulation clear after a completed poll frame
+        (NfcA.cpp:491-511; keeps the lock for the listen phase)."""
+        mod = self.ctx.modulation
+        if mod is not None:
+            mod.symbol_start_time = 0
+            mod.symbol_end_time = 0
+            mod.search_mode_state = 0
+            mod.search_sync_time = 0
+            mod.search_start_time = 0
+            mod.search_end_time = 0
+            mod.search_pulse_width = 0
+            mod.search_last_value = 0.0
+            mod.search_last_phase = 0.0
+            mod.search_value_threshold = 0.0
+            mod.search_phase_threshold = 0.0
+            mod.correlated_peak_value = 0.0
+
+    def _poll_frame_native(self, lib, t: int) -> int:
+        """Native decode_poll_frame (decode_a.cpp nfclab_a_poll_frame)."""
+        import ctypes
+
+        from ..runtime import native_walk as nw
+
+        ctx = self.ctx
+        br = ctx.bitrate
+        mod = ctx.modulation
+        st_mod = nw._pack([mod])
+        sym = nw.pack_symbol(self.symbol)
+        st, buf = nw.pack_stream(self.stream)
+        aux = np.zeros(4, np.int64)
+        aux[1] = self.frame.frame_end
+        t_io = np.array([t], np.int64)
+        par = nw._params([br])
+        box = ctx.channels.box_value(br.period2)
+
+        code = lib.nfclab_a_poll_frame(
+            nw._ptr_f32(box),
+            ctypes.c_int64(ctx.n),
+            nw._ptr_i32(par),
+            nw._ptr_f64(st_mod),
+            nw._ptr_f64(sym),
+            ctypes.c_int64(self.max_frame_size),
+            nw._ptr_i64(t_io),
+            nw._ptr_i64(st),
+            nw._ptr_u8(buf),
+            nw._ptr_i64(aux),
+        )
+
+        nw._unpack(st_mod, [mod])
+        nw.unpack_symbol(sym, self.symbol)
+        nw.unpack_stream(st, buf, self.stream)
+        t = int(t_io[0])
+        self.frame.frame_end = int(aux[1])
+        stream = self.stream
+
+        if code == nw.R_FRAME:
+            request = Frame(
+                tech_type=int(FrameTech.NfcATech),
+                frame_type=int(FrameType.NfcPollFrame),
+                frame_rate=self.frame.symbol_rate,
+                data=bytes(stream.buffer[: stream.bytes]),
+                sample_start=self.frame.frame_start,
+                sample_end=self.frame.frame_end,
+                sample_rate=ctx.sample_rate,
+            )
+            request.time_start = self.frame.frame_start / ctx.sample_rate
+            request.time_end = self.frame.frame_end / ctx.sample_rate
+            request.date_time = ctx.stream_time + request.time_start
+            if stream.flags & FrameFlags.ParityError:
+                request.set_flags(FrameFlags.ParityError)
+            if aux[0]:
+                request.set_flags(FrameFlags.Truncated)
+            if stream.bytes == 1 and stream.bits == 7:
+                request.set_flags(FrameFlags.ShortFrame)
+            self.process(request)
+            ctx.frames.append(request)
+            stream.reset()
+            self._clear_poll_modulation()
+        elif code == nw.R_RESET:
+            self.reset_modulation()
+        return t
+
+    def _listen_frame_native(self, lib, t: int) -> int:
+        """Native decode_listen_frame (decode_a.cpp ASK/BPSK frame loops)."""
+        import ctypes
+
+        from ..runtime import native_walk as nw
+
+        ctx = self.ctx
+        br = ctx.bitrate
+        mod = ctx.modulation
+        st_mod = nw._pack([mod])
+        sym = nw.pack_symbol(self.symbol)
+        st, buf = nw.pack_stream(self.stream)
+        aux = np.zeros(4, np.int64)
+        aux[1] = self.frame.frame_end
+        t_io = np.array([t], np.int64)
+        par = nw._params([br])
+        have_start = 1 if self.frame.frame_start else 0
+
+        if br.rate_type == nfc.R106K:
+            s0q = ctx.channels.corr_s0_dense(br)
+            bq = ctx.channels.box_sq(br.period2)
+            code = lib.nfclab_a_listen_ask_frame(
+                nw._ptr_f32(s0q),
+                nw._ptr_f32(bq),
+                nw._ptr_f32(ctx.cond.mod_depth),
+                nw._ptr_f32(ctx.cond.deviation),
+                ctypes.c_int64(ctx.n),
+                nw._ptr_i32(par),
+                nw._ptr_f64(st_mod),
+                nw._ptr_f64(sym),
+                ctypes.c_int64(self.frame.guard_end),
+                ctypes.c_int64(self.frame.waiting_end),
+                ctypes.c_float(float(self.minimum_modulation_deep)),
+                ctypes.c_int64(self.max_frame_size),
+                ctypes.c_int32(have_start),
+                nw._ptr_i64(t_io),
+                nw._ptr_i64(st),
+                nw._ptr_u8(buf),
+                nw._ptr_i64(aux),
+            )
+            bpsk = False
+        else:
+            pb4 = ctx.channels.bpsk_dense(br)
+            c_io = np.array([float(self._bpsk_c)], np.float64)
+            code = lib.nfclab_a_listen_bpsk_frame(
+                nw._ptr_f32(pb4),
+                nw._ptr_f32(ctx.cond.mod_depth),
+                nw._ptr_f32(ctx.cond.deviation),
+                ctypes.c_int64(ctx.n),
+                nw._ptr_i32(par),
+                nw._ptr_f64(st_mod),
+                nw._ptr_f64(sym),
+                ctypes.c_int64(self.frame.guard_end),
+                ctypes.c_int64(self.frame.waiting_end),
+                ctypes.c_float(float(self.minimum_modulation_deep)),
+                ctypes.c_int32(ctx.params.elementary_time_unit),
+                ctypes.c_int64(self.max_frame_size),
+                ctypes.c_int32(have_start),
+                nw._ptr_f64(c_io),
+                nw._ptr_i64(t_io),
+                nw._ptr_i64(st),
+                nw._ptr_u8(buf),
+                nw._ptr_i64(aux),
+            )
+            self._bpsk_c = F(c_io[0])
+            bpsk = True
+
+        nw._unpack(st_mod, [mod])
+        nw.unpack_symbol(sym, self.symbol)
+        nw.unpack_stream(st, buf, self.stream)
+        t = int(t_io[0])
+        self.frame.frame_end = int(aux[1])
+        if aux[3]:
+            self.frame.frame_start = int(aux[2])
+        stream = self.stream
+
+        if code == nw.R_FRAME:
+            response = self._build_listen_frame(stream, bool(aux[0]))
+            if not bpsk and stream.bytes == 1 and stream.bits == 4:
+                response.set_flags(FrameFlags.ShortFrame)
+            self.process(response)
+            ctx.frames.append(response)
+            self.reset_modulation()
+        elif code == nw.R_FRAME_SEARCH:
+            self.reset_frame_search()
+        elif code in (nw.R_RESET, nw.R_NO_PATTERN):
+            self.reset_modulation()
         return t
 
     # -------------------------------------------------------------- poll frame

@@ -24,6 +24,7 @@ SOURCES = [
     "channels.cpp",
     "decode_v.cpp",
     "decode_f.cpp",
+    "decode_a.cpp",
 ]
 HEADERS = ["fsm_common.h"]
 LIB_NAME = "libnfclab_native.so"
