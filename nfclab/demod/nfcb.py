@@ -322,16 +322,179 @@ class NfcBTech:
     # ------------------------------------------------------------ decode entry
 
     def decode_run(self, t: int) -> int:
+        from ..runtime.native_walk import native_decode_lib
+
+        lib = native_decode_lib()
         ctx = self.ctx
         while ctx.modulation is not None and t + 1 < ctx.n:
             if self.frame.frame_type == int(FrameType.NfcPollFrame):
-                t = self.decode_poll_frame(t)
+                t = (
+                    self._poll_frame_native(lib, t)
+                    if lib is not None
+                    else self.decode_poll_frame(t)
+                )
                 if ctx.modulation is None or t + 1 >= ctx.n:
                     break
             if self.frame.frame_type == int(FrameType.NfcListenFrame):
-                t = self.decode_listen_frame(t)
+                t = (
+                    self._listen_frame_native(lib, t)
+                    if lib is not None
+                    else self.decode_listen_frame(t)
+                )
             elif self.frame.frame_type != int(FrameType.NfcPollFrame):
                 break
+        return t
+
+    # ------------------------------------------------------------- native path
+
+    def _clear_poll_modulation(self):
+        """Partial modulation clear after a completed poll frame
+        (NfcB.cpp:540-556; keeps the lock for the listen phase)."""
+        mod = self.ctx.modulation
+        if mod is not None:
+            mod.symbol_start_time = 0
+            mod.symbol_end_time = 0
+            mod.search_mode_state = 0
+            mod.search_sync_time = 0
+            mod.search_start_time = 0
+            mod.search_end_time = 0
+            mod.search_pulse_width = 0
+            mod.search_last_value = 0.0
+            mod.search_last_phase = 0.0
+            mod.search_value_threshold = 0.0
+            mod.search_phase_threshold = 0.0
+            mod.correlated_peak_value = 0.0
+
+    def _emit_frame(self, frame_type: int, truncated: bool):
+        """Build + process a completed frame from native stream state."""
+        ctx = self.ctx
+        stream = self.stream
+        frame = Frame(
+            tech_type=int(FrameTech.NfcBTech),
+            frame_type=frame_type,
+            frame_rate=ctx.bitrate.symbols_per_second,
+            data=bytes(stream.buffer[: stream.bytes]),
+            sample_start=self.frame.frame_start,
+            sample_end=self.frame.frame_end,
+            sample_rate=ctx.sample_rate,
+        )
+        frame.time_start = self.frame.frame_start / ctx.sample_rate
+        frame.time_end = self.frame.frame_end / ctx.sample_rate
+        frame.date_time = ctx.stream_time + frame.time_start
+        if truncated:
+            frame.set_flags(FrameFlags.Truncated)
+        self.process(frame)
+        ctx.frames.append(frame)
+
+    def _poll_frame_native(self, lib, t: int) -> int:
+        """Native decode_poll_frame (decode_b.cpp nfclab_b_poll_frame)."""
+        import ctypes
+
+        from ..runtime import native_walk as nw
+
+        ctx = self.ctx
+        br = ctx.bitrate
+        mod = ctx.modulation
+        st_mod = nw._pack([mod])
+        sym = nw.pack_symbol(self.symbol)
+        st, buf = nw.pack_stream(self.stream)
+        aux = np.zeros(4, np.int64)
+        t_io = np.array([t], np.int64)
+        par = nw._params([br])
+
+        code = lib.nfclab_b_poll_frame(
+            nw._ptr_f32(ctx.cond.filtered),
+            nw._ptr_f32(ctx.cond.mod_depth),
+            ctypes.c_int64(ctx.n),
+            nw._ptr_i32(par),
+            nw._ptr_f64(st_mod),
+            nw._ptr_f64(sym),
+            ctypes.c_float(float(self.minimum_modulation_deep)),
+            ctypes.c_int64(self.max_frame_size),
+            nw._ptr_i64(t_io),
+            nw._ptr_i64(st),
+            nw._ptr_u8(buf),
+            nw._ptr_i64(aux),
+        )
+
+        nw._unpack(st_mod, [mod])
+        nw.unpack_symbol(sym, self.symbol)
+        nw.unpack_stream(st, buf, self.stream)
+        t = int(t_io[0])
+
+        if code == nw.R_FRAME:
+            self.frame.frame_end = int(aux[1])
+            self._emit_frame(int(FrameType.NfcPollFrame), bool(aux[0]))
+            self.stream.reset()
+            self._clear_poll_modulation()
+        elif code == nw.R_RESET:
+            self.reset_modulation()
+        return t
+
+    def _listen_frame_native(self, lib, t: int) -> int:
+        """Native decode_listen_frame (decode_b.cpp nfclab_b_listen_frame)."""
+        import ctypes
+
+        from ..runtime import native_walk as nw
+
+        ctx = self.ctx
+        br = ctx.bitrate
+        mod = ctx.modulation
+        st_mod = nw._pack([mod])
+        sym = nw.pack_symbol(self.symbol)
+        st, buf = nw.pack_stream(self.stream)
+        aux = np.zeros(4, np.int64)
+        t_io = np.array([t], np.int64)
+        par = nw._params([br])
+        sos = np.array(
+            [
+                self.tr1_min,
+                self.tr1_max,
+                self.s1_min,
+                self.s1_max,
+                self.s2_min,
+                self.s2_max,
+            ],
+            np.int32,
+        )
+        pb4 = ctx.channels.bpsk_dense(br)
+
+        code = lib.nfclab_b_listen_frame(
+            nw._ptr_f32(pb4),
+            nw._ptr_f32(ctx.cond.mod_depth),
+            nw._ptr_f32(ctx.cond.deviation),
+            ctypes.c_int64(ctx.n),
+            nw._ptr_i32(par),
+            nw._ptr_f64(st_mod),
+            nw._ptr_f64(sym),
+            nw._ptr_i32(sos),
+            ctypes.c_int64(self.frame.guard_end),
+            ctypes.c_int64(self.frame.waiting_end),
+            ctypes.c_float(float(self.maximum_modulation_deep)),
+            ctypes.c_int64(self.max_frame_size),
+            ctypes.c_int32(1 if self.frame.frame_start else 0),
+            nw._ptr_i64(t_io),
+            nw._ptr_i64(st),
+            nw._ptr_u8(buf),
+            nw._ptr_i64(aux),
+        )
+
+        nw._unpack(st_mod, [mod])
+        nw.unpack_symbol(sym, self.symbol)
+        nw.unpack_stream(st, buf, self.stream)
+        t = int(t_io[0])
+        if aux[3]:
+            self.frame.frame_start = int(aux[2])
+
+        if code == nw.R_FRAME:
+            # +352/fc to compensate the undetected EoS (NfcB.cpp:622)
+            self.frame.frame_end = int(aux[1]) + int(
+                self.ctx.params.sample_time_unit * 352
+            )
+            self._emit_frame(int(FrameType.NfcListenFrame), bool(aux[0]))
+            self.reset_modulation()
+        elif code in (nw.R_RESET, nw.R_NO_PATTERN):
+            self.reset_modulation()
         return t
 
     # -------------------------------------------------------------- poll frame

@@ -25,6 +25,7 @@ SOURCES = [
     "decode_v.cpp",
     "decode_f.cpp",
     "decode_a.cpp",
+    "decode_b.cpp",
 ]
 HEADERS = ["fsm_common.h"]
 LIB_NAME = "libnfclab_native.so"
