@@ -112,21 +112,14 @@ class NfcBTech:
         r106k/r212k participate in detection (NfcB.cpp:249).  Safe to call
         again after the conditioned stream grows (state untouched)."""
         ctx = self.ctx
-        env = ctx.cond.envelope
-        filt = ctx.cond.filtered
-        power = env >= ctx.power_level_threshold
-        self._mask_idx = []
-        for br in self.bitrates[: nfc.R212K + 1]:
-            d = br.symbol_delay_detect
-            if d:
-                shifted = np.empty_like(filt)
-                shifted[d:] = filt[: len(filt) - d]
-                shifted[:d] = 0.0
-            else:
-                shifted = filt
-            mask = power & (shifted < -(self.minimum_modulation_deep * env))
-            mask[:BUFFER_SIZE] = False
-            self._mask_idx.append(np.flatnonzero(mask))
+        self._mask_idx = [
+            ctx.channels.edge_idx_b(
+                br.symbol_delay_detect,
+                self.minimum_modulation_deep,
+                ctx.power_level_threshold,
+            )
+            for br in self.bitrates[: nfc.R212K + 1]
+        ]
 
     # ------------------------------------------------------------------ detect
 

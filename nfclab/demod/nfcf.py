@@ -115,16 +115,30 @@ class NfcFTech:
         ctx = self.ctx
         ch = ctx.channels
         env = ctx.cond.envelope
-        power = env >= ctx.power_level_threshold
+        power = None
         self._sd = []
         self._mask_idx = []
         for br in self.bitrates:
             box = ch.box_value(br.period2)
-            sd = ch.detect_sd(box, 0, br.period1, br.period2)
+            got = ch.detect_sd_idx(
+                box,
+                0,
+                br.period1,
+                br.period2,
+                self.correlation_threshold,
+                ctx.power_level_threshold,
+            )
+            if got is not None:
+                sd, idx = got
+            else:
+                sd = ch.detect_sd(box, 0, br.period1, br.period2)
+                if power is None:
+                    power = env >= ctx.power_level_threshold
+                mask = power & (np.abs(sd) > self.correlation_threshold * env)
+                mask[:BUFFER_SIZE] = False
+                idx = np.flatnonzero(mask)
             self._sd.append(sd)
-            mask = power & (np.abs(sd) > self.correlation_threshold * env)
-            mask[:BUFFER_SIZE] = False
-            self._mask_idx.append(np.flatnonzero(mask))
+            self._mask_idx.append(idx)
 
     # ------------------------------------------------------------------ detect
 

@@ -141,8 +141,20 @@ class NfcVTech:
         ctx = self.ctx
         br = self.bitrate
         box = ctx.channels.box_value(br.period2)
-        n = len(box)
         d = br.symbol_delay_detect
+        got = ctx.channels.detect_sd_idx(
+            box,
+            d,
+            br.period1,
+            br.period2,
+            self.correlation_threshold,
+            ctx.power_level_threshold,
+            signed_v=True,
+        )
+        if got is not None:
+            self._sd, self._mask_idx = got
+            return
+        n = len(box)
         gap = br.period1 - br.period2
         sd = np.zeros(n, np.float32)
         lo = d + br.period1

@@ -147,6 +147,85 @@ class LazyChannels:
 
         return self._get(key, f)
 
+    def detect_sd_idx(self, box, d, p1, p2, corr_thr, power_thr, signed_v=False):
+        """Fused native SD channel + threshold-crossing clock indices
+        (channels.cpp one-pass kernels); None when native is unavailable
+        (callers keep their numpy fallback).  signed_v selects the NFC-V
+        formulation (reversed difference, signed threshold)."""
+        try:
+            from ..native.binding import detect_sd_idx_native, native_available
+
+            if not native_available():
+                return None
+        except Exception:
+            return None
+        key = (
+            "sdidx",
+            id(box),
+            d,
+            p1,
+            p2,
+            float(corr_thr),
+            float(power_thr),
+            bool(signed_v),
+        )
+        return self._get(
+            key,
+            lambda: detect_sd_idx_native(
+                box, self.cond.envelope, d, p1, p2, corr_thr, power_thr, signed_v
+            ),
+        )
+
+    def gt_idx(self, x: np.ndarray, thr) -> np.ndarray:
+        """Indices where x > thr (native one-pass; numpy fallback)."""
+        key = ("gtidx", id(x), float(thr))
+
+        def f():
+            try:
+                from ..native.binding import collect_gt_native, native_available
+
+                if native_available():
+                    return collect_gt_native(x, thr)
+            except Exception:
+                pass
+            return np.flatnonzero(x > thr)
+
+        return self._get(key, f)
+
+    def edge_idx_b(self, d: int, min_deep, power_thr) -> np.ndarray:
+        """NFC-B falling-edge trigger indices (NfcB.cpp:283 condition over
+        the d-shifted filtered signal), from clock 1024 on."""
+        key = ("eidxb", d, float(min_deep), float(power_thr))
+
+        def f():
+            try:
+                from ..native.binding import edge_mask_b_native, native_available
+
+                if native_available():
+                    return edge_mask_b_native(
+                        self.cond.filtered,
+                        self.cond.envelope,
+                        d,
+                        min_deep,
+                        power_thr,
+                    )
+            except Exception:
+                pass
+            filt = self.cond.filtered
+            env = self.cond.envelope
+            power = env >= power_thr
+            if d:
+                shifted = np.empty_like(filt)
+                shifted[d:] = filt[: len(filt) - d]
+                shifted[:d] = 0.0
+            else:
+                shifted = filt
+            mask = power & (shifted < -(min_deep * env))
+            mask[:1024] = False  # ring warm-up (BUFFER_SIZE)
+            return np.flatnonzero(mask)
+
+        return self._get(key, f)
+
     def corr_s0_s1(self, box: np.ndarray, t, d: int, p1: int, p2: int):
         """S0, S1 at decoder clock(s) t (scalar or array)."""
         u = np.asarray(t) - d

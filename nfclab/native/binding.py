@@ -139,6 +139,15 @@ def _load():
         lib.nfclab_sdr_driver_name.restype = ctypes.c_char_p
         lib.nfclab_sdr_enumerate.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.nfclab_sdr_enumerate.restype = ctypes.c_int
+        for name in (
+            "nfclab_detect_sd_af",
+            "nfclab_detect_sd_v",
+            "nfclab_edge_mask_b",
+            "nfclab_collect_gt",
+            "nfclab_collect_ge",
+            "nfclab_collect_lt",
+        ):
+            getattr(lib, name).restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -316,3 +325,97 @@ def box_sq_native(filt, width):
 
 def box_bpsk_native(filt, lag, width):
     return _box_call("nfclab_box_bpsk", filt, lag, width)
+
+
+def detect_sd_idx_native(box, env, d, p1, p2, corr_thr, power_thr, signed_v):
+    """Fused dense SD channel + threshold-crossing index collection
+    (one pass; replaces the numpy sd/mask/flatnonzero pipeline).
+    Returns (sd f32[n], idx int32[count])."""
+    lib = _load()
+    n = len(box)
+    sd = np.empty(n, np.float32)
+    idx = np.empty(n, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn = lib.nfclab_detect_sd_v if signed_v else lib.nfclab_detect_sd_af
+    count = fn(
+        box.ctypes.data_as(f32p),
+        env.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_int32(d),
+        ctypes.c_int32(p1),
+        ctypes.c_int32(p2),
+        ctypes.c_float(float(corr_thr)),
+        ctypes.c_float(float(power_thr)),
+        sd.ctypes.data_as(f32p),
+        idx.ctypes.data_as(i32p),
+    )
+    return sd, idx[:count].copy()
+
+
+def edge_mask_b_native(filt, env, d, min_deep, power_thr):
+    """NFC-B falling-edge trigger indices (one pass)."""
+    lib = _load()
+    n = len(filt)
+    idx = np.empty(n, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    count = lib.nfclab_edge_mask_b(
+        filt.ctypes.data_as(f32p),
+        env.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_int32(d),
+        ctypes.c_float(float(min_deep)),
+        ctypes.c_float(float(power_thr)),
+        idx.ctypes.data_as(i32p),
+    )
+    return idx[:count].copy()
+
+
+def _collect_cmp(name, x, thr):
+    lib = _load()
+    n = len(x)
+    idx = np.empty(n, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    count = getattr(lib, name)(
+        x.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_float(float(thr)),
+        idx.ctypes.data_as(i32p),
+    )
+    return idx[:count].copy()
+
+
+def collect_gt_native(x, thr):
+    """Indices where x > thr (full range, one pass)."""
+    return _collect_cmp("nfclab_collect_gt", x, thr)
+
+
+def collect_ge_native(x, thr):
+    """Indices where x >= thr."""
+    return _collect_cmp("nfclab_collect_ge", x, thr)
+
+
+def collect_lt_native(x, thr):
+    """Indices where x < thr."""
+    return _collect_cmp("nfclab_collect_lt", x, thr)
+
+
+def threshold_indices(x, thr, op=">"):
+    """Native threshold index collection with numpy fallback."""
+    if native_available():
+        try:
+            if op == ">":
+                return collect_gt_native(x, thr)
+            if op == ">=":
+                return collect_ge_native(x, thr)
+            if op == "<":
+                return collect_lt_native(x, thr)
+        except Exception:
+            pass
+    if op == ">":
+        return np.flatnonzero(x > thr)
+    if op == ">=":
+        return np.flatnonzero(x >= thr)
+    return np.flatnonzero(x < thr)

@@ -55,4 +55,112 @@ void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
     }
 }
 
+// Fused detect-channel builders: compute the dense SD correlation channel and
+// collect threshold-crossing clock indices in one pass (replaces the numpy
+// sd/mask/flatnonzero pipeline in demod/*.bind_channels, which costs several
+// full-array temporaries).  All comparisons use the same f32 ops as the
+// numpy formulation so the index sets are bit-identical.
+
+// NFC-A / NFC-F detect SD: sd[t] = (S0 - S1)/p2 for t >= d+p1 (zero below),
+// indices where env >= power_thr && |sd| > corr_thr*env, from t >= 1024.
+// Returns the index count.
+int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
+                            int32_t d, int32_t p1, int32_t p2,
+                            float corr_thr, float power_thr,
+                            float *sd_out, int32_t *idx_out)
+{
+    const int64_t lo = (int64_t)d + p1;
+    const int64_t gap = p1 - p2;
+    const float fp2 = (float)p2;
+    int64_t count = 0;
+    for (int64_t t = 0; t < n; t++) {
+        float sd = 0.0f;
+        if (t >= lo) {
+            const int64_t u = t - d;
+            const float a0 = box[u];
+            const float a1 = box[u - gap];
+            const float a2 = box[u - 1];
+            sd = ((a0 - a1) - (a1 - a2)) / fp2;
+        }
+        sd_out[t] = sd;
+        if (t >= 1024 && env[t] >= power_thr &&
+            (sd < 0.0f ? -sd : sd) > corr_thr * env[t])
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
+// NFC-V detect SD: sd[t] = (B(t-d-gap) - B(t-d))/p2 for t >= d+p1,
+// indices where env >= power_thr && sd > corr_thr*env (signed), t >= 1024.
+int64_t nfclab_detect_sd_v(const float *box, const float *env, int64_t n,
+                           int32_t d, int32_t p1, int32_t p2,
+                           float corr_thr, float power_thr,
+                           float *sd_out, int32_t *idx_out)
+{
+    const int64_t lo = (int64_t)d + p1;
+    const int64_t gap = p1 - p2;
+    const float fp2 = (float)p2;
+    int64_t count = 0;
+    for (int64_t t = 0; t < n; t++) {
+        float sd = 0.0f;
+        if (t >= lo) {
+            const int64_t u = t - d;
+            sd = (box[u - gap] - box[u]) / fp2;
+        }
+        sd_out[t] = sd;
+        if (t >= 1024 && env[t] >= power_thr && sd > corr_thr * env[t])
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
+// NFC-B falling-edge trigger mask: indices t >= 1024 where
+// env >= power_thr && filt[t-d] < -(min_deep*env[t]) (zero below t < d).
+int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
+                           int32_t d, float min_deep, float power_thr,
+                           int32_t *idx_out)
+{
+    int64_t count = 0;
+    for (int64_t t = 1024; t < n; t++) {
+        const float shifted = (t >= d) ? filt[t - d] : 0.0f;
+        if (env[t] >= power_thr && shifted < -(min_deep * env[t]))
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
+// Generic threshold collectors: indices where x OP thr (full range).
+int64_t nfclab_collect_gt(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    int64_t count = 0;
+    for (int64_t t = 0; t < n; t++) {
+        if (x[t] > thr)
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
+int64_t nfclab_collect_ge(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    int64_t count = 0;
+    for (int64_t t = 0; t < n; t++) {
+        if (x[t] >= thr)
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
+int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    int64_t count = 0;
+    for (int64_t t = 0; t < n; t++) {
+        if (x[t] < thr)
+            idx_out[count++] = (int32_t)t;
+    }
+    return count;
+}
+
 } // extern "C"

@@ -35,7 +35,11 @@ class DecoderContext:
         self.modulation = None
         self.locked_tech = None
         # precomputed power-ok sample indices for event scheduling
-        self._power_idx = np.flatnonzero(cond.envelope >= self.power_level_threshold)
+        from ..native.binding import threshold_indices
+
+        self._power_idx = threshold_indices(
+            cond.envelope, self.power_level_threshold, ">="
+        )
 
     def next_power_ok(self, t: int) -> int | None:
         idx = self._power_idx
@@ -65,12 +69,14 @@ class CarrierDetector:
     def bind(self, ctx: DecoderContext):
         """(Re)compute crossing masks from the current context; FSM state is
         untouched (streaming rebind)."""
+        from ..native.binding import threshold_indices
+
         self.ctx = ctx
         p = ctx.params
-        self._above = ctx.cond.average > np.float32(p.signal_high_threshold)
-        self._below = ctx.cond.average < np.float32(p.signal_low_threshold)
-        self._above_idx = np.flatnonzero(self._above)
-        self._below_idx = np.flatnonzero(self._below)
+        self._high_thr = np.float32(p.signal_high_threshold)
+        self._low_thr = np.float32(p.signal_low_threshold)
+        self._above_idx = threshold_indices(ctx.cond.average, self._high_thr, ">")
+        self._below_idx = threshold_indices(ctx.cond.average, self._low_thr, "<")
         self._ni_cache = None
 
     def next_interesting(self, t: int) -> int | None:
@@ -105,13 +111,13 @@ class CarrierDetector:
 
     def step(self, t: int):
         ctx = self.ctx
-        if self._above[t]:
+        if ctx.cond.average[t] > self._high_thr:
             if not self.carrier_on_time:
                 self.carrier_on_time = self._edge_or_clock(t)
                 self._emit(t, FrameType.NfcCarrierOn, self.carrier_on_time)
                 self.carrier_off_time = 0
                 self._edge_cleared_at = t
-        elif self._below[t]:
+        elif ctx.cond.average[t] < self._low_thr:
             if not self.carrier_off_time:
                 self.carrier_off_time = self._edge_or_clock(t)
                 self._emit(t, FrameType.NfcCarrierOff, self.carrier_off_time)

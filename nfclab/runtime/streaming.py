@@ -117,8 +117,10 @@ class StreamingNfcDecoder:
             from ..dsp.channels import LazyChannels
 
             ctx.channels = LazyChannels(full)
-            ctx._power_idx = np.flatnonzero(
-                full.envelope >= ctx.power_level_threshold
+            from ..native.binding import threshold_indices
+
+            ctx._power_idx = threshold_indices(
+                full.envelope, ctx.power_level_threshold, ">="
             )
             self._carrier.bind(ctx)
             for tech in self._techs:
