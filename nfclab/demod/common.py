@@ -127,6 +127,31 @@ def next_true(mask: np.ndarray, t: int, t_end: int) -> int | None:
     return None
 
 
+_F = np.float32
+
+
+def sd_af(box, t: int, d: int, p1: int, p2: int):
+    """On-the-fly detect SD read (A/F formulation) from the box channel —
+    bit-identical to the dense array the FSMs previously indexed (zero below
+    the first clock with full window history)."""
+    if t < d + p1:
+        return _F(0.0)
+    u = t - d
+    gap = p1 - p2
+    a0 = box[u]
+    a1 = box[u - gap]
+    a2 = box[u - 1]
+    return ((a0 - a1) - (a1 - a2)) / _F(p2)
+
+
+def sd_v(box, t: int, d: int, p1: int, p2: int):
+    """On-the-fly NFC-V detect SD read (reversed difference)."""
+    if t < d + p1:
+        return _F(0.0)
+    u = t - d
+    return (box[u - (p1 - p2)] - box[u]) / _F(p2)
+
+
 def check_parity(value: int, parity: int) -> bool:
     """Odd-parity check (NfcA.cpp:1994-2005): returns the xor-accumulated
     parity, truthy when the stored parity bit is consistent."""

@@ -32,6 +32,7 @@ from .common import (
     SymbolStatus,
     check_parity,
     next_true,
+    sd_af,
 )
 
 F = np.float32
@@ -75,7 +76,7 @@ class NfcATech:
         self._version = 0  # bumped on any detect-state mutation (scheduler cache)
         self._ni_cache = None
         # dense channels
-        self._sd = []  # signed detect SD per rate
+        self._box = []  # box_value(p2) per rate (SD read on the fly)
         self._mask_idx = []  # sorted clock indices where |SD| may cross threshold
         self._deep_idx = None  # clocks where modDepth > minimumModulationDeep
 
@@ -119,21 +120,18 @@ class NfcATech:
         ch = ctx.channels
         env = ctx.cond.envelope
         power = None
-        self._sd = []
+        self._box = []
         self._mask_idx = []
         for br in self.bitrates:
             box = ch.box_value(br.period2)
-            got = ch.detect_sd_idx(
-                box,
+            idx = ch.detect_idx(
                 br.symbol_delay_detect,
                 br.period1,
                 br.period2,
                 self.correlation_threshold,
                 ctx.power_level_threshold,
             )
-            if got is not None:
-                sd, idx = got
-            else:
+            if idx is None:
                 sd = ch.detect_sd(
                     box, br.symbol_delay_detect, br.period1, br.period2
                 )
@@ -142,7 +140,7 @@ class NfcATech:
                 mask = power & (np.abs(sd) > self.correlation_threshold * env)
                 mask[:BUFFER_SIZE] = False
                 idx = np.flatnonzero(mask)
-            self._sd.append(sd)
+            self._box.append(box)
             self._mask_idx.append(idx)
         self._deep_idx = ch.gt_idx(
             ctx.cond.mod_depth, self.minimum_modulation_deep
@@ -195,7 +193,9 @@ class NfcATech:
         min_corr = F(env * self.correlation_threshold)
 
         for r, (br, mod) in enumerate(zip(self.bitrates, self.mod)):
-            sd = self._sd[r][t]
+            sd = sd_af(
+                self._box[r], t, br.symbol_delay_detect, br.period1, br.period2
+            )
 
             # recover status from previous partial search (NfcA.cpp:268-279)
             if mod.correlated_peak_time and t > mod.correlated_peak_time + br.period1:

@@ -19,6 +19,7 @@ from ..core.params import BUFFER_SIZE as RING, BitrateParams
 from ..protocol.crc import check_crc_nfcf
 from .common import (
     BUFFER_SIZE,
+    sd_af,
     FrameStatus,
     ModulationStatus,
     StreamStatus,
@@ -83,7 +84,7 @@ class NfcFTech:
         self.chained_flags = 0
         self.last_frame_end = 0
         self.max_frame_size = 256
-        self._sd = []
+        self._box = []
         self._mask_idx = []
 
     def initialize(self):
@@ -116,28 +117,25 @@ class NfcFTech:
         ch = ctx.channels
         env = ctx.cond.envelope
         power = None
-        self._sd = []
+        self._box = []
         self._mask_idx = []
         for br in self.bitrates:
             box = ch.box_value(br.period2)
-            got = ch.detect_sd_idx(
-                box,
+            idx = ch.detect_idx(
                 0,
                 br.period1,
                 br.period2,
                 self.correlation_threshold,
                 ctx.power_level_threshold,
             )
-            if got is not None:
-                sd, idx = got
-            else:
+            if idx is None:
                 sd = ch.detect_sd(box, 0, br.period1, br.period2)
                 if power is None:
                     power = env >= ctx.power_level_threshold
                 mask = power & (np.abs(sd) > self.correlation_threshold * env)
                 mask[:BUFFER_SIZE] = False
                 idx = np.flatnonzero(mask)
-            self._sd.append(sd)
+            self._box.append(box)
             self._mask_idx.append(idx)
 
     # ------------------------------------------------------------------ detect
@@ -182,7 +180,7 @@ class NfcFTech:
         mdepth = ctx.cond.mod_depth
 
         for r, (br, mod) in enumerate(zip(self.bitrates, self.mod)):
-            sd = abs(self._sd[r][t])
+            sd = abs(sd_af(self._box[r], t, 0, br.period1, br.period2))
             signal_deep = mdepth[t]
 
             # recover on deep overflow or stale peak (NfcF.cpp:260-271)
@@ -359,11 +357,9 @@ class NfcFTech:
         aux = np.zeros(4, np.int64)
         t_io = np.array([t], np.int64)
         par = nw._params([br], with_pre1=True)
-        sd_arr = self._sd[br.rate_type - nfc.R212K]
         box = ctx.channels.box_value(br.period2)
 
         code = lib.nfclab_f_frame(
-            nw._ptr_f32(sd_arr),
             nw._ptr_f32(box),
             nw._ptr_f32(ctx.cond.deviation),
             ctypes.c_int64(ctx.n),
@@ -547,7 +543,6 @@ class NfcFTech:
         mod = ctx.modulation
         p1, p2, p4 = br.period1, br.period2, br.period4
         box = ctx.channels.box_value(p2)
-        sd_arr = self._sd[br.rate_type - nfc.R212K]
         n = ctx.n
         while t + 1 < n:
             t += 1
@@ -555,7 +550,7 @@ class NfcFTech:
                 t = mod.search_start_time - 1
                 continue
 
-            sd = abs(sd_arr[t])
+            sd = abs(sd_af(box, t, 0, p1, p2))
 
             if sd > mod.search_value_threshold and sd > mod.correlated_peak_value:
                 mod.correlated_peak_value = sd
@@ -608,7 +603,7 @@ class NfcFTech:
         mod = ctx.modulation
         p2, p4, p8 = br.period2, br.period4, br.period8
         box = ctx.channels.box_value(p2)
-        sd_arr = self._sd[br.rate_type - nfc.R212K]
+        p1 = br.period1
         n = ctx.n
         guard_end = self.frame.guard_end
         waiting_end = self.frame.waiting_end
@@ -627,7 +622,7 @@ class NfcFTech:
             if t < mod.search_start_time:
                 continue
 
-            sd = abs(sd_arr[t])
+            sd = abs(sd_af(box, t, 0, p1, p2))
 
             if sd >= mod.search_value_threshold:
                 if sd > mod.correlated_peak_value:
@@ -641,7 +636,9 @@ class NfcFTech:
             elif not mod.search_sync_time and mod.correlated_peak_time == 0:
                 # idle: skip to next candidate above threshold or timeout
                 limit = min(n, waiting_end + 2)
-                nt = self._next_above(sd_arr, t + 1, limit, mod.search_value_threshold)
+                nt = self._next_above(
+                    box, t + 1, limit, mod.search_value_threshold, p1, p2
+                )
                 t = (nt if nt is not None else limit) - 1
                 continue
 
@@ -709,12 +706,19 @@ class NfcFTech:
         return Invalid, t
 
     @staticmethod
-    def _next_above(sd_arr, t, limit, thr):
-        """First clock with |SD| >= thr (matches the fine loop's f32 ops)."""
+    def _next_above(box, t, limit, thr, p1, p2):
+        """First clock with |SD| >= thr; SD computed from the box channel
+        chunk-wise with the same f32 op order as the per-sample read."""
+        gap = p1 - p2
+        fp2 = F(p2)
+        t = max(t, p1)
         chunk = 2048
         while t < limit:
             hi = min(t + chunk, limit)
-            seg = np.abs(sd_arr[t:hi]) >= thr
+            a0 = box[t:hi]
+            a1 = box[t - gap : hi - gap]
+            a2 = box[t - 1 : hi - 1]
+            seg = np.abs(((a0 - a1) - (a1 - a2)) / fp2) >= thr
             nz = np.argmax(seg)
             if seg[nz]:
                 return t + int(nz)

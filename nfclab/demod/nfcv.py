@@ -22,6 +22,7 @@ from ..core.params import BUFFER_SIZE as RING, BitrateParams
 from ..protocol.crc import check_crc_nfcv
 from .common import (
     BUFFER_SIZE,
+    sd_v,
     FrameStatus,
     ModulationStatus,
     StreamStatus,
@@ -101,7 +102,7 @@ class NfcVTech:
         self.sof_s1_max = 0
         self.sof_s2_min = 0
         self.sof_s2_max = 0
-        self._sd = None
+        self._box = None
         self._mask_idx = None
 
     def initialize(self):
@@ -137,13 +138,14 @@ class NfcVTech:
         self.bind_channels()
 
     def bind_channels(self):
-        """Dense detect channel: S0(t) = (B2v(t-d-(p1-p2)) - B2v(t-d)) / p2."""
+        """Detect channel: S0(t) = (B2v(t-d-(p1-p2)) - B2v(t-d)) / p2, read on
+        the fly from the box channel (demod.common.sd_v)."""
         ctx = self.ctx
         br = self.bitrate
         box = ctx.channels.box_value(br.period2)
         d = br.symbol_delay_detect
-        got = ctx.channels.detect_sd_idx(
-            box,
+        self._box = box
+        idx = ctx.channels.detect_idx(
             d,
             br.period1,
             br.period2,
@@ -151,8 +153,8 @@ class NfcVTech:
             ctx.power_level_threshold,
             signed_v=True,
         )
-        if got is not None:
-            self._sd, self._mask_idx = got
+        if idx is not None:
+            self._mask_idx = idx
             return
         n = len(box)
         gap = br.period1 - br.period2
@@ -161,7 +163,6 @@ class NfcVTech:
         sd[lo:] = (box[lo - d - gap : n - d - gap] - box[lo - d : n - d]) / np.float32(
             br.period2
         )
-        self._sd = sd
 
         env = ctx.cond.envelope
         power = env >= ctx.power_level_threshold
@@ -198,7 +199,7 @@ class NfcVTech:
         mod = self.mod
         d = br.symbol_delay_detect
         min_corr = F(env * self.correlation_threshold)
-        s0 = self._sd[t]
+        s0 = sd_v(self._box, t, d, br.period1, br.period2)
         signal_deep = ctx.cond.mod_depth[t - d - br.period8]
 
         # recover from stale peak (NfcV.cpp:287-298)
@@ -403,7 +404,7 @@ class NfcVTech:
         slot_ends = np.array([s[1] for s in pulse.slots], np.int32)
 
         code = lib.nfclab_v_poll_frame(
-            nw._ptr_f32(self._sd),
+            nw._ptr_f32(self._box),
             ctypes.c_int64(ctx.n),
             nw._ptr_i32(par),
             nw._ptr_f64(st_mod),
@@ -570,7 +571,8 @@ class NfcVTech:
         mod = ctx.modulation
         pulse = self.pulse
         d = br.symbol_delay_detect
-        sd = self._sd
+        box = self._box
+        p1, p2 = br.period1, br.period2
         n = ctx.n
 
         while t + 1 < n:
@@ -579,7 +581,7 @@ class NfcVTech:
                 t = mod.search_start_time - 1
                 continue
 
-            s0 = sd[t]
+            s0 = sd_v(box, t, d, p1, p2)
 
             if s0 > mod.search_value_threshold:
                 if s0 > mod.correlated_peak_value:
@@ -588,7 +590,10 @@ class NfcVTech:
                     mod.search_end_time = t + br.period4
             elif mod.correlated_peak_time == 0 and t != mod.search_end_time:
                 # idle within the slot window: skip to next candidate
-                nt = self._next_above(sd, t + 1, min(mod.search_end_time, n), mod.search_value_threshold)
+                nt = self._next_above(
+                    box, t + 1, min(mod.search_end_time, n),
+                    mod.search_value_threshold, d, p1, p2,
+                )
                 t = (nt if nt is not None else min(mod.search_end_time, n)) - 1
                 continue
 
@@ -642,11 +647,18 @@ class NfcVTech:
         return Invalid, t
 
     @staticmethod
-    def _next_above(arr, t, limit, thr):
+    def _next_above(box, t, limit, thr, d, p1, p2):
+        """First clock with SD > thr; SD computed from the box channel
+        chunk-wise with the same f32 op order as the per-sample read."""
+        gap = p1 - p2
+        fp2 = F(p2)
+        t = max(t, d + p1)
         chunk = 2048
         while t < limit:
             hi = min(t + chunk, limit)
-            seg = arr[t:hi] > thr
+            a0 = box[t - d - gap : hi - d - gap]
+            a1 = box[t - d : hi - d]
+            seg = ((a0 - a1) / fp2) > thr
             nz = np.argmax(seg)
             if seg[nz]:
                 return t + int(nz)

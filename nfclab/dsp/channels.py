@@ -23,13 +23,33 @@ Correlation factors derived from a box channel B at clock t
     S0(t) = B(t-d) - B(t-d-(p1-p2))
     S1(t) = B(t-d-(p1-p2)) - B(t-d-1)
     SD(t) = (S0-S1)/p2   (signed, detect)  or |S0-S1|/p2 (poll)
+
+Streaming: every cached channel is *extension-aware*.  After the conditioned
+stream grows, ``rebind(cond)`` points the cache at the new arrays and each
+getter lazily brings its channel forward over only the new samples — the box
+running sums carry their f64 accumulator natively (channels.cpp ``*_ext``
+kernels), so the extended arrays are bit-identical to a fresh full-stream
+pass.  This is what makes the incremental decoder O(block) per feed.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
+
+# reference ring size; detect event masks start at this clock
+# (NfcA.cpp:220-221 and equivalents; mirrors demod.common.BUFFER_SIZE)
+_WARMUP = 1024
+
+
+def _native():
+    try:
+        from ..native import binding
+
+        if binding.native_available():
+            return binding
+    except Exception:
+        pass
+    return None
 
 
 def box_sum(x: np.ndarray, width: int) -> np.ndarray:
@@ -37,13 +57,9 @@ def box_sum(x: np.ndarray, width: int) -> np.ndarray:
     float64 running sum (the reference's f32 running integrator drifts by a
     comparable epsilon; goldens are the accuracy contract).  Native C++
     single pass when available; numpy prefix-sum fallback."""
-    try:
-        from ..native.binding import box_sum_native, native_available
-
-        if native_available():
-            return box_sum_native(x, width)
-    except Exception:
-        pass
+    nb = _native()
+    if nb is not None:
+        return nb.box_sum_native(x, width)
     c = np.cumsum(x.astype(np.float64))
     out = c.copy()
     out[width:] = c[width:] - c[:-width]
@@ -51,117 +67,180 @@ def box_sum(x: np.ndarray, width: int) -> np.ndarray:
 
 
 class LazyChannels:
-    """Per-tech, per-rate channel cache over a conditioned signal."""
+    """Per-tech, per-rate channel cache over a conditioned signal.
+
+    Each cached entry is a growable buffer plus a fill mark; accessing a
+    channel after ``rebind()`` to a longer stream extends it in place over
+    the new tail only.  Entries:
+
+    ``{"arr": capacity buffer, "n": filled length, "acc": f64 carry,
+       "idx": index array or None, "scanned": clocks scanned for idx}``
+    """
 
     def __init__(self, cond):
         self.cond = cond
         self._cache: dict = {}
 
-    def _get(self, key, fn):
-        if key not in self._cache:
-            self._cache[key] = fn()
-        return self._cache[key]
+    @property
+    def n(self) -> int:
+        return len(self.cond.value)
+
+    def rebind(self, cond):
+        """Point at the grown conditioned stream (values for already-filled
+        prefixes must be unchanged); cached channels extend lazily."""
+        self.cond = cond
+
+    # ------------------------------------------------------- entry management
+
+    def _entry(self, key, dtype=np.float32):
+        from ..native.binding import alloc_array
+
+        ent = self._cache.get(key)
+        if ent is None:
+            ent = {
+                "arr": alloc_array(max(self.n, 4096), dtype),
+                "n": 0,
+                "acc": np.zeros(1, np.float64),
+                "idx": None,
+                "scanned": 0,
+            }
+            self._cache[key] = ent
+        if len(ent["arr"]) < self.n:
+            new = alloc_array(max(self.n, len(ent["arr"]) * 2), dtype)
+            new[: ent["n"]] = ent["arr"][: ent["n"]]
+            ent["arr"] = new
+        return ent
+
+    @staticmethod
+    def _append_idx(ent, new_idx: np.ndarray, scanned: int):
+        """Append indices into a growable capacity buffer (amortized
+        O(new); a per-feed concatenate would make streaming O(n^2))."""
+        from ..native.binding import alloc_array
+
+        k = ent.get("idx_n", 0)
+        buf = ent["idx"]
+        need = k + len(new_idx)
+        if buf is None or len(buf) < need:
+            cap = max(need, 1024, 0 if buf is None else len(buf) * 2)
+            new = alloc_array(cap, np.int32)
+            if k:
+                new[:k] = buf[:k]
+            ent["idx"] = buf = new
+        if len(new_idx):
+            buf[k:need] = new_idx
+        ent["idx_n"] = need
+        ent["scanned"] = scanned
+
+    # ----------------------------------------------------------- box channels
+
+    def _box_chan(self, key, kind: str, width: int, lag: int = 0) -> np.ndarray:
+        ent = self._entry(key)
+        n = self.n
+        if ent["n"] < n:
+            src = self.cond.value if kind == "sum" else self.cond.filtered
+            nb = _native()
+            if nb is not None:
+                nb.box_ext_native(kind, src, ent["n"], n, width, lag,
+                                  ent["acc"], ent["arr"])
+            else:
+                # numpy full recompute (no carry; only used without g++)
+                if kind == "sum":
+                    full = box_sum(src, width)
+                elif kind == "sq":
+                    q = src.astype(np.float32)
+                    q = q * q * np.float32(10.0)
+                    full = box_sum(q, width)
+                else:  # bpsk
+                    fl = src.astype(np.float32)
+                    prod = np.zeros_like(fl)
+                    prod[lag:] = fl[lag:] * fl[:-lag] * np.float32(10.0)
+                    full = box_sum(prod, width)
+                ent["arr"][:n] = full
+            ent["n"] = n
+        return ent["arr"][:n]
 
     def box_value(self, p2: int) -> np.ndarray:
-        return self._get(("bv", p2), lambda: box_sum(self.cond.value, p2))
+        return self._box_chan(("bv", p2), "sum", p2)
 
     def box_sq(self, p2: int) -> np.ndarray:
-        def f():
-            try:
-                from ..native.binding import box_sq_native, native_available
-
-                if native_available():
-                    return box_sq_native(self.cond.filtered, p2)
-            except Exception:
-                pass
-            q = self.cond.filtered.astype(np.float32)
-            q = q * q * np.float32(10.0)
-            return box_sum(q, p2)
-
-        return self._get(("bq", p2), f)
+        return self._box_chan(("bq", p2), "sq", p2)
 
     def box_bpsk(self, p1: int, p4: int) -> np.ndarray:
-        def f():
-            try:
-                from ..native.binding import box_bpsk_native, native_available
+        return self._box_chan(("bp", p1, p4), "bpsk", p4, lag=p1)
 
-                if native_available():
-                    return box_bpsk_native(self.cond.filtered, p1, p4)
-            except Exception:
-                pass
-            fl = self.cond.filtered.astype(np.float32)
-            prod = np.zeros_like(fl)
-            prod[p1:] = fl[p1:] * fl[:-p1] * np.float32(10.0)
-            return box_sum(prod, p4)
+    # ------------------------------------------------------- derived channels
 
-        return self._get(("bp", p1, p4), f)
+    def _derived(self, key, build_tail) -> np.ndarray:
+        """Dense channel derived elementwise from box channels; build_tail
+        (arr, start, n) fills [start, n) (values are position-pure, so tail
+        recompute equals full recompute)."""
+        ent = self._entry(key)
+        n = self.n
+        if ent["n"] < n:
+            build_tail(ent["arr"], ent["n"], n)
+            ent["n"] = n
+        return ent["arr"][:n]
 
     def corr_s0_dense(self, br) -> np.ndarray:
         """Dense listen-ASK S0(t) by decoder clock: S0 = Bq(t-d) - Bq(t-d-(p1-p2))
         with Bq the squared-filtered box channel (NfcA.cpp:963-973).  Zero below
         the first clock with a full window history."""
-        key = ("s0q_t", br.tech_type, br.rate_type)
+        bq = self.box_sq(br.period2)
+        d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
+        lo = d + p1
+        gap = p1 - p2
 
-        def f():
-            bq = self.box_sq(br.period2)
-            d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
-            n = len(bq)
-            out = np.zeros(n, np.float32)
-            lo = d + p1
-            gap = p1 - p2
-            out[lo:] = bq[lo - d : n - d] - bq[lo - d - gap : n - d - gap]
-            return out
+        def tail(arr, start, n):
+            s = max(start, lo)
+            arr[start:s] = 0.0
+            arr[s:n] = bq[s - d : n - d] - bq[s - d - gap : n - d - gap]
 
-        return self._get(key, f)
+        return self._derived(("s0q_t", br.tech_type, br.rate_type), tail)
 
     def bpsk_dense(self, br) -> np.ndarray:
         """Dense BPSK phase window PB4 by decoder clock: PB4(t) indexed so that
         phaseIntegrate(t) = PB4[t] - PB4[guardEnd-1] (NfcA.cpp:1243-1266)."""
-        key = ("pb4_t", br.tech_type, br.rate_type)
+        pb = self.box_bpsk(br.period1, br.period4)
+        d = br.symbol_delay_detect
 
-        def f():
-            pb = self.box_bpsk(br.period1, br.period4)
-            d = br.symbol_delay_detect
-            n = len(pb)
-            out = np.zeros(n, np.float32)
-            out[d:] = pb[: n - d]
-            return out
+        def tail(arr, start, n):
+            s = max(start, d)
+            arr[start:s] = 0.0
+            arr[s:n] = pb[s - d : n - d]
 
-        return self._get(key, f)
+        return self._derived(("pb4_t", br.tech_type, br.rate_type), tail)
 
     def nfcv_listen_dense(self, br) -> np.ndarray:
         """NFC-V listen channel by decoder clock (NfcV.cpp:825-835): the
         squared-filtered signal box-summed over a FULL symbol (p1) in a
         p0-cycle ring, so S0(t) = B1q(t-d-(p0-p1)) - B1q(t-d)."""
-        key = ("vq_t", br.rate_type)
+        b1q = self.box_sq(br.period1)
+        d, p0, p1 = br.symbol_delay_detect, br.period0, br.period1
+        lo = d + p0
+        gap = p0 - p1
 
-        def f():
-            b1q = self.box_sq(br.period1)
-            d, p0, p1 = br.symbol_delay_detect, br.period0, br.period1
-            n = len(b1q)
-            out = np.zeros(n, np.float32)
-            lo = d + p0
-            gap = p0 - p1
-            out[lo:] = b1q[lo - d - gap : n - d - gap] - b1q[lo - d : n - d]
-            return out
+        def tail(arr, start, n):
+            s = max(start, lo)
+            arr[start:s] = 0.0
+            arr[s:n] = b1q[s - d - gap : n - d - gap] - b1q[s - d : n - d]
 
-        return self._get(key, f)
+        return self._derived(("vq_t", br.rate_type), tail)
 
-    def detect_sd_idx(self, box, d, p1, p2, corr_thr, power_thr, signed_v=False):
-        """Fused native SD channel + threshold-crossing clock indices
-        (channels.cpp one-pass kernels); None when native is unavailable
-        (callers keep their numpy fallback).  signed_v selects the NFC-V
+    # --------------------------------------------- fused detect SD + indices
+
+    def detect_idx(self, d, p1, p2, corr_thr, power_thr, signed_v=False):
+        """Fused detect threshold-crossing clock indices over the box_value(p2)
+        channel (channels.cpp one-pass kernels); None when native is
+        unavailable (callers keep their numpy fallback).  The FSMs read the
+        SD values themselves on the fly (demod.common.sd_af / sd_v), so no
+        dense SD array is materialized.  signed_v selects the NFC-V
         formulation (reversed difference, signed threshold)."""
-        try:
-            from ..native.binding import detect_sd_idx_native, native_available
-
-            if not native_available():
-                return None
-        except Exception:
+        nb = _native()
+        if nb is None:
             return None
+        box = self.box_value(p2)
         key = (
             "sdidx",
-            id(box),
             d,
             p1,
             p2,
@@ -169,62 +248,98 @@ class LazyChannels:
             float(power_thr),
             bool(signed_v),
         )
-        return self._get(
-            key,
-            lambda: detect_sd_idx_native(
-                box, self.cond.envelope, d, p1, p2, corr_thr, power_thr, signed_v
-            ),
-        )
+
+        def tail(start, n):
+            return nb.detect_sd_idx_ext_native(
+                box,
+                self.cond.envelope,
+                start,
+                n,
+                d,
+                p1,
+                p2,
+                corr_thr,
+                power_thr,
+                signed_v,
+            )
+
+        return self._idx_chan(key, tail)
+
+    # --------------------------------------------------------- index channels
+
+    def _idx_chan(self, key, scan_tail) -> np.ndarray:
+        """Pure index set; scan_tail(start, n) returns new indices in
+        [start, n)."""
+        ent = self._cache.get(key)
+        if ent is None:
+            ent = {"arr": None, "n": 0, "acc": None, "idx": None, "scanned": 0}
+            self._cache[key] = ent
+        n = self.n
+        if ent["scanned"] < n:
+            self._append_idx(ent, scan_tail(ent["scanned"], n), n)
+        idx = ent["idx"]
+        if idx is None:
+            return np.empty(0, np.int32)
+        return idx[: ent["idx_n"]]
+
+    def threshold_idx(self, src: str, thr, op: str) -> np.ndarray:
+        """Clocks where cond.<src> OP thr (op in '>', '>=', '<'), full range."""
+        key = ("thr", src, float(thr), op)
+
+        def tail(start, n):
+            x = getattr(self.cond, src)
+            nb = _native()
+            if nb is not None:
+                return nb.collect_cmp_ext_native(x, start, n, thr, op)
+            seg = x[start:n]
+            if op == ">":
+                m = seg > thr
+            elif op == ">=":
+                m = seg >= thr
+            else:
+                m = seg < thr
+            return (np.flatnonzero(m) + start).astype(np.int32)
+
+        return self._idx_chan(key, tail)
 
     def gt_idx(self, x: np.ndarray, thr) -> np.ndarray:
-        """Indices where x > thr (native one-pass; numpy fallback)."""
-        key = ("gtidx", id(x), float(thr))
-
-        def f():
-            try:
-                from ..native.binding import collect_gt_native, native_available
-
-                if native_available():
-                    return collect_gt_native(x, thr)
-            except Exception:
-                pass
-            return np.flatnonzero(x > thr)
-
-        return self._get(key, f)
+        """Indices where x > thr.  `x` must be a conditioned-stream array;
+        prefer threshold_idx(src_name, ...) which is extension-keyed."""
+        if x is self.cond.mod_depth:
+            return self.threshold_idx("mod_depth", thr, ">")
+        nb = _native()
+        if nb is not None:
+            return nb.collect_gt_native(x, thr)
+        return np.flatnonzero(x > thr)
 
     def edge_idx_b(self, d: int, min_deep, power_thr) -> np.ndarray:
         """NFC-B falling-edge trigger indices (NfcB.cpp:283 condition over
         the d-shifted filtered signal), from clock 1024 on."""
         key = ("eidxb", d, float(min_deep), float(power_thr))
 
-        def f():
-            try:
-                from ..native.binding import edge_mask_b_native, native_available
-
-                if native_available():
-                    return edge_mask_b_native(
-                        self.cond.filtered,
-                        self.cond.envelope,
-                        d,
-                        min_deep,
-                        power_thr,
-                    )
-            except Exception:
-                pass
+        def tail(start, n):
             filt = self.cond.filtered
             env = self.cond.envelope
-            power = env >= power_thr
+            nb = _native()
+            if nb is not None:
+                return nb.edge_mask_b_ext_native(
+                    filt, env, start, n, d, min_deep, power_thr
+                )
+            s = max(start, _WARMUP)
+            if s >= n:
+                return np.empty(0, np.int32)
             if d:
-                shifted = np.empty_like(filt)
-                shifted[d:] = filt[: len(filt) - d]
-                shifted[:d] = 0.0
+                shifted = np.zeros(n - s, np.float32)
+                lo = max(s, d)
+                shifted[lo - s :] = filt[lo - d : n - d]
             else:
-                shifted = filt
-            mask = power & (shifted < -(min_deep * env))
-            mask[:1024] = False  # ring warm-up (BUFFER_SIZE)
-            return np.flatnonzero(mask)
+                shifted = filt[s:n]
+            mask = (env[s:n] >= power_thr) & (shifted < -(min_deep * env[s:n]))
+            return (np.flatnonzero(mask) + s).astype(np.int32)
 
-        return self._get(key, f)
+        return self._idx_chan(key, tail)
+
+    # ------------------------------------------------------------ legacy API
 
     def corr_s0_s1(self, box: np.ndarray, t, d: int, p1: int, p2: int):
         """S0, S1 at decoder clock(s) t (scalar or array)."""
@@ -234,9 +349,9 @@ class LazyChannels:
         return s0, s1
 
     def detect_sd(self, box: np.ndarray, d: int, p1: int, p2: int) -> np.ndarray:
-        """Dense signed SD(t) for all clocks t (invalid below t < d+p1; callers
-        gate on t >= BUFFER_SIZE anyway)."""
-        key = ("sd", id(box), d, p1, p2)
+        """Dense signed SD(t) for all clocks t (numpy fallback path when the
+        native fused kernel is unavailable; invalid below t < d+p1)."""
+        key = ("sd", d, p1, p2, len(box))
 
         def f():
             n = len(box)
@@ -251,4 +366,6 @@ class LazyChannels:
             sd[lo:] = (s0 - s1) / np.float32(p2)
             return sd
 
-        return self._get(key, f)
+        if key not in self._cache:
+            self._cache[key] = f()
+        return self._cache[key]

@@ -3,11 +3,50 @@
 from __future__ import annotations
 
 import ctypes
+import ctypes.util
+import mmap
 from dataclasses import dataclass
 
 import numpy as np
 
 from . import build as _build
+
+_MADV_HUGEPAGE = 14
+_libc = None
+
+
+def _get_libc():
+    global _libc
+    if _libc is None:
+        try:
+            _libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        except Exception:
+            _libc = False
+    return _libc
+
+
+def alloc_array(n: int, dtype=np.float32) -> np.ndarray:
+    """Allocate a numpy array; large ones come from anonymous mmap with
+    MADV_HUGEPAGE.  On this VM first-touch page faults are the dominant cost
+    of growing streams (each fault exits to the hypervisor); 2 MB huge pages
+    cut the fault count ~512x.  The mmap keeps the memory alive via the
+    returned array's base reference."""
+    nbytes = int(n) * np.dtype(dtype).itemsize
+    if nbytes < (1 << 22):
+        return np.empty(n, dtype)
+    try:
+        mm = mmap.mmap(-1, nbytes)
+        libc = _get_libc()
+        if libc:
+            addr = ctypes.addressof(ctypes.c_char.from_buffer(mm))
+            libc.madvise(
+                ctypes.c_void_p(addr),
+                ctypes.c_size_t(nbytes),
+                ctypes.c_int(_MADV_HUGEPAGE),
+            )
+        return np.frombuffer(mm, dtype=dtype)
+    except Exception:
+        return np.empty(n, dtype)
 
 _lib = None
 _load_error: Exception | None = None
@@ -89,8 +128,6 @@ def _load():
             ctypes.c_int,
             f32p,
             f32p,
-            f32p,
-            f32p,
             ctypes.c_float,
             ctypes.c_float,
             ctypes.c_int,  # v_on
@@ -110,7 +147,7 @@ def _load():
             ctypes.c_int, i32p, f64p, ctypes.c_int,
             ctypes.c_float, ctypes.c_float,
             ctypes.c_int, i32p, f64p, ctypes.c_int,
-            f32p, f32p, f32p, f32p, ctypes.c_float, ctypes.c_float,
+            f32p, f32p, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, i32p, f64p, f32p, ctypes.c_float, ctypes.c_float,
         ]
         lib.nfclab_detect_all.restype = ctypes.c_int64
@@ -146,6 +183,12 @@ def _load():
             "nfclab_collect_gt",
             "nfclab_collect_ge",
             "nfclab_collect_lt",
+            "nfclab_detect_sd_af_ext",
+            "nfclab_detect_sd_v_ext",
+            "nfclab_edge_mask_b_ext",
+            "nfclab_collect_gt_ext",
+            "nfclab_collect_ge_ext",
+            "nfclab_collect_lt_ext",
         ):
             getattr(lib, name).restype = ctypes.c_int64
         _lib = lib
@@ -400,6 +443,98 @@ def collect_ge_native(x, thr):
 def collect_lt_native(x, thr):
     """Indices where x < thr."""
     return _collect_cmp("nfclab_collect_lt", x, thr)
+
+
+def box_ext_native(kind, src, start, n, width, lag, acc, arr):
+    """Extend a box channel over [start, n) continuing the f64 running sum
+    (bit-identical to a fresh full pass).  kind: 'sum' | 'sq' | 'bpsk'."""
+    lib = _load()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    src_p = src.ctypes.data_as(f32p)
+    out_p = arr.ctypes.data_as(f32p)
+    acc_p = acc.ctypes.data_as(f64p)
+    if kind == "sum":
+        lib.nfclab_box_sum_ext(
+            src_p, ctypes.c_int64(n), ctypes.c_int64(start),
+            ctypes.c_int32(width), acc_p, out_p,
+        )
+    elif kind == "sq":
+        lib.nfclab_box_sq_ext(
+            src_p, ctypes.c_int64(n), ctypes.c_int64(start),
+            ctypes.c_int32(width), acc_p, out_p,
+        )
+    else:
+        lib.nfclab_box_bpsk_ext(
+            src_p, ctypes.c_int64(n), ctypes.c_int64(start),
+            ctypes.c_int32(lag), ctypes.c_int32(width), acc_p, out_p,
+        )
+
+
+def detect_sd_idx_ext_native(
+    box, env, start, n, d, p1, p2, corr_thr, power_thr, signed_v, sd_arr=None
+):
+    """Extend the fused detect-index scan over [start, n); returns the new
+    indices.  sd_arr is optional (the FSMs read SD on the fly from box)."""
+    lib = _load()
+    idx = np.empty(max(n - start, 1), np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn = lib.nfclab_detect_sd_v_ext if signed_v else lib.nfclab_detect_sd_af_ext
+    count = fn(
+        box.ctypes.data_as(f32p),
+        env.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(start),
+        ctypes.c_int32(d),
+        ctypes.c_int32(p1),
+        ctypes.c_int32(p2),
+        ctypes.c_float(float(corr_thr)),
+        ctypes.c_float(float(power_thr)),
+        sd_arr.ctypes.data_as(f32p) if sd_arr is not None else None,
+        idx.ctypes.data_as(i32p),
+    )
+    return idx[:count].copy()
+
+
+def edge_mask_b_ext_native(filt, env, start, n, d, min_deep, power_thr):
+    """NFC-B trigger indices over [start, n)."""
+    lib = _load()
+    idx = np.empty(max(n - start, 1), np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    count = lib.nfclab_edge_mask_b_ext(
+        filt.ctypes.data_as(f32p),
+        env.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(start),
+        ctypes.c_int32(d),
+        ctypes.c_float(float(min_deep)),
+        ctypes.c_float(float(power_thr)),
+        idx.ctypes.data_as(i32p),
+    )
+    return idx[:count].copy()
+
+
+def collect_cmp_ext_native(x, start, n, thr, op):
+    """Threshold indices over [start, n)."""
+    lib = _load()
+    name = {
+        ">": "nfclab_collect_gt_ext",
+        ">=": "nfclab_collect_ge_ext",
+        "<": "nfclab_collect_lt_ext",
+    }[op]
+    idx = np.empty(max(n - start, 1), np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    count = getattr(lib, name)(
+        x.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(start),
+        ctypes.c_float(float(thr)),
+        idx.ctypes.data_as(i32p),
+    )
+    return idx[:count].copy()
 
 
 def threshold_indices(x, thr, op=">"):

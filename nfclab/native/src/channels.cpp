@@ -4,28 +4,42 @@
 // (the numpy cumsum-diff formulation costs several full-array temporaries;
 // these write the f32 result directly).  Semantics match dsp/channels.py:
 // left zero padding (ring warm-up) and f64 accumulation.
+//
+// Every kernel has an `_ext` variant taking a `start` clock and (for the
+// running sums) an in/out f64 accumulator so the streaming decoder can
+// extend a channel over newly conditioned samples in O(block) while staying
+// bit-identical to a fresh full-stream pass (the op sequence is the same).
 
 #include <cstdint>
 
 extern "C" {
 
 // B[u] = sum x[max(0,u-w+1) .. u]
-void nfclab_box_sum(const float *x, int64_t n, int32_t w, float *out)
+void nfclab_box_sum_ext(const float *x, int64_t n, int64_t start, int32_t w,
+                        double *acc_io, float *out)
 {
-    double acc = 0.0;
-    for (int64_t i = 0; i < n; i++) {
+    double acc = *acc_io;
+    for (int64_t i = start; i < n; i++) {
         acc += x[i];
         if (i >= w)
             acc -= x[i - w];
         out[i] = static_cast<float>(acc);
     }
+    *acc_io = acc;
+}
+
+void nfclab_box_sum(const float *x, int64_t n, int32_t w, float *out)
+{
+    double acc = 0.0;
+    nfclab_box_sum_ext(x, n, 0, w, &acc, out);
 }
 
 // box of q = filt^2 * 10 (listen ASK channel integrand)
-void nfclab_box_sq(const float *filt, int64_t n, int32_t w, float *out)
+void nfclab_box_sq_ext(const float *filt, int64_t n, int64_t start, int32_t w,
+                       double *acc_io, float *out)
 {
-    double acc = 0.0;
-    for (int64_t i = 0; i < n; i++) {
+    double acc = *acc_io;
+    for (int64_t i = start; i < n; i++) {
         const float q = filt[i] * filt[i] * 10.0f;
         acc += q;
         if (i >= w) {
@@ -34,14 +48,21 @@ void nfclab_box_sq(const float *filt, int64_t n, int32_t w, float *out)
         }
         out[i] = static_cast<float>(acc);
     }
+    *acc_io = acc;
+}
+
+void nfclab_box_sq(const float *filt, int64_t n, int32_t w, float *out)
+{
+    double acc = 0.0;
+    nfclab_box_sq_ext(filt, n, 0, w, &acc, out);
 }
 
 // box of prod = filt[i] * filt[i-lag] * 10 (BPSK integrand; zero below lag)
-void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
-                     float *out)
+void nfclab_box_bpsk_ext(const float *filt, int64_t n, int64_t start,
+                         int32_t lag, int32_t w, double *acc_io, float *out)
 {
-    double acc = 0.0;
-    for (int64_t i = 0; i < n; i++) {
+    double acc = *acc_io;
+    for (int64_t i = start; i < n; i++) {
         const float p =
             (i >= lag) ? filt[i] * filt[i - lag] * 10.0f : 0.0f;
         acc += p;
@@ -53,6 +74,14 @@ void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
         }
         out[i] = static_cast<float>(acc);
     }
+    *acc_io = acc;
+}
+
+void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
+                     float *out)
+{
+    double acc = 0.0;
+    nfclab_box_bpsk_ext(filt, n, 0, lag, w, &acc, out);
 }
 
 // Fused detect-channel builders: compute the dense SD correlation channel and
@@ -63,17 +92,20 @@ void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
 
 // NFC-A / NFC-F detect SD: sd[t] = (S0 - S1)/p2 for t >= d+p1 (zero below),
 // indices where env >= power_thr && |sd| > corr_thr*env, from t >= 1024.
-// Returns the index count.
-int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
-                            int32_t d, int32_t p1, int32_t p2,
-                            float corr_thr, float power_thr,
-                            float *sd_out, int32_t *idx_out)
+// Returns the index count (indices written relative to the whole stream).
+// sd_out may be NULL (index-only mode; the FSMs read SD on the fly from the
+// box channel via fsm_sd_af/fsm_sd_v instead of a dense array).
+int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
+                                int64_t n, int64_t start,
+                                int32_t d, int32_t p1, int32_t p2,
+                                float corr_thr, float power_thr,
+                                float *sd_out, int32_t *idx_out)
 {
     const int64_t lo = (int64_t)d + p1;
     const int64_t gap = p1 - p2;
     const float fp2 = (float)p2;
     int64_t count = 0;
-    for (int64_t t = 0; t < n; t++) {
+    for (int64_t t = start; t < n; t++) {
         float sd = 0.0f;
         if (t >= lo) {
             const int64_t u = t - d;
@@ -82,7 +114,8 @@ int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
             const float a2 = box[u - 1];
             sd = ((a0 - a1) - (a1 - a2)) / fp2;
         }
-        sd_out[t] = sd;
+        if (sd_out)
+            sd_out[t] = sd;
         if (t >= 1024 && env[t] >= power_thr &&
             (sd < 0.0f ? -sd : sd) > corr_thr * env[t])
             idx_out[count++] = (int32_t)t;
@@ -90,38 +123,60 @@ int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
     return count;
 }
 
+int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
+                            int32_t d, int32_t p1, int32_t p2,
+                            float corr_thr, float power_thr,
+                            float *sd_out, int32_t *idx_out)
+{
+    return nfclab_detect_sd_af_ext(box, env, n, 0, d, p1, p2, corr_thr,
+                                   power_thr, sd_out, idx_out);
+}
+
 // NFC-V detect SD: sd[t] = (B(t-d-gap) - B(t-d))/p2 for t >= d+p1,
 // indices where env >= power_thr && sd > corr_thr*env (signed), t >= 1024.
-int64_t nfclab_detect_sd_v(const float *box, const float *env, int64_t n,
-                           int32_t d, int32_t p1, int32_t p2,
-                           float corr_thr, float power_thr,
-                           float *sd_out, int32_t *idx_out)
+int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
+                               int64_t n, int64_t start,
+                               int32_t d, int32_t p1, int32_t p2,
+                               float corr_thr, float power_thr,
+                               float *sd_out, int32_t *idx_out)
 {
     const int64_t lo = (int64_t)d + p1;
     const int64_t gap = p1 - p2;
     const float fp2 = (float)p2;
     int64_t count = 0;
-    for (int64_t t = 0; t < n; t++) {
+    for (int64_t t = start; t < n; t++) {
         float sd = 0.0f;
         if (t >= lo) {
             const int64_t u = t - d;
             sd = (box[u - gap] - box[u]) / fp2;
         }
-        sd_out[t] = sd;
+        if (sd_out)
+            sd_out[t] = sd;
         if (t >= 1024 && env[t] >= power_thr && sd > corr_thr * env[t])
             idx_out[count++] = (int32_t)t;
     }
     return count;
 }
 
+int64_t nfclab_detect_sd_v(const float *box, const float *env, int64_t n,
+                           int32_t d, int32_t p1, int32_t p2,
+                           float corr_thr, float power_thr,
+                           float *sd_out, int32_t *idx_out)
+{
+    return nfclab_detect_sd_v_ext(box, env, n, 0, d, p1, p2, corr_thr,
+                                  power_thr, sd_out, idx_out);
+}
+
 // NFC-B falling-edge trigger mask: indices t >= 1024 where
 // env >= power_thr && filt[t-d] < -(min_deep*env[t]) (zero below t < d).
-int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
-                           int32_t d, float min_deep, float power_thr,
-                           int32_t *idx_out)
+int64_t nfclab_edge_mask_b_ext(const float *filt, const float *env,
+                               int64_t n, int64_t start, int32_t d,
+                               float min_deep, float power_thr,
+                               int32_t *idx_out)
 {
     int64_t count = 0;
-    for (int64_t t = 1024; t < n; t++) {
+    const int64_t t0 = start > 1024 ? start : 1024;
+    for (int64_t t = t0; t < n; t++) {
         const float shifted = (t >= d) ? filt[t - d] : 0.0f;
         if (env[t] >= power_thr && shifted < -(min_deep * env[t]))
             idx_out[count++] = (int32_t)t;
@@ -129,38 +184,64 @@ int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
     return count;
 }
 
-// Generic threshold collectors: indices where x OP thr (full range).
-int64_t nfclab_collect_gt(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
+                           int32_t d, float min_deep, float power_thr,
+                           int32_t *idx_out)
+{
+    return nfclab_edge_mask_b_ext(filt, env, n, 0, d, min_deep, power_thr,
+                                  idx_out);
+}
+
+// Generic threshold collectors: indices where x OP thr over [start, n).
+int64_t nfclab_collect_gt_ext(const float *x, int64_t n, int64_t start,
+                              float thr, int32_t *idx_out)
 {
     int64_t count = 0;
-    for (int64_t t = 0; t < n; t++) {
+    for (int64_t t = start; t < n; t++) {
         if (x[t] > thr)
             idx_out[count++] = (int32_t)t;
     }
     return count;
 }
 
-int64_t nfclab_collect_ge(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+int64_t nfclab_collect_ge_ext(const float *x, int64_t n, int64_t start,
+                              float thr, int32_t *idx_out)
 {
     int64_t count = 0;
-    for (int64_t t = 0; t < n; t++) {
+    for (int64_t t = start; t < n; t++) {
         if (x[t] >= thr)
             idx_out[count++] = (int32_t)t;
     }
     return count;
 }
 
-int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+int64_t nfclab_collect_lt_ext(const float *x, int64_t n, int64_t start,
+                              float thr, int32_t *idx_out)
 {
     int64_t count = 0;
-    for (int64_t t = 0; t < n; t++) {
+    for (int64_t t = start; t < n; t++) {
         if (x[t] < thr)
             idx_out[count++] = (int32_t)t;
     }
     return count;
+}
+
+int64_t nfclab_collect_gt(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    return nfclab_collect_gt_ext(x, n, 0, thr, idx_out);
+}
+
+int64_t nfclab_collect_ge(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    return nfclab_collect_ge_ext(x, n, 0, thr, idx_out);
+}
+
+int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
+                          int32_t *idx_out)
+{
+    return nfclab_collect_lt_ext(x, n, 0, thr, idx_out);
 }
 
 } // extern "C"

@@ -27,8 +27,7 @@ enum {
 enum { F_OBSERVED = 0, F_REVERSED = 1 };
 
 struct FDecode {
-    const float *sd;       // |.| taken per sample
-    const float *box;      // box_value(p2) for the corr pair
+    const float *box;      // box_value(p2); |SD| computed on the fly (d = 0)
     const float *deviation;
     int64_t n;
     const int32_t *par;    // P_FIELDS (with P_PRE1)
@@ -74,7 +73,8 @@ int f_symbol_ask(FDecode &D, int64_t &t)
             continue;
         }
 
-        const float sd = std::fabs(D.sd[t]);
+        const float sd =
+            std::fabs(fsm_sd_af(D.box, t, 0, p[P_P1], p[P_P2]));
 
         if (sd > (float)m[M_VALUE_THR] && sd > (float)m[M_CORR_PEAK_V]) {
             m[M_CORR_PEAK_V] = sd;
@@ -141,7 +141,8 @@ int f_listen_start(FDecode &D, int64_t &t)
         if ((double)t < m[M_SEARCH_START])
             continue;
 
-        const float sd = std::fabs(D.sd[t]);
+        const float sd =
+            std::fabs(fsm_sd_af(D.box, t, 0, p[P_P1], p[P_P2]));
 
         if (sd >= (float)m[M_VALUE_THR]) {
             if (sd > (float)m[M_CORR_PEAK_V]) {
@@ -229,13 +230,13 @@ extern "C" {
 // On R_FRAME the Python side builds the frame via _finish_frame (which
 // also handles the short-stream reject + sync-word check).
 int32_t nfclab_f_frame(
-    const float *sd, const float *box, const float *deviation, int64_t n,
+    const float *box, const float *deviation, int64_t n,
     const int32_t *par, double *mod, double *sym,
     int32_t listen, int32_t have_start,
     int64_t guard_end, int64_t waiting_end, int64_t max_frame_size,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    FDecode D {sd, box, deviation, n, par, mod, sym,
+    FDecode D {box, deviation, n, par, mod, sym,
                guard_end, waiting_end};
     int64_t t = *t_io;
 

@@ -27,7 +27,7 @@ enum {
 };
 
 struct VDecode {
-    const float *sd;       // poll correlator channel
+    const float *box;      // box_value(p2); poll SD computed on the fly
     const float *s0q;      // listen channel
     const float *mdepth;
     const float *deviation;
@@ -60,7 +60,7 @@ int poll_symbol_ppm(VDecode &D, int64_t &t)
             t = (int64_t)m[M_SEARCH_START] - 1;
             continue;
         }
-        const float s0 = D.sd[t];
+        const float s0 = fsm_sd_v(D.box, t, d, p[P_P1], p[P_P2]);
 
         if (s0 > (float)m[M_VALUE_THR]) {
             if (s0 > (float)m[M_CORR_PEAK_V]) {
@@ -308,13 +308,13 @@ extern "C" {
 // Poll frame loop (nfcv.py:325-394; NfcV.cpp:450-556).
 // aux out: [0] = truncated flag, [1] = frame_end (on R_FRAME).
 int32_t nfclab_v_poll_frame(
-    const float *sd_arr, int64_t n,
+    const float *box_arr, int64_t n,
     const int32_t *par, double *mod, double *sym,
     int32_t pulse_bits, int32_t pulse_length, int32_t periods,
     const int32_t *slot_end, int64_t max_frame_size,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    VDecode D {sd_arr, nullptr, nullptr, nullptr, n, par, mod, sym,
+    VDecode D {box_arr, nullptr, nullptr, nullptr, n, par, mod, sym,
                pulse_bits, pulse_length, periods, slot_end,
                0, 0, nullptr, 0.0f};
     int64_t t = *t_io;

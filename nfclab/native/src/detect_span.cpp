@@ -32,7 +32,6 @@ struct BState {
 struct FState {
     double *st;
     const int32_t *par;
-    const float *sd[2];
     const float *box[2];
     int rates;
     float corr_thr;
@@ -42,7 +41,7 @@ struct FState {
 struct VState {
     double *st;  // single struct
     const int32_t *par;
-    const float *sd;
+    const float *box;
     float corr_thr;
     float min_deep;
     int32_t pulse_len_2bit;
@@ -181,7 +180,8 @@ int step_f(FState &F, int64_t t, const float *env_a, const float *mdepth,
         const int32_t *p = F.par + r * P_FIELDS;
         const float *box = F.box[r];
         const int64_t gap = p[P_P1] - p[P_P2];
-        const float sd = std::fabs(F.sd[r][t]);
+        const float sd =
+            std::fabs(fsm_sd_af(box, t, 0, p[P_P1], p[P_P2]));
         const float signal_deep = mdepth[t];
 
         // recover (NfcF.cpp:260-271)
@@ -279,7 +279,7 @@ int step_v(VState &V, int64_t t, const float *env_a, const float *value,
     double *m = V.st;
     const int32_t *p = V.par;
     const float min_corr = env * V.corr_thr;
-    const float s0 = V.sd[t];
+    const float s0 = fsm_sd_v(V.box, t, p[P_D], p[P_P1], p[P_P2]);
     const float signal_deep = mdepth[t - p[P_D] - p[P_P8]];
 
     if (m[M_CORR_PEAK_T] != 0.0 &&
@@ -337,7 +337,7 @@ int step_v(VState &V, int64_t t, const float *env_a, const float *value,
 struct AState {
     double *st;          // [3][M_FIELDS]
     const int32_t *par;  // [3][P_FIELDS]
-    const float *sd[3];
+    const float *box[3];
     float corr_thr;
     float min_deep;
 };
@@ -353,7 +353,8 @@ int step_a(AState &A, int64_t t, const float *env_a, const float *mdepth,
     for (int r = 0; r < 3; r++) {
         double *m = A.st + r * M_FIELDS;
         const int32_t *p = A.par + r * P_FIELDS;
-        const float sd = A.sd[r][t];
+        const float sd =
+            fsm_sd_af(A.box[r], t, p[P_D], p[P_P1], p[P_P2]);
 
         // recover (NfcA.cpp:268-279)
         if (m[M_CORR_PEAK_T] != 0.0 &&
@@ -448,25 +449,24 @@ int64_t nfclab_detect_all(
     int carrier_on_time, int carrier_off_time, float low_thr, float high_thr,
     // A
     int a_on, const int32_t *a_par, double *a_st,
-    const float *a_sd0, const float *a_sd1, const float *a_sd2,
+    const float *a_box0, const float *a_box1, const float *a_box2,
     float a_corr_thr, float a_min_deep,
     // B
     int b_on, const int32_t *b_par, double *b_st, int b_rates,
     float b_min_deep, float b_max_deep,
     // F
     int f_on, const int32_t *f_par, double *f_st, int f_rates,
-    const float *f_sd0, const float *f_sd1,
     const float *f_box0, const float *f_box1,
     float f_corr_thr, float f_max_deep,
     // V
-    int v_on, const int32_t *v_par, double *v_st, const float *v_sd,
+    int v_on, const int32_t *v_par, double *v_st, const float *v_box,
     float v_corr_thr, float v_min_deep)
 {
-    AState A {a_st, a_par, {a_sd0, a_sd1, a_sd2}, a_corr_thr, a_min_deep};
+    AState A {a_st, a_par, {a_box0, a_box1, a_box2}, a_corr_thr, a_min_deep};
     BState B {b_st, b_par, b_rates, b_min_deep, b_max_deep};
-    FState F {f_st, f_par, {f_sd0, f_sd1}, {f_box0, f_box1}, f_rates,
+    FState F {f_st, f_par, {f_box0, f_box1}, f_rates,
               f_corr_thr, f_max_deep};
-    VState V {v_st, v_par, v_sd, v_corr_thr, v_min_deep, 0, 0};
+    VState V {v_st, v_par, v_box, v_corr_thr, v_min_deep, 0, 0};
 
     double snap_a[3 * M_FIELDS];
     double snap_b[2 * M_FIELDS];
@@ -526,16 +526,15 @@ int64_t nfclab_detect_span(
     int b_on, const int32_t *b_par, double *b_st, int b_rates,
     float b_min_deep, float b_max_deep,
     int f_on, const int32_t *f_par, double *f_st, int f_rates,
-    const float *f_sd0, const float *f_sd1,
     const float *f_box0, const float *f_box1,
     float f_corr_thr, float f_max_deep,
-    int v_on, const int32_t *v_par, double *v_st, const float *v_sd,
+    int v_on, const int32_t *v_par, double *v_st, const float *v_box,
     float v_corr_thr, float v_min_deep)
 {
     BState B {b_st, b_par, b_rates, b_min_deep, b_max_deep};
-    FState F {f_st, f_par, {f_sd0, f_sd1}, {f_box0, f_box1}, f_rates,
+    FState F {f_st, f_par, {f_box0, f_box1}, f_rates,
               f_corr_thr, f_max_deep};
-    VState V {v_st, v_par, v_sd, v_corr_thr, v_min_deep, 0, 0};
+    VState V {v_st, v_par, v_box, v_corr_thr, v_min_deep, 0, 0};
 
     double snap_b[2 * M_FIELDS];
     double snap_f[2 * M_FIELDS];

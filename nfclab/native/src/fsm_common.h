@@ -80,6 +80,31 @@ enum {
     FLAG_SYNC_ERROR = 0x40,
 };
 
+// On-the-fly detect SD reads from a box channel (replaces dense sd arrays —
+// which cost fresh-page memory per sample on growing streams; zero below the
+// first clock with full window history, matching the dense formulation).
+inline float fsm_sd_af(const float *box, int64_t t, int64_t d, int64_t p1,
+                       int64_t p2)
+{
+    if (t < d + p1)
+        return 0.0f;
+    const int64_t u = t - d;
+    const int64_t gap = p1 - p2;
+    const float a0 = box[u];
+    const float a1 = box[u - gap];
+    const float a2 = box[u - 1];
+    return ((a0 - a1) - (a1 - a2)) / (float)p2;
+}
+
+inline float fsm_sd_v(const float *box, int64_t t, int64_t d, int64_t p1,
+                      int64_t p2)
+{
+    if (t < d + p1)
+        return 0.0f;
+    const int64_t u = t - d;
+    return (box[u - (p1 - p2)] - box[u]) / (float)p2;
+}
+
 inline bool fsm_check_parity(uint64_t value, uint64_t parity)
 {
     for (int i = 0; i < 8; i++)

@@ -34,11 +34,13 @@ class DecoderContext:
         self.bitrate = None
         self.modulation = None
         self.locked_tech = None
-        # precomputed power-ok sample indices for event scheduling
-        from ..native.binding import threshold_indices
 
-        self._power_idx = threshold_indices(
-            cond.envelope, self.power_level_threshold, ">="
+    # precomputed power-ok sample indices for event scheduling
+    # (extension-aware: the streaming decoder re-reads after each feed)
+    @property
+    def _power_idx(self):
+        return self.channels.threshold_idx(
+            "envelope", self.power_level_threshold, ">="
         )
 
     def next_power_ok(self, t: int) -> int | None:
@@ -69,14 +71,16 @@ class CarrierDetector:
     def bind(self, ctx: DecoderContext):
         """(Re)compute crossing masks from the current context; FSM state is
         untouched (streaming rebind)."""
-        from ..native.binding import threshold_indices
-
         self.ctx = ctx
         p = ctx.params
         self._high_thr = np.float32(p.signal_high_threshold)
         self._low_thr = np.float32(p.signal_low_threshold)
-        self._above_idx = threshold_indices(ctx.cond.average, self._high_thr, ">")
-        self._below_idx = threshold_indices(ctx.cond.average, self._low_thr, "<")
+        self._above_idx = ctx.channels.threshold_idx(
+            "average", self._high_thr, ">"
+        )
+        self._below_idx = ctx.channels.threshold_idx(
+            "average", self._low_thr, "<"
+        )
         self._ni_cache = None
 
     def next_interesting(self, t: int) -> int | None:

@@ -201,7 +201,7 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
     if a is not None:
         a_par = _params(a.bitrates)
         a_st = _pack(a.mod)
-        a_sd = a._sd
+        a_box = a._box
     if b is not None:
         b_mods = b.mod[: nfc.R212K + 1]
         b_par = _params(b.bitrates[: nfc.R212K + 1])
@@ -209,8 +209,7 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
     if f is not None:
         f_par = _params(f.bitrates, with_pre1=True)
         f_st = _pack(f.mod)
-        f_sd = f._sd
-        f_box = [ctx.channels.box_value(br.period2) for br in f.bitrates]
+        f_box = f._box
     if v is not None:
         v_par = _params([v.bitrate])
         v_st = _pack([v.mod])
@@ -231,9 +230,9 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
         ctypes.c_int(1 if a is not None else 0),
         _ptr_i32(a_par if a is not None else _EMPTY_I32),
         _ptr_f64(a_st if a is not None else _EMPTY_F64),
-        _ptr_f32(a_sd[0] if a is not None else _EMPTY_F32),
-        _ptr_f32(a_sd[1] if a is not None else _EMPTY_F32),
-        _ptr_f32(a_sd[2] if a is not None else _EMPTY_F32),
+        _ptr_f32(a_box[0] if a is not None else _EMPTY_F32),
+        _ptr_f32(a_box[1] if a is not None else _EMPTY_F32),
+        _ptr_f32(a_box[2] if a is not None else _EMPTY_F32),
         ctypes.c_float(float(a.correlation_threshold) if a is not None else 0.0),
         ctypes.c_float(
             float(a.minimum_modulation_deep) if a is not None else 0.0
@@ -248,8 +247,6 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
         _ptr_i32(f_par if f is not None else _EMPTY_I32),
         _ptr_f64(f_st if f is not None else _EMPTY_F64),
         ctypes.c_int(len(f.mod) if f is not None else 0),
-        _ptr_f32(f_sd[0] if f is not None else _EMPTY_F32),
-        _ptr_f32(f_sd[1] if f is not None and len(f_sd) > 1 else _EMPTY_F32),
         _ptr_f32(f_box[0] if f is not None else _EMPTY_F32),
         _ptr_f32(f_box[1] if f is not None and len(f_box) > 1 else _EMPTY_F32),
         ctypes.c_float(float(f.correlation_threshold) if f is not None else 0.0),
@@ -257,7 +254,7 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
         ctypes.c_int(1 if v is not None else 0),
         _ptr_i32(v_par if v is not None else _EMPTY_I32),
         _ptr_f64(v_st if v is not None else _EMPTY_F64),
-        _ptr_f32(v._sd if v is not None else _EMPTY_F32),
+        _ptr_f32(v._box if v is not None else _EMPTY_F32),
         ctypes.c_float(float(v.correlation_threshold) if v is not None else 0.0),
         ctypes.c_float(float(v.minimum_modulation_deep) if v is not None else 0.0),
     )
@@ -299,12 +296,11 @@ def run_native_span(ctx, dirty, t0: int, t1: int) -> int:
     if f is not None:
         f_par = _params(f.bitrates, with_pre1=True)
         f_st = _pack(f.mod)
-        f_sd = f._sd
-        f_box = [ctx.channels.box_value(br.period2) for br in f.bitrates]
+        f_box = f._box
     if v is not None:
         v_par = _params([v.bitrate])
         v_st = _pack([v.mod])
-        v_sd = v._sd
+        v_box = v._box
 
     res = lib.nfclab_detect_span(
         ctypes.c_int64(t0),
@@ -324,8 +320,6 @@ def run_native_span(ctx, dirty, t0: int, t1: int) -> int:
         _ptr_i32(f_par if f is not None else _EMPTY_I32),
         _ptr_f64(f_st if f is not None else _EMPTY_F64),
         ctypes.c_int(len(f.mod) if f is not None else 0),
-        _ptr_f32(f_sd[0] if f is not None else _EMPTY_F32),
-        _ptr_f32(f_sd[1] if f is not None and len(f_sd) > 1 else _EMPTY_F32),
         _ptr_f32(f_box[0] if f is not None else _EMPTY_F32),
         _ptr_f32(f_box[1] if f is not None and len(f_box) > 1 else _EMPTY_F32),
         ctypes.c_float(float(f.correlation_threshold) if f is not None else 0.0),
@@ -333,7 +327,7 @@ def run_native_span(ctx, dirty, t0: int, t1: int) -> int:
         ctypes.c_int(1 if v is not None else 0),
         _ptr_i32(v_par if v is not None else _EMPTY_I32),
         _ptr_f64(v_st if v is not None else _EMPTY_F64),
-        _ptr_f32(v_sd if v is not None else _EMPTY_F32),
+        _ptr_f32(v_box if v is not None else _EMPTY_F32),
         ctypes.c_float(float(v.correlation_threshold) if v is not None else 0.0),
         ctypes.c_float(float(v.minimum_modulation_deep) if v is not None else 0.0),
     )

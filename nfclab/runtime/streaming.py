@@ -4,16 +4,17 @@ The reference decodes live streams buffer-by-buffer with carried state
 (NfcDecoder.cpp:374-442).  Here:
 
 - conditioning runs per block through the native carry-state kernel
-  (`nfclab_condition_stream`) — exact continuation of the sequential scan;
-- the dense channel/mask arrays are re-derived over the grown stream after
-  each feed (pure functions; FSM state is untouched by `bind_channels`);
+  (`nfclab_condition_stream`) — exact continuation of the sequential scan —
+  and the outputs are appended into growable capacity buffers (amortized
+  O(block), no per-feed concatenation);
+- the dense channel/mask arrays extend themselves over only the new samples
+  (LazyChannels is extension-aware with native f64 carries; `rebind` +
+  `bind_channels` per feed cost O(block));
 - the event walker resumes from its saved clock (`runtime.decoder.walk`
   returns the resume position, and every FSM already treats end-of-array as
   "wait for more samples").
 
-Frames are emitted as soon as their final symbol lands.  The per-feed
-channel re-derivation is O(stream) numpy work (the v1 trade-off noted in
-CLAUDE.md); the conditioning itself is O(block).
+Frames are emitted as soon as their final symbol lands.
 """
 
 from __future__ import annotations
@@ -22,8 +23,24 @@ import numpy as np
 
 from ..core.frame import Frame, FramePhase, FrameTech, FrameType
 from ..core.params import SignalParams
-from ..native.binding import Conditioned, condition_stream, new_stream_state
+from ..native.binding import (
+    Conditioned,
+    alloc_array,
+    condition_stream,
+    new_stream_state,
+)
 from .decoder import CarrierDetector, DecoderContext, NfcDecoder, walk
+
+_KEYS = (
+    "value",
+    "envelope",
+    "filtered",
+    "deviation",
+    "average",
+    "mod_depth",
+    "edge_peak",
+    "edge_time",
+)
 
 
 class StreamingNfcDecoder:
@@ -37,37 +54,46 @@ class StreamingNfcDecoder:
         )
         self._proto = NfcDecoder(**decoder_kwargs)
         self._state = new_stream_state()
-        self._chunks: dict[str, list[np.ndarray]] = {
-            k: []
-            for k in (
-                "value",
-                "envelope",
-                "filtered",
-                "deviation",
-                "average",
-                "mod_depth",
-                "edge_peak",
-                "edge_time",
-            )
+        cap = 1 << 17
+        self._bufs = {
+            k: alloc_array(cap, np.uint32 if k == "edge_time" else np.float32)
+            for k in _KEYS
         }
+        self._n = 0
         self._ctx: DecoderContext | None = None
         self._carrier: CarrierDetector | None = None
         self._techs: list | None = None
         self._t = 0
-        self._emitted = 0
         self._finished = False
 
     @property
     def n(self) -> int:
-        return sum(len(c) for c in self._chunks["value"])
+        return self._n
+
+    def _append(self, cond: Conditioned):
+        m = len(cond.value)
+        need = self._n + m
+        if len(self._bufs["value"]) < need:
+            cap = max(need, len(self._bufs["value"]) * 2)
+            for k in _KEYS:
+                new = alloc_array(
+                    cap, np.uint32 if k == "edge_time" else np.float32
+                )
+                new[: self._n] = self._bufs[k][: self._n]
+                self._bufs[k] = new
+        for k in _KEYS:
+            self._bufs[k][self._n : need] = getattr(cond, k)
+        self._n = need
+
+    def _view(self) -> Conditioned:
+        return Conditioned(*[self._bufs[k][: self._n] for k in _KEYS])
 
     def feed(self, block: np.ndarray) -> list[Frame]:
         """Condition + decode one block; returns newly completed frames."""
         assert not self._finished, "stream already finished"
         block = np.ascontiguousarray(block, np.float32)
         cond = condition_stream(block, self.params, self._state)
-        for k in self._chunks:
-            self._chunks[k].append(getattr(cond, k))
+        self._append(cond)
         return self._advance()
 
     def finish(self) -> list[Frame]:
@@ -94,12 +120,7 @@ class StreamingNfcDecoder:
         return out
 
     def _advance(self) -> list[Frame]:
-        full = Conditioned(
-            *[np.concatenate(self._chunks[k]) for k in self._chunks]
-        )
-        # collapse the chunk lists so the next concatenate is O(stream)
-        for k in self._chunks:
-            self._chunks[k] = [getattr(full, k)]
+        full = self._view()
 
         if self._ctx is None:
             ctx = DecoderContext(
@@ -114,14 +135,8 @@ class StreamingNfcDecoder:
             ctx = self._ctx
             ctx.cond = full
             ctx.n = len(full.value)
-            from ..dsp.channels import LazyChannels
-
-            ctx.channels = LazyChannels(full)
-            from ..native.binding import threshold_indices
-
-            ctx._power_idx = threshold_indices(
-                full.envelope, ctx.power_level_threshold, ">="
-            )
+            # channel cache extends over only the new tail (O(block))
+            ctx.channels.rebind(full)
             self._carrier.bind(ctx)
             for tech in self._techs:
                 tech.bind_channels()
