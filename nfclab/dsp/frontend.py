@@ -146,40 +146,30 @@ def jitted_frontend(sample_rate: int, power_level_threshold: float = 0.01):
     return jax.jit(make_frontend(params))
 
 
-def make_fused_frontend(params: SignalParams, corr_threshold: float = 0.75):
+def make_fused_frontend(
+    params: SignalParams,
+    corr_threshold: float = 0.75,
+    native_layout: bool = True,
+):
     """Production-throughput frontend: the fused Pallas kernel (conditioning
-    + every box channel in one sweep) plus the elementwise SD/mask derivation
-    for the NFC-A detect path.  Box sums carry the same f32 running-sum
-    roundoff family as the reference's own integrators; the bit-exact golden
-    path uses the unfused conditioner + host f64 channels."""
-    import jax.numpy as jnp
+    + mod depth + every box channel in one sweep) plus the elementwise
+    SD/mask derivation for the NFC-A detect path.  Box sums carry the same
+    f32 running-sum roundoff family as the reference's own integrators; the
+    bit-exact golden path uses the unfused conditioner + host f64 channels.
 
+    native_layout keeps everything in the kernel's [g, t, 8, 128] tiling so
+    no output pays an HBM transpose back to [B, T].  The NFC-A detect masks
+    (and mod depth) are produced inside the kernel itself — this wrapper
+    only forwards the thresholds."""
     from .pallas.fused_frontend import fused_frontend
 
     pt = _params_tuple(params)
-    bitrates = nfca_bitrates(params.sample_rate)
+    mask_params = (float(params.power_level_threshold), float(corr_threshold))
 
     def run(value):
-        out = fused_frontend(value, pt)
-        env = out["envelope"]
-        b, t = env.shape
-        clamped = jnp.maximum(0.0, jnp.minimum(value, env))
-        out["mod_depth"] = (env - clamped) / env
-        power = env >= jnp.float32(params.power_level_threshold)
-        for br in bitrates:
-            box = out[f"bv{br.period2}"]
-            d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
-            gap = p1 - p2
-            bm_g = jnp.pad(box[:, :-gap], ((0, 0), (gap, 0)))
-            bm_1 = jnp.pad(box[:, :-1], ((0, 0), (1, 0)))
-            sd = ((box - bm_g) - (bm_g - bm_1)) / jnp.float32(p2)
-            if d:
-                sd = jnp.pad(sd[:, : t - d], ((0, 0), (d, 0)))
-            out[f"sd_a_{br.rate_type}"] = sd
-            out[f"mask_a_{br.rate_type}"] = power & (
-                jnp.abs(sd) > jnp.float32(corr_threshold) * env
-            )
-        return out
+        return fused_frontend(
+            value, pt, native_layout=native_layout, mask_params=mask_params
+        )
 
     return run
 

@@ -14,10 +14,19 @@ trip each; this kernel produces all of them in a single sweep:
   own float32 integrators (NfcA.cpp:246-250 et al.), with identical
   roundoff family; zero-filled rings reproduce the reference's warm-up.
 
-Outputs (12 x [B, T] f32): env, filt, mdev, avg,
+Outputs (17 x f32): env, filt, mdev, avg, mod_depth,
   bv12, bv24, bv47, bv94        raw-value boxes (A rates p2 + V p2)
   q47, q189                     squared-filtered boxes (A/V listen)
   p24x6, p47x12, p94x24         BPSK product boxes (A424/A212+B212/B106)
+  mask_a_0/1/2                  NFC-A detect masks (0/1 f32): |SD| above the
+                                correlation threshold at power-ok samples,
+                                SD read from a VMEM ring of box values at
+                                the rate's delay cascade (no XLA pass)
+
+Layout: the kernel's native tiling is [g, t, 8, 128] (1024 streams per grid
+row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
+that directly — the production path derives SD/masks in the same layout and
+never pays the 14-output HBM transpose back to [B, T].
 
 Window constants are for 10 MS/s capture rate (the reference's recommended
 rate); other rates fall back to the unfused path.
@@ -42,16 +51,22 @@ RF_RING = 128
 RQ_RING = 256
 RP_RINGS = (8, 16, 32)
 
-N_OUT = 4 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
+# NFC-A detect per rate: (delay cascade d, gap = p1-p2, p2, index of p2 in
+# BV_WIDTHS); max ring lookback = d + gap + 1 = 154 < RB_RING
+A_RATES = ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
+RB_RING = 192
+
+N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + len(A_RATES)
 
 
-def _fused_kernel(params, value_ref, init_ref, out_refs, carry, rv, rf, rq,
-                  rp0, rp1, rp2, sums):
+def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
+                  rv, rf, rq, rp0, rp1, rp2, rb, sums):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     (enve_w0, enve_w1, mdev_w0, mdev_w1, mean_w0, mean_w1, iir_a, etu) = params
+    (power_thr, corr_thr) = mask_params
 
     t_idx = pl.program_id(1)
     rps = (rp0, rp1, rp2)
@@ -72,6 +87,8 @@ def _fused_kernel(params, value_ref, init_ref, out_refs, carry, rv, rf, rq,
         for rp in rps:
             for k in range(rp.shape[0]):
                 rp[k] = z
+        for k in range(rb.shape[0]):
+            rb[k] = z
         for k in range(sums.shape[0]):
             sums[k] = z
 
@@ -111,9 +128,12 @@ def _fused_kernel(params, value_ref, init_ref, out_refs, carry, rv, rf, rq,
         out_refs[1][j] = filt
         out_refs[2][j] = mdev
         out_refs[3][j] = avg
+        # modulation depth (NfcTech.cpp:71-74), fused to save an XLA pass
+        clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
+        out_refs[4][j] = (new_env - clamped) / new_env
 
         # raw-value boxes
-        o = 4
+        o = 5
         s = 0
         slot_v = jax.lax.rem(t, RV_RING)
         for w in BV_WIDTHS:
@@ -148,6 +168,23 @@ def _fused_kernel(params, value_ref, init_ref, out_refs, carry, rv, rf, rq,
             o += 1
             s += 1
         rf[slot_f] = filt
+
+        # NFC-A detect masks from box-value rings (frontend.py SD formula):
+        # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
+        slot_b = jax.lax.rem(t, RB_RING)
+        power_ok = new_env >= power_thr
+        min_corr = corr_thr * new_env
+        for r, (d, gap, p2, widx) in enumerate(A_RATES):
+            base = r * RB_RING
+            # store first: rate 0 has d == 0 and reads the current box value
+            rb[base + slot_b] = sums[widx]
+            b0 = rb[base + jax.lax.rem(t - d + RB_RING, RB_RING)]
+            bg = rb[base + jax.lax.rem(t - d - gap + 2 * RB_RING, RB_RING)]
+            b1 = rb[base + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr)
+            out_refs[o][j] = mask.astype(jnp.float32)
+            o += 1
         return 0
 
     jax.lax.fori_loop(0, TILE, body, 0)
@@ -171,7 +208,7 @@ class _View:
 
 
 @functools.lru_cache(maxsize=4)
-def _jitted(params, g: int, t: int):
+def _jitted(params, mask_params, g: int, t: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -191,10 +228,10 @@ def _jitted(params, g: int, t: int):
         out_refs = [
             _View(r) for r in rest[:N_OUT]
         ]
-        carry, rv, rf, rq, rp0, rp1, rp2, sums = rest[N_OUT:]
+        carry, rv, rf, rq, rp0, rp1, rp2, rb, sums = rest[N_OUT:]
         _fused_kernel(
-            params, _View(value_ref), _View(init_ref), out_refs, carry,
-            rv, rf, rq, rp0, rp1, rp2, sums,
+            params, mask_params, _View(value_ref), _View(init_ref), out_refs,
+            carry, rv, rf, rq, rp0, rp1, rp2, rb, sums,
         )
 
     out_shape = [jax.ShapeDtypeStruct((g, t, 8, 128), jnp.float32)] * N_OUT
@@ -214,6 +251,7 @@ def _jitted(params, g: int, t: int):
                 pltpu.VMEM((RP_RINGS[0], 8, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[1], 8, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[2], 8, 128), jnp.float32),
+                pltpu.VMEM((len(A_RATES) * RB_RING, 8, 128), jnp.float32),
                 pltpu.VMEM((n_sums, 8, 128), jnp.float32),
             ],
         )(value, init)
@@ -222,15 +260,22 @@ def _jitted(params, g: int, t: int):
 
 
 OUTPUT_NAMES = (
-    ["envelope", "filtered", "deviation", "average"]
+    ["envelope", "filtered", "deviation", "average", "mod_depth"]
     + [f"bv{w}" for w in BV_WIDTHS]
     + [f"q{w}" for w in Q_WIDTHS]
     + [f"p{lag}x{box}" for lag, box in PB]
+    + [f"mask_a_{r}" for r in range(len(A_RATES))]
 )
 
 
-def fused_frontend(value, params):
-    """value: [B, T], B % 1024 == 0, T % TILE == 0 -> dict of [B, T] f32."""
+def fused_frontend(value, params, native_layout=False,
+                   mask_params=(0.01, 0.75)):
+    """value: [B, T], B % 1024 == 0, T % TILE == 0.
+
+    native_layout=False: dict of [B, T] f32 (pays one transpose per output).
+    native_layout=True:  dict of [g, t, 8, 128] f32 (kernel-native tiling;
+    stream b lives at [b // 1024, :, (b % 1024) // 128, b % 128]).
+    mask_params: (power_level_threshold, nfca_correlation_threshold)."""
     import jax.numpy as jnp
 
     b, t = value.shape
@@ -238,8 +283,9 @@ def fused_frontend(value, params):
     g = b // LANES
     vt = jnp.asarray(value, jnp.float32).reshape(g, 8, 128, t).transpose(0, 3, 1, 2)
     init = jnp.zeros((g, 5, 8, 128), jnp.float32)
-    outs = _jitted(params, g, t)(vt, init)
+    mp = (np.float32(mask_params[0]), np.float32(mask_params[1]))
+    outs = _jitted(params, mp, g, t)(vt, init)
     res = {}
     for name, o in zip(OUTPUT_NAMES, outs):
-        res[name] = o.transpose(0, 2, 3, 1).reshape(b, t)
+        res[name] = o if native_layout else o.transpose(0, 2, 3, 1).reshape(b, t)
     return res
