@@ -40,6 +40,7 @@ import numpy as np
 
 LANES = 1024
 TILE = 64
+UNROLL = True
 
 # 10 MS/s window set
 BV_WIDTHS = (12, 24, 47, 94)
@@ -187,7 +188,11 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
             o += 1
         return 0
 
-    jax.lax.fori_loop(0, TILE, body, 0)
+    if UNROLL:
+        for j in range(TILE):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, TILE, body, 0)
 
 
 class _View:
@@ -240,6 +245,9 @@ def _jitted(params, mask_params, g: int, t: int):
         return pl.pallas_call(
             kernel,
             grid=(g, n_t),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             in_specs=[tile_spec, init_spec],
             out_specs=[tile_spec] * N_OUT,
             out_shape=out_shape,

@@ -130,6 +130,82 @@ class RadioSourceTask(Task):
         self.update_status("complete", samples=self.throughput.total)
 
 
+class LiveRadioSourceTask(Task):
+    """Live SDR capture -> radio.signal.iq + radio.signal.raw.
+
+    Drives a native-bridge device (loopback / rtltcp / vendor drivers) via
+    hw.sdr.NativeSdrDevice: the bridge's reader thread queues float blocks,
+    this task drains them, converts interleaved IQ to magnitude
+    (RadioDeviceTask.cpp:560-660 role), runs the software AGC, and publishes
+    both streams.  `config` maps param ids -> values applied before start
+    (RadioDeviceTask.cpp `setup`)."""
+
+    def __init__(self, ident: str, config: dict | None = None,
+                 duration_blocks: int | None = None):
+        super().__init__("worker.LiveRadioSource", "radio.receiver")
+        self.ident = ident
+        self.config = dict(config or {})
+        self.duration_blocks = duration_blocks
+        self.iq_stream = Subject.name("radio.signal.iq")
+        self.raw_stream = Subject.name("radio.signal.raw")
+        self.agc = SoftwareAgc()
+        self._avrg = 0.0
+
+    def run(self):
+        from ..hw.device import PARAM_SAMPLE_RATE
+        from ..hw.sdr import NativeSdrDevice
+
+        dev = NativeSdrDevice(self.ident)
+        if not dev.open():
+            self.update_status("absent")
+            self.raw_stream.next(SignalBuffer.eof(0))
+            return
+        for param, value in self.config.items():
+            dev.set(param, value)
+        rate = int(dev.get(PARAM_SAMPLE_RATE, 10_000_000))
+        dev.start()
+        self.update_status("streaming")
+        offset = 0
+        blocks = 0
+        is_iq = self.ident.startswith("rtltcp")
+        while not self.terminated:
+            block = dev.read(timeout=0.25)
+            if block is None:
+                continue
+            if is_iq:
+                iq = SignalBuffer(
+                    block, rate, offset,
+                    signal_type=SignalType.SIGNAL_TYPE_RADIO_IQ,
+                )
+                mag, power, self._avrg = iq_to_magnitude(block, self._avrg)
+                self.iq_stream.next(iq)
+                raw = SignalBuffer(
+                    mag, rate, offset,
+                    signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+                )
+                offset += len(mag)
+                self.raw_stream.next(raw)
+                self.agc.update(self._avrg, offset, len(mag))
+            else:
+                raw = SignalBuffer(
+                    block, rate, offset,
+                    signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+                )
+                offset += len(block)
+                self.raw_stream.next(raw)
+            self.throughput.update(len(block))
+            blocks += 1
+            if self.duration_blocks and blocks >= self.duration_blocks:
+                break
+        dev.stop()
+        dev.close()
+        self.iq_stream.next(SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ))
+        self.raw_stream.next(SignalBuffer.eof(rate))
+        self.update_status(
+            "complete", samples=self.throughput.total, lost=dev.samples_lost
+        )
+
+
 class RadioDecoderTask(Task):
     """radio.signal.raw -> radio.decoder.frame (RadioDecoderTask parity).
 

@@ -1,0 +1,77 @@
+"""On-TPU validation of the fused Pallas frontend.
+
+Compares the fused kernel (dsp/pallas/fused_frontend) against the unfused
+XLA frontend (dsp/frontend.make_frontend) on random bursty input:
+
+- conditioning outputs (envelope/filtered/deviation/average/mod_depth) must
+  be bit-exact;
+- NFC-A detect masks may differ only within the documented f32 running-sum
+  roundoff family (box integrators accumulate in f32 like the reference's
+  own ring integrators, the XLA path derives boxes from a cumsum) — bounded
+  at 1e-4 of bits.
+
+Exit code 0 = pass.  Run standalone (needs the TPU; tests invoke it via
+subprocess because the pytest session pins JAX to CPU).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    os.makedirs(".jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if jax.devices()[0].platform == "cpu":
+        print("SKIP: no TPU device")
+        return 0
+
+    from nfclab.core.params import SignalParams
+    from nfclab.dsp.frontend import make_frontend, make_fused_frontend
+
+    params = SignalParams(10_000_000)
+    rng = np.random.default_rng(42)
+    B, T = 1024, 4096
+    x = (rng.random((B, T), dtype=np.float32) * 0.4 + 0.01).astype(np.float32)
+    x[:, 1000:1100] *= 0.05
+    x[:, 2000:2100] *= 0.3
+
+    ref = jax.jit(make_frontend(params))(x)
+    fused = make_fused_frontend(params, native_layout=False)(x)
+
+    failures = []
+    for name in ("envelope", "filtered", "deviation", "average", "mod_depth"):
+        a = np.asarray(ref[name])
+        b = np.asarray(fused[name])
+        if not np.array_equal(a, b, equal_nan=True):
+            failures.append(f"{name}: not bit-exact "
+                            f"(maxdiff {np.nanmax(np.abs(a - b)):.3e})")
+        else:
+            print(f"{name}: bit-exact")
+
+    for r in range(3):
+        a = np.asarray(ref[f"mask_a_{r}"]).astype(np.float32)
+        b = np.asarray(fused[f"mask_a_{r}"])
+        diff = int(np.sum(a != b))
+        frac = diff / a.size
+        print(f"mask_a_{r}: {diff}/{a.size} bits differ ({frac:.2e})")
+        if frac > 1e-4:
+            failures.append(f"mask_a_{r}: {frac:.2e} of bits differ (>1e-4)")
+
+    if failures:
+        print("FAIL:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

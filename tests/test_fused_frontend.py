@@ -1,0 +1,41 @@
+"""Fused Pallas frontend validation (TPU only; subprocess because the pytest
+session pins JAX to CPU, where the TPU Pallas kernel cannot run)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _tpu_available() -> bool:
+    probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; print(jax.devices()[0].platform)",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    return probe.returncode == 0 and "cpu" not in probe.stdout
+
+
+@pytest.mark.skipif(
+    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
+    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+)
+def test_fused_frontend_matches_unfused_on_tpu():
+    if not _tpu_available():
+        pytest.skip("no TPU device")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "nfclab.tools.validate_fused"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr

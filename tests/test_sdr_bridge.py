@@ -1,0 +1,166 @@
+"""Native SDR bridge: loopback driver + rtl_tcp network client against a
+mock rtl_tcp server (protocol: 12-byte RTL0 header, 5-byte BE commands,
+unsigned 8-bit IQ stream)."""
+
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nfclab.hw.device import (
+    PARAM_GAIN_MODE,
+    PARAM_GAIN_VALUE,
+    PARAM_SAMPLE_RATE,
+    PARAM_TUNE_FREQUENCY,
+    DeviceFactory,
+)
+from nfclab.hw.sdr import NativeSdrDevice
+
+
+def _native_ok():
+    from nfclab.native.binding import native_available
+
+    return native_available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_ok(), reason="native library unavailable"
+)
+
+
+class MockRtlTcpServer:
+    """Minimal rtl_tcp server: header, command capture, deterministic IQ."""
+
+    def __init__(self, n_bytes: int = 3 * 65536):
+        self.commands = []
+        self.n_bytes = n_bytes
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.payload = (np.arange(n_bytes) % 256).astype(np.uint8)
+        self.thread.start()
+
+    def _serve(self):
+        conn, _ = self.sock.accept()
+        conn.settimeout(5.0)
+        # header: magic + tuner type (R820T=5) + gain count
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+        # stream payload in chunks, polling for commands throughout (the
+        # whole payload may fit in kernel buffers before the client even
+        # issues its set-param commands)
+        conn.setblocking(False)
+        sent = 0
+        pending = b""
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                pending += conn.recv(1024)
+            except (BlockingIOError, InterruptedError):
+                pass
+            while len(pending) >= 5:
+                op = pending[0]
+                arg = struct.unpack(">I", pending[1:5])[0]
+                self.commands.append((op, arg))
+                pending = pending[5:]
+            if sent < self.n_bytes:
+                try:
+                    sent += conn.send(
+                        self.payload[sent : sent + 16384].tobytes()
+                    )
+                except (BlockingIOError, InterruptedError):
+                    time.sleep(0.01)
+            elif len(self.commands) >= 4:
+                break
+            else:
+                time.sleep(0.01)
+        # keep the socket open briefly so the client drains everything
+        time.sleep(0.5)
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+
+def test_loopback_capture():
+    dev = NativeSdrDevice("loopback://test")
+    assert dev.open()
+    assert dev.set(PARAM_SAMPLE_RATE, 10e6)
+    assert dev.get(PARAM_SAMPLE_RATE) == 10e6
+    assert dev.start()
+    block = dev.read(timeout=2.0)
+    assert block is not None and len(block) > 0
+    assert dev.stop()
+    dev.close()
+
+
+def test_factory_enumerates_loopback():
+    idents = DeviceFactory.enumerate("loopback")
+    assert "loopback://test" in idents
+    dev = DeviceFactory.new_instance("loopback://test")
+    assert isinstance(dev, NativeSdrDevice)
+
+
+def test_rtltcp_client_against_mock_server():
+    server = MockRtlTcpServer()
+    dev = NativeSdrDevice(f"rtltcp://127.0.0.1:{server.port}")
+    assert dev.open()
+    # driver info from the header
+    assert dev.get(2001) == 5  # tuner type
+    assert dev.get(2002) == 29  # gain count
+
+    assert dev.set(PARAM_SAMPLE_RATE, 3_200_000)
+    assert dev.set(PARAM_TUNE_FREQUENCY, 27_120_000)
+    assert dev.set(PARAM_GAIN_MODE, 1)
+    assert dev.set(PARAM_GAIN_VALUE, 49.6)
+
+    assert dev.start()
+    got = []
+    deadline = time.time() + 8
+    while sum(len(b) for b in got) < server.n_bytes and time.time() < deadline:
+        block = dev.read(timeout=2.0)
+        if block is not None:
+            got.append(block)
+    assert dev.stop()
+    dev.close()
+
+    samples = np.concatenate(got)[: server.n_bytes]
+    assert len(samples) == server.n_bytes
+    # 8-bit -> float conversion: (x - 127.5) / 127.5
+    expect = (server.payload.astype(np.float32) - 127.5) / 127.5
+    np.testing.assert_array_equal(samples, expect)
+
+    # the protocol commands arrived with BE-encoded arguments
+    cmds = dict(server.commands)
+    assert cmds[0x02] == 3_200_000
+    assert cmds[0x01] == 27_120_000
+    assert cmds[0x03] == 1
+    assert cmds[0x04] == 496
+
+
+def test_live_pipeline_loopback():
+    """Loopback capture flows through the live source task into the stream
+    bus (carrier-only signal; decoder sees a steady field)."""
+    from nfclab.runtime.pipeline import Executor, LiveRadioSourceTask
+    from nfclab.runtime.subject import Subject
+
+    got = []
+    Subject.name("radio.signal.raw").subscribe(got.append, replay=False)
+    task = LiveRadioSourceTask("loopback://test", duration_blocks=3)
+    ex = Executor(pool_size=1)
+    ex.submit(task)
+    deadline = time.time() + 10
+    while time.time() < deadline and sum(
+        b.elements for b in got if b is not None and b.valid
+    ) < 3 * 65536:
+        time.sleep(0.05)
+    ex.shutdown()
+    blocks = [b for b in got if b is not None and b.valid]
+    assert sum(b.elements for b in blocks) >= 3 * 65536
+    assert blocks[0].sample_rate == 10_000_000
+    # loopback emits a steady ~0.35 carrier envelope
+    assert abs(float(np.mean(blocks[0].data)) - 0.35) < 0.01
