@@ -144,6 +144,65 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    """Live capture + decode (app-rx's receiver role, main.cpp:189-345):
+    a native-bridge SDR device streams into the incremental decoder; frames
+    print as they complete."""
+    import queue as _queue
+
+    from ..hw.device import (
+        PARAM_GAIN_MODE,
+        PARAM_GAIN_VALUE,
+        PARAM_SAMPLE_RATE,
+        PARAM_TUNE_FREQUENCY,
+    )
+    from ..runtime.pipeline import (
+        Executor,
+        LiveRadioSourceTask,
+        RadioDecoderTask,
+    )
+    from ..runtime.subject import Subject
+
+    config = {PARAM_SAMPLE_RATE: args.sample_rate}
+    if args.frequency:
+        config[PARAM_TUNE_FREQUENCY] = args.frequency
+    if args.gain is not None:
+        config[PARAM_GAIN_MODE] = 1
+        config[PARAM_GAIN_VALUE] = args.gain
+
+    frames: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames.put, replay=False)
+
+    source = LiveRadioSourceTask(
+        args.device, config, duration_blocks=args.blocks
+    )
+    decoder = RadioDecoderTask(
+        enable_nfca=not args.disable_nfca,
+        enable_nfcb=not args.disable_nfcb,
+        enable_nfcf=not args.disable_nfcf,
+        enable_nfcv=not args.disable_nfcv,
+        power_level_threshold=args.power_threshold,
+    )
+    ex = Executor(pool_size=2)
+    ex.submit(decoder)
+    ex.submit(source)
+
+    count = 0
+    try:
+        while True:
+            frame = frames.get(timeout=args.timeout)
+            if frame is None:  # EOF
+                break
+            print(frame_json(frame) if args.json else frame_text(frame))
+            count += 1
+    except (_queue.Empty, KeyboardInterrupt):
+        pass
+    finally:
+        ex.shutdown()
+    print(f"# {count} frames", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nfclab-decode")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -160,6 +219,22 @@ def main(argv=None) -> int:
             "--conditioner", choices=("native", "jax"), default="native"
         )
         p.set_defaults(fn=fn)
+    p = sub.add_parser("live", help="live SDR capture + decode")
+    p.add_argument("device", help="loopback://test | rtltcp://host:port")
+    p.add_argument("--json", "-j", action="store_true")
+    p.add_argument("--sample-rate", type=float, default=10_000_000)
+    p.add_argument("--frequency", type=float, default=27_120_000)
+    p.add_argument("--gain", type=float, default=None)
+    p.add_argument("--blocks", type=int, default=None,
+                   help="stop after N capture blocks (default: run until ^C)")
+    p.add_argument("--timeout", type=float, default=5.0,
+                   help="idle seconds before exiting")
+    p.add_argument("--disable-nfca", action="store_true")
+    p.add_argument("--disable-nfcb", action="store_true")
+    p.add_argument("--disable-nfcf", action="store_true")
+    p.add_argument("--disable-nfcv", action="store_true")
+    p.add_argument("--power-threshold", type=float, default=0.01)
+    p.set_defaults(fn=cmd_live)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -40,7 +40,7 @@ import numpy as np
 
 LANES = 1024
 TILE = 64
-UNROLL = True
+UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
 
 # 10 MS/s window set
 BV_WIDTHS = (12, 24, 47, 94)

@@ -272,19 +272,29 @@ static int rtltcp_start(void *dev, nfclab_stream_cb cb, void *user)
     if (d->running.exchange(true))
         return -1;
     d->worker = std::thread([d, cb, user] {
-        std::vector<uint8_t> raw(65536);
-        std::vector<float> block(65536);
+        std::vector<uint8_t> raw(65537);
+        std::vector<float> block(65537);
+        size_t held = 0;  // carry an odd byte so IQ pairs stay aligned
         while (d->running.load()) {
-            const ssize_t r = recv(d->fd, raw.data(), raw.size(), 0);
+            const ssize_t r =
+                recv(d->fd, raw.data() + held, raw.size() - held, 0);
             if (r <= 0) {
                 if (d->running.load())
                     continue;  // timeout; poll the running flag
                 break;
             }
-            for (ssize_t i = 0; i < r; i++)
+            size_t avail = held + static_cast<size_t>(r);
+            const size_t usable = avail & ~size_t(1);
+            for (size_t i = 0; i < usable; i++)
                 block[i] = (raw[i] - 127.5f) / 127.5f;
-            cb(block.data(), static_cast<int64_t>(r), d->offset, user);
-            d->offset += r;
+            if (usable) {
+                cb(block.data(), static_cast<int64_t>(usable), d->offset,
+                   user);
+                d->offset += static_cast<int64_t>(usable);
+            }
+            held = avail - usable;
+            if (held)
+                raw[0] = raw[usable];
         }
     });
     return 0;

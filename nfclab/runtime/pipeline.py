@@ -177,7 +177,9 @@ class LiveRadioSourceTask(Task):
                     block, rate, offset,
                     signal_type=SignalType.SIGNAL_TYPE_RADIO_IQ,
                 )
-                mag, power, self._avrg = iq_to_magnitude(block, self._avrg)
+                mag, power, self._avrg = iq_to_magnitude(
+                    block.reshape(-1, 2), self._avrg
+                )
                 self.iq_stream.next(iq)
                 raw = SignalBuffer(
                     mag, rate, offset,
