@@ -40,6 +40,7 @@ _NFCA_CMDS = {
 }
 
 _NFCV_CMDS = {
+    # standard (ISO/IEC 15693-3)
     0x01: "INVENTORY",
     0x02: "STAY_QUIET",
     0x20: "READ_SINGLE",
@@ -55,15 +56,53 @@ _NFCV_CMDS = {
     0x2A: "LOCK_DSFID",
     0x2B: "GET_SYSTEM_INFO",
     0x2C: "GET_SECURITY_STATUS",
+    0x2D: "FAST_READ_MULTIPLE",
+    # extended addressing
+    0x30: "EXT_READ_SINGLE",
+    0x31: "EXT_WRITE_SINGLE",
+    0x32: "EXT_LOCK_SINGLE",
+    0x33: "EXT_READ_MULTIPLE",
+    0x34: "EXT_WRITE_MULTIPLE",
+    0x35: "AUTHENTICATE",
+    0x39: "CHALLENGE",
+    0x3A: "READ_BUFFER",
+    0x3B: "EXT_GET_SYSTEM_INFO",
+    0x3C: "EXT_GET_SECURITY_STATUS",
+    0x3D: "FAST_EXT_READ_MULTIPLE",
+    # vendor fast commands
+    0xC0: "FAST_READ_SINGLE",
+    0xC1: "WRITE_CONFIGURATION",
+    0xC2: "PICK_RANDOM_UID",
+    0xC3: "FAST_READ_MULTIPLE_BLOCKS",
 }
 
+# NFC-V response error codes (ISO 15693-3 table 4)
+_NFCV_ERRORS = {
+    0x01: "NOT_SUPPORTED",
+    0x02: "NOT_RECOGNIZED",
+    0x0F: "UNKNOWN",
+    0x10: "BLOCK_NOT_AVAILABLE",
+    0x11: "ALREADY_LOCKED",
+    0x12: "LOCKED",
+    0x13: "NOT_PROGRAMMED",
+    0x14: "NOT_LOCKED",
+}
+
+# FeliCa command codes (JIS X 6319-4 / Sony spec numbering)
 _FELICA_CMDS = {
     0x00: "POLLING",
     0x02: "REQUEST_SERVICE",
     0x04: "REQUEST_RESPONSE",
     0x06: "READ_WITHOUT_ENCRYPTION",
     0x08: "WRITE_WITHOUT_ENCRYPTION",
+    0x0A: "SEARCH_SERVICE_CODE",
     0x0C: "REQUEST_SYSTEM_CODE",
+    0x10: "AUTHENTICATION1",
+    0x12: "AUTHENTICATION2",
+    0x14: "READ_SECURE",
+    0x16: "WRITE_SECURE",
+    0x3C: "REQUEST_SPEC_VERSION",
+    0x3E: "RESET_MODE",
 }
 
 
@@ -100,8 +139,13 @@ def detect_command(frame: Frame) -> str | None:
         return None
     if tech == int(FrameTech.NfcFTech) and len(data) > 1:
         return _FELICA_CMDS.get(data[1]) if poll else None
-    if tech == int(FrameTech.NfcVTech) and poll and len(data) > 1:
-        return _NFCV_CMDS.get(data[1])
+    if tech == int(FrameTech.NfcVTech):
+        if poll and len(data) > 1:
+            return _NFCV_CMDS.get(data[1])
+        if not poll and len(data) >= 1 and data[0] & 0x01:
+            # response error flag set; name the error code when present
+            err = _NFCV_ERRORS.get(data[1]) if len(data) > 1 else None
+            return f"ERROR({err})" if err else "ERROR"
     if tech == int(FrameTech.Iso7816Tech):
         if frame.frame_type == int(FrameType.IsoATRFrame):
             return "ATR"
