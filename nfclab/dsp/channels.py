@@ -73,43 +73,94 @@ class LazyChannels:
     channel after ``rebind()`` to a longer stream extends it in place over
     the new tail only.  Entries:
 
-    ``{"arr": capacity buffer, "n": filled length, "acc": f64 carry,
-       "idx": index array or None, "scanned": clocks scanned for idx}``
+    ``{"arr": capacity buffer (physical window), "n": ABSOLUTE filled clock,
+       "acc": f64 carry, "idx": absolute index array, "scanned": absolute
+       clocks scanned for idx, "extend": re-entrant extender}``
+
+    Windowed mode (``base > 0``): physical buffers hold only clocks
+    ``[base, n)``; getters return :class:`StreamView` so FSMs keep absolute
+    indexing, and native kernels receive virtual pointers.  ``rebind`` with
+    an advanced base first extends every entry to the current stream end
+    (running-sum carries stay continuous), then shifts the windows.
     """
 
     def __init__(self, cond):
         self.cond = cond
+        self.base = 0
         self._cache: dict = {}
 
     @property
     def n(self) -> int:
         return len(self.cond.value)
 
-    def rebind(self, cond):
+    def rebind(self, cond, base: int | None = None):
         """Point at the grown conditioned stream (values for already-filled
-        prefixes must be unchanged); cached channels extend lazily."""
+        clocks must be unchanged); cached channels extend lazily.  When the
+        stream window advanced (`base`), entries are brought current and
+        their physical windows shifted."""
         self.cond = cond
+        if base is None or base == self.base:
+            return
+        assert base > self.base
+        # bring every extendable entry current under the old base
+        for ent in list(self._cache.values()):
+            if isinstance(ent, dict) and ent.get("extend") is not None:
+                ent["extend"]()
+        delta = base - self.base
+        for ent in self._cache.values():
+            if not isinstance(ent, dict):
+                continue
+            arr = ent.get("arr")
+            if arr is not None and ent["n"] > self.base:
+                keep = ent["n"] - base
+                if keep > 0:
+                    arr[:keep] = arr[delta : delta + keep]
+            idx = ent.get("idx")
+            k = ent.get("idx_n", 0)
+            if idx is not None and k:
+                cut = int(np.searchsorted(idx[:k], base))
+                if cut:
+                    idx[: k - cut] = idx[cut:k]
+                    ent["idx_n"] = k - cut
+        self.base = base
 
     # ------------------------------------------------------- entry management
 
     def _entry(self, key, dtype=np.float32):
         from ..native.binding import alloc_array
 
+        window = self.n - self.base
         ent = self._cache.get(key)
         if ent is None:
+            if self.base > 0:
+                raise RuntimeError(
+                    f"channel {key} first created after the stream window "
+                    "advanced; warm decode channels at stream start "
+                    "(StreamingNfcDecoder does this when windowing is on)"
+                )
             ent = {
-                "arr": alloc_array(max(self.n, 4096), dtype),
-                "n": 0,
+                "arr": alloc_array(max(window, 4096), dtype),
+                "n": self.base,
                 "acc": np.zeros(1, np.float64),
                 "idx": None,
-                "scanned": 0,
+                "scanned": self.base,
+                "extend": None,
             }
             self._cache[key] = ent
-        if len(ent["arr"]) < self.n:
-            new = alloc_array(max(self.n, len(ent["arr"]) * 2), dtype)
-            new[: ent["n"]] = ent["arr"][: ent["n"]]
+        if len(ent["arr"]) < window:
+            new = alloc_array(max(window, len(ent["arr"]) * 2), dtype)
+            filled = max(0, ent["n"] - self.base)
+            new[:filled] = ent["arr"][:filled]
             ent["arr"] = new
         return ent
+
+    def _ret(self, ent):
+        """Channel view for FSM consumption (absolute clock addressing)."""
+        from ..core.streamview import StreamView
+
+        if self.base == 0:
+            return ent["arr"][: self.n]
+        return StreamView(ent["arr"][: self.n - self.base], self.base)
 
     @staticmethod
     def _append_idx(ent, new_idx: np.ndarray, scanned: int):
@@ -122,7 +173,7 @@ class LazyChannels:
         need = k + len(new_idx)
         if buf is None or len(buf) < need:
             cap = max(need, 1024, 0 if buf is None else len(buf) * 2)
-            new = alloc_array(cap, np.int32)
+            new = alloc_array(cap, np.int64)
             if k:
                 new[:k] = buf[:k]
             ent["idx"] = buf = new
@@ -133,17 +184,20 @@ class LazyChannels:
 
     # ----------------------------------------------------------- box channels
 
-    def _box_chan(self, key, kind: str, width: int, lag: int = 0) -> np.ndarray:
+    def _box_chan(self, key, kind: str, width: int, lag: int = 0):
         ent = self._entry(key)
+        if ent["extend"] is None:
+            ent["extend"] = lambda: self._box_chan(key, kind, width, lag)
         n = self.n
         if ent["n"] < n:
             src = self.cond.value if kind == "sum" else self.cond.filtered
             nb = _native()
             if nb is not None:
                 nb.box_ext_native(kind, src, ent["n"], n, width, lag,
-                                  ent["acc"], ent["arr"])
+                                  ent["acc"], ent["arr"], self.base)
             else:
-                # numpy full recompute (no carry; only used without g++)
+                # numpy full recompute (no carry; only used without g++,
+                # where windowing never activates)
                 if kind == "sum":
                     full = box_sum(src, width)
                 elif kind == "sq":
@@ -157,7 +211,7 @@ class LazyChannels:
                     full = box_sum(prod, width)
                 ent["arr"][:n] = full
             ent["n"] = n
-        return ent["arr"][:n]
+        return self._ret(ent)
 
     def box_value(self, p2: int) -> np.ndarray:
         return self._box_chan(("bv", p2), "sum", p2)
@@ -170,27 +224,33 @@ class LazyChannels:
 
     # ------------------------------------------------------- derived channels
 
-    def _derived(self, key, build_tail) -> np.ndarray:
+    def _derived(self, key, build_tail):
         """Dense channel derived elementwise from box channels; build_tail
-        (arr, start, n) fills [start, n) (values are position-pure, so tail
-        recompute equals full recompute)."""
+        (arr, start, n) fills absolute clocks [start, n) through a
+        StreamView (values are position-pure, so tail recompute equals full
+        recompute).  build_tail must re-fetch its source channels itself so
+        the stored extender never sees stale views."""
+        from ..core.streamview import StreamView
+
         ent = self._entry(key)
+        if ent["extend"] is None:
+            ent["extend"] = lambda: self._derived(key, build_tail)
         n = self.n
         if ent["n"] < n:
-            build_tail(ent["arr"], ent["n"], n)
+            build_tail(StreamView(ent["arr"], self.base), ent["n"], n)
             ent["n"] = n
-        return ent["arr"][:n]
+        return self._ret(ent)
 
     def corr_s0_dense(self, br) -> np.ndarray:
         """Dense listen-ASK S0(t) by decoder clock: S0 = Bq(t-d) - Bq(t-d-(p1-p2))
         with Bq the squared-filtered box channel (NfcA.cpp:963-973).  Zero below
         the first clock with a full window history."""
-        bq = self.box_sq(br.period2)
         d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
         lo = d + p1
         gap = p1 - p2
 
         def tail(arr, start, n):
+            bq = self.box_sq(p2)
             s = max(start, lo)
             arr[start:s] = 0.0
             arr[s:n] = bq[s - d : n - d] - bq[s - d - gap : n - d - gap]
@@ -200,10 +260,11 @@ class LazyChannels:
     def bpsk_dense(self, br) -> np.ndarray:
         """Dense BPSK phase window PB4 by decoder clock: PB4(t) indexed so that
         phaseIntegrate(t) = PB4[t] - PB4[guardEnd-1] (NfcA.cpp:1243-1266)."""
-        pb = self.box_bpsk(br.period1, br.period4)
         d = br.symbol_delay_detect
+        p1, p4 = br.period1, br.period4
 
         def tail(arr, start, n):
+            pb = self.box_bpsk(p1, p4)
             s = max(start, d)
             arr[start:s] = 0.0
             arr[s:n] = pb[s - d : n - d]
@@ -214,12 +275,12 @@ class LazyChannels:
         """NFC-V listen channel by decoder clock (NfcV.cpp:825-835): the
         squared-filtered signal box-summed over a FULL symbol (p1) in a
         p0-cycle ring, so S0(t) = B1q(t-d-(p0-p1)) - B1q(t-d)."""
-        b1q = self.box_sq(br.period1)
         d, p0, p1 = br.symbol_delay_detect, br.period0, br.period1
         lo = d + p0
         gap = p0 - p1
 
         def tail(arr, start, n):
+            b1q = self.box_sq(p1)
             s = max(start, lo)
             arr[start:s] = 0.0
             arr[s:n] = b1q[s - d - gap : n - d - gap] - b1q[s - d : n - d]
@@ -238,7 +299,6 @@ class LazyChannels:
         nb = _native()
         if nb is None:
             return None
-        box = self.box_value(p2)
         key = (
             "sdidx",
             d,
@@ -251,7 +311,7 @@ class LazyChannels:
 
         def tail(start, n):
             return nb.detect_sd_idx_ext_native(
-                box,
+                self.box_value(p2),
                 self.cond.envelope,
                 start,
                 n,
@@ -268,18 +328,27 @@ class LazyChannels:
     # --------------------------------------------------------- index channels
 
     def _idx_chan(self, key, scan_tail) -> np.ndarray:
-        """Pure index set; scan_tail(start, n) returns new indices in
-        [start, n)."""
+        """Pure index set (absolute clocks); scan_tail(start, n) returns new
+        indices in [start, n)."""
         ent = self._cache.get(key)
         if ent is None:
-            ent = {"arr": None, "n": 0, "acc": None, "idx": None, "scanned": 0}
+            ent = {
+                "arr": None,
+                "n": self.base,
+                "acc": None,
+                "idx": None,
+                "scanned": self.base,
+                "extend": None,
+            }
             self._cache[key] = ent
+        if ent["extend"] is None:
+            ent["extend"] = lambda: self._idx_chan(key, scan_tail)
         n = self.n
         if ent["scanned"] < n:
             self._append_idx(ent, scan_tail(ent["scanned"], n), n)
         idx = ent["idx"]
         if idx is None:
-            return np.empty(0, np.int32)
+            return np.empty(0, np.int64)
         return idx[: ent["idx_n"]]
 
     def threshold_idx(self, src: str, thr, op: str) -> np.ndarray:
@@ -298,7 +367,7 @@ class LazyChannels:
                 m = seg >= thr
             else:
                 m = seg < thr
-            return (np.flatnonzero(m) + start).astype(np.int32)
+            return (np.flatnonzero(m) + start).astype(np.int64)
 
         return self._idx_chan(key, tail)
 
@@ -327,7 +396,7 @@ class LazyChannels:
                 )
             s = max(start, _WARMUP)
             if s >= n:
-                return np.empty(0, np.int32)
+                return np.empty(0, np.int64)
             if d:
                 shifted = np.zeros(n - s, np.float32)
                 lo = max(s, d)
@@ -335,7 +404,7 @@ class LazyChannels:
             else:
                 shifted = filt[s:n]
             mask = (env[s:n] >= power_thr) & (shifted < -(min_deep * env[s:n]))
-            return (np.flatnonzero(mask) + s).astype(np.int32)
+            return (np.flatnonzero(mask) + s).astype(np.int64)
 
         return self._idx_chan(key, tail)
 

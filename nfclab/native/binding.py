@@ -206,6 +206,54 @@ def new_stream_state() -> np.ndarray:
     return np.zeros(8, np.float64)
 
 
+def condition_stream_into(
+    value: np.ndarray, params, state: np.ndarray, bufs: dict, lo: int
+) -> int:
+    """Condition one block directly into the stream buffers at physical
+    offset `lo` (zero-copy variant of condition_stream for the windowed
+    streaming decoder — avoids fresh per-block output allocations, whose
+    first-touch page faults dominate on this VM).  Returns the block
+    length."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    value = np.ascontiguousarray(value, dtype=np.float32)
+    n = len(value)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def at(name, ptype):
+        arr = bufs[name]
+        addr = arr.ctypes.data + lo * arr.itemsize
+        return ctypes.cast(ctypes.c_void_p(addr), ptype)
+
+    bufs["value"][lo : lo + n] = value
+    lib.nfclab_condition_stream(
+        value.ctypes.data_as(f32p),
+        ctypes.c_int64(n),
+        ctypes.c_float(params.signal_enve_w0),
+        ctypes.c_float(params.signal_enve_w1),
+        ctypes.c_float(params.signal_mdev_w0),
+        ctypes.c_float(params.signal_mdev_w1),
+        ctypes.c_float(params.signal_mean_w0),
+        ctypes.c_float(params.signal_mean_w1),
+        ctypes.c_float(params.signal_iir_dc_a),
+        ctypes.c_int32(params.elementary_time_unit),
+        ctypes.c_float(params.signal_low_threshold),
+        ctypes.c_float(params.signal_high_threshold),
+        state.ctypes.data_as(f64p),
+        at("envelope", f32p),
+        at("filtered", f32p),
+        at("deviation", f32p),
+        at("average", f32p),
+        at("mod_depth", f32p),
+        at("edge_peak", f32p),
+        at("edge_time", u32p),
+    )
+    return n
+
+
 def condition_stream(value: np.ndarray, params, state: np.ndarray) -> Conditioned:
     """Incrementally condition one block, updating `state` in place — the
     streaming-exact variant of condition_exact (same math, explicit carry)."""
@@ -373,13 +421,13 @@ def box_bpsk_native(filt, lag, width):
 def detect_sd_idx_native(box, env, d, p1, p2, corr_thr, power_thr, signed_v):
     """Fused dense SD channel + threshold-crossing index collection
     (one pass; replaces the numpy sd/mask/flatnonzero pipeline).
-    Returns (sd f32[n], idx int32[count])."""
+    Returns (sd f32[n], idx int64[count])."""
     lib = _load()
     n = len(box)
     sd = np.empty(n, np.float32)
-    idx = np.empty(n, np.int32)
+    idx = np.empty(n, np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    i32p = ctypes.POINTER(ctypes.c_int64)
     fn = lib.nfclab_detect_sd_v if signed_v else lib.nfclab_detect_sd_af
     count = fn(
         box.ctypes.data_as(f32p),
@@ -400,9 +448,9 @@ def edge_mask_b_native(filt, env, d, min_deep, power_thr):
     """NFC-B falling-edge trigger indices (one pass)."""
     lib = _load()
     n = len(filt)
-    idx = np.empty(n, np.int32)
+    idx = np.empty(n, np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    i32p = ctypes.POINTER(ctypes.c_int64)
     count = lib.nfclab_edge_mask_b(
         filt.ctypes.data_as(f32p),
         env.ctypes.data_as(f32p),
@@ -418,14 +466,14 @@ def edge_mask_b_native(filt, env, d, min_deep, power_thr):
 def _collect_cmp(name, x, thr):
     lib = _load()
     n = len(x)
-    idx = np.empty(n, np.int32)
+    idx = np.empty(n, np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     count = getattr(lib, name)(
         x.ctypes.data_as(f32p),
         ctypes.c_int64(n),
         ctypes.c_float(float(thr)),
-        idx.ctypes.data_as(i32p),
+        idx.ctypes.data_as(i64p),
     )
     return idx[:count].copy()
 
@@ -445,14 +493,33 @@ def collect_lt_native(x, thr):
     return _collect_cmp("nfclab_collect_lt", x, thr)
 
 
-def box_ext_native(kind, src, start, n, width, lag, acc, arr):
-    """Extend a box channel over [start, n) continuing the f64 running sum
-    (bit-identical to a fresh full pass).  kind: 'sum' | 'sq' | 'bpsk'."""
+_scratch_i64: np.ndarray | None = None
+
+
+def _idx_scratch(n: int) -> np.ndarray:
+    """Reusable int64 scratch for index scans (fresh per-call allocations
+    page-fault on this VM; the scratch stays warm).  Contents are only valid
+    until the next scan — callers copy out immediately."""
+    global _scratch_i64
+    if _scratch_i64 is None or len(_scratch_i64) < n:
+        _scratch_i64 = alloc_array(max(n, 1 << 16), np.int64)
+    return _scratch_i64
+
+
+def box_ext_native(kind, src, start, n, width, lag, acc, arr, base=0):
+    """Extend a box channel over absolute clocks [start, n) continuing the
+    f64 running sum (bit-identical to a fresh full pass).  kind: 'sum' |
+    'sq' | 'bpsk'.  `base` is the stream-window origin: `src` may be a
+    StreamView and `arr` holds clocks [base, ...), so both are addressed
+    through virtual pointers the kernels index with absolute clocks."""
+    from ..core.streamview import as_f32_ptr
+
     lib = _load()
     f32p = ctypes.POINTER(ctypes.c_float)
     f64p = ctypes.POINTER(ctypes.c_double)
-    src_p = src.ctypes.data_as(f32p)
-    out_p = arr.ctypes.data_as(f32p)
+    src_p = as_f32_ptr(src)
+    out_addr = arr.ctypes.data - base * arr.itemsize
+    out_p = ctypes.cast(ctypes.c_void_p(out_addr), f32p)
     acc_p = acc.ctypes.data_as(f64p)
     if kind == "sum":
         lib.nfclab_box_sum_ext(
@@ -476,14 +543,16 @@ def detect_sd_idx_ext_native(
 ):
     """Extend the fused detect-index scan over [start, n); returns the new
     indices.  sd_arr is optional (the FSMs read SD on the fly from box)."""
+    from ..core.streamview import as_f32_ptr
+
     lib = _load()
-    idx = np.empty(max(n - start, 1), np.int32)
+    idx = _idx_scratch(max(n - start, 1))
     f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     fn = lib.nfclab_detect_sd_v_ext if signed_v else lib.nfclab_detect_sd_af_ext
     count = fn(
-        box.ctypes.data_as(f32p),
-        env.ctypes.data_as(f32p),
+        as_f32_ptr(box),
+        as_f32_ptr(env),
         ctypes.c_int64(n),
         ctypes.c_int64(start),
         ctypes.c_int32(d),
@@ -492,49 +561,51 @@ def detect_sd_idx_ext_native(
         ctypes.c_float(float(corr_thr)),
         ctypes.c_float(float(power_thr)),
         sd_arr.ctypes.data_as(f32p) if sd_arr is not None else None,
-        idx.ctypes.data_as(i32p),
+        idx.ctypes.data_as(i64p),
     )
-    return idx[:count].copy()
+    return idx[:count]  # scratch view; consume before the next scan
 
 
 def edge_mask_b_ext_native(filt, env, start, n, d, min_deep, power_thr):
     """NFC-B trigger indices over [start, n)."""
+    from ..core.streamview import as_f32_ptr
+
     lib = _load()
-    idx = np.empty(max(n - start, 1), np.int32)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    idx = _idx_scratch(max(n - start, 1))
+    i64p = ctypes.POINTER(ctypes.c_int64)
     count = lib.nfclab_edge_mask_b_ext(
-        filt.ctypes.data_as(f32p),
-        env.ctypes.data_as(f32p),
+        as_f32_ptr(filt),
+        as_f32_ptr(env),
         ctypes.c_int64(n),
         ctypes.c_int64(start),
         ctypes.c_int32(d),
         ctypes.c_float(float(min_deep)),
         ctypes.c_float(float(power_thr)),
-        idx.ctypes.data_as(i32p),
+        idx.ctypes.data_as(i64p),
     )
-    return idx[:count].copy()
+    return idx[:count]  # scratch view; consume before the next scan
 
 
 def collect_cmp_ext_native(x, start, n, thr, op):
     """Threshold indices over [start, n)."""
+    from ..core.streamview import as_f32_ptr
+
     lib = _load()
     name = {
         ">": "nfclab_collect_gt_ext",
         ">=": "nfclab_collect_ge_ext",
         "<": "nfclab_collect_lt_ext",
     }[op]
-    idx = np.empty(max(n - start, 1), np.int32)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    idx = _idx_scratch(max(n - start, 1))
+    i64p = ctypes.POINTER(ctypes.c_int64)
     count = getattr(lib, name)(
-        x.ctypes.data_as(f32p),
+        as_f32_ptr(x),
         ctypes.c_int64(n),
         ctypes.c_int64(start),
         ctypes.c_float(float(thr)),
-        idx.ctypes.data_as(i32p),
+        idx.ctypes.data_as(i64p),
     )
-    return idx[:count].copy()
+    return idx[:count]  # scratch view; consume before the next scan
 
 
 def threshold_indices(x, thr, op=">"):

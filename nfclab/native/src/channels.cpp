@@ -99,7 +99,7 @@ int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
                                 int64_t n, int64_t start,
                                 int32_t d, int32_t p1, int32_t p2,
                                 float corr_thr, float power_thr,
-                                float *sd_out, int32_t *idx_out)
+                                float *sd_out, int64_t *idx_out)
 {
     const int64_t lo = (int64_t)d + p1;
     const int64_t gap = p1 - p2;
@@ -118,7 +118,7 @@ int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
             sd_out[t] = sd;
         if (t >= 1024 && env[t] >= power_thr &&
             (sd < 0.0f ? -sd : sd) > corr_thr * env[t])
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
@@ -126,7 +126,7 @@ int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
 int64_t nfclab_detect_sd_af(const float *box, const float *env, int64_t n,
                             int32_t d, int32_t p1, int32_t p2,
                             float corr_thr, float power_thr,
-                            float *sd_out, int32_t *idx_out)
+                            float *sd_out, int64_t *idx_out)
 {
     return nfclab_detect_sd_af_ext(box, env, n, 0, d, p1, p2, corr_thr,
                                    power_thr, sd_out, idx_out);
@@ -138,7 +138,7 @@ int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
                                int64_t n, int64_t start,
                                int32_t d, int32_t p1, int32_t p2,
                                float corr_thr, float power_thr,
-                               float *sd_out, int32_t *idx_out)
+                               float *sd_out, int64_t *idx_out)
 {
     const int64_t lo = (int64_t)d + p1;
     const int64_t gap = p1 - p2;
@@ -153,7 +153,7 @@ int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
         if (sd_out)
             sd_out[t] = sd;
         if (t >= 1024 && env[t] >= power_thr && sd > corr_thr * env[t])
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
@@ -161,7 +161,7 @@ int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
 int64_t nfclab_detect_sd_v(const float *box, const float *env, int64_t n,
                            int32_t d, int32_t p1, int32_t p2,
                            float corr_thr, float power_thr,
-                           float *sd_out, int32_t *idx_out)
+                           float *sd_out, int64_t *idx_out)
 {
     return nfclab_detect_sd_v_ext(box, env, n, 0, d, p1, p2, corr_thr,
                                   power_thr, sd_out, idx_out);
@@ -172,21 +172,21 @@ int64_t nfclab_detect_sd_v(const float *box, const float *env, int64_t n,
 int64_t nfclab_edge_mask_b_ext(const float *filt, const float *env,
                                int64_t n, int64_t start, int32_t d,
                                float min_deep, float power_thr,
-                               int32_t *idx_out)
+                               int64_t *idx_out)
 {
     int64_t count = 0;
     const int64_t t0 = start > 1024 ? start : 1024;
     for (int64_t t = t0; t < n; t++) {
         const float shifted = (t >= d) ? filt[t - d] : 0.0f;
         if (env[t] >= power_thr && shifted < -(min_deep * env[t]))
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
 
 int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
                            int32_t d, float min_deep, float power_thr,
-                           int32_t *idx_out)
+                           int64_t *idx_out)
 {
     return nfclab_edge_mask_b_ext(filt, env, n, 0, d, min_deep, power_thr,
                                   idx_out);
@@ -194,52 +194,52 @@ int64_t nfclab_edge_mask_b(const float *filt, const float *env, int64_t n,
 
 // Generic threshold collectors: indices where x OP thr over [start, n).
 int64_t nfclab_collect_gt_ext(const float *x, int64_t n, int64_t start,
-                              float thr, int32_t *idx_out)
+                              float thr, int64_t *idx_out)
 {
     int64_t count = 0;
     for (int64_t t = start; t < n; t++) {
         if (x[t] > thr)
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
 
 int64_t nfclab_collect_ge_ext(const float *x, int64_t n, int64_t start,
-                              float thr, int32_t *idx_out)
+                              float thr, int64_t *idx_out)
 {
     int64_t count = 0;
     for (int64_t t = start; t < n; t++) {
         if (x[t] >= thr)
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
 
 int64_t nfclab_collect_lt_ext(const float *x, int64_t n, int64_t start,
-                              float thr, int32_t *idx_out)
+                              float thr, int64_t *idx_out)
 {
     int64_t count = 0;
     for (int64_t t = start; t < n; t++) {
         if (x[t] < thr)
-            idx_out[count++] = (int32_t)t;
+            idx_out[count++] = t;
     }
     return count;
 }
 
 int64_t nfclab_collect_gt(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+                          int64_t *idx_out)
 {
     return nfclab_collect_gt_ext(x, n, 0, thr, idx_out);
 }
 
 int64_t nfclab_collect_ge(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+                          int64_t *idx_out)
 {
     return nfclab_collect_ge_ext(x, n, 0, thr, idx_out);
 }
 
 int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
-                          int32_t *idx_out)
+                          int64_t *idx_out)
 {
     return nfclab_collect_lt_ext(x, n, 0, thr, idx_out);
 }

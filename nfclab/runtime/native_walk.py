@@ -59,7 +59,9 @@ _I32P = None
 
 
 def _ptr_f32(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    from ..core.streamview import as_f32_ptr
+
+    return as_f32_ptr(a)
 
 
 def _ptr_f64(a):

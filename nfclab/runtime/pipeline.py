@@ -214,8 +214,9 @@ class RadioDecoderTask(Task):
     Truly streaming: each block feeds the incremental decoder and completed
     frames are published immediately."""
 
-    def __init__(self, **decoder_kwargs):
+    def __init__(self, window: int | None = 1 << 21, **decoder_kwargs):
         super().__init__("worker.RadioDecoder", "radio.decoder")
+        self.window = window
         self.decoder_kwargs = decoder_kwargs
         self.frame_stream = Subject.name("radio.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
@@ -236,7 +237,9 @@ class RadioDecoderTask(Task):
             if not buf.valid:  # EOF marker
                 break
             if dec is None:
-                dec = StreamingNfcDecoder(buf.sample_rate, **self.decoder_kwargs)
+                dec = StreamingNfcDecoder(
+                    buf.sample_rate, window=self.window, **self.decoder_kwargs
+                )
             for frame in dec.feed(np.asarray(buf.data, np.float32)):
                 self.frame_stream.next(frame)
             self.throughput.update(buf.elements)

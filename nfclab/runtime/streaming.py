@@ -12,7 +12,14 @@ The reference decodes live streams buffer-by-buffer with carried state
   `bind_channels` per feed cost O(block));
 - the event walker resumes from its saved clock (`runtime.decoder.walk`
   returns the resume position, and every FSM already treats end-of-array as
-  "wait for more samples").
+  "wait for more samples");
+- with ``window=N`` the decoder keeps only the trailing N..2N samples of
+  every dense array: all FSM state and event indices stay in absolute
+  stream clocks, buffers are compacted by a memmove, channel caches shift
+  their windows in lockstep (`LazyChannels.rebind`), and native kernels
+  address the windows through virtual pointers — so an unbounded live
+  stream decodes in O(block) time AND O(window) memory (and, since the
+  window's pages stay resident, without fresh page faults).
 
 Frames are emitted as soon as their final symbol lands.
 """
@@ -44,8 +51,15 @@ _KEYS = (
 
 
 class StreamingNfcDecoder:
-    def __init__(self, sample_rate: int, **decoder_kwargs):
+    """window: keep only the trailing `window`..2*`window` samples of every
+    dense array (None = unbounded).  Must exceed the longest decode
+    lookback — frame-waiting windows reach ~37 ms (370k samples at
+    10 MS/s), so the default when enabled should be >= 2**20."""
+
+    def __init__(self, sample_rate: int, window: int | None = None,
+                 **decoder_kwargs):
         self.sample_rate = sample_rate
+        self.window = window
         self.params = SignalParams(
             sample_rate,
             power_level_threshold=decoder_kwargs.get(
@@ -60,6 +74,7 @@ class StreamingNfcDecoder:
             for k in _KEYS
         }
         self._n = 0
+        self._base = 0
         self._ctx: DecoderContext | None = None
         self._carrier: CarrierDetector | None = None
         self._techs: list | None = None
@@ -70,30 +85,113 @@ class StreamingNfcDecoder:
     def n(self) -> int:
         return self._n
 
+    @property
+    def base(self) -> int:
+        return self._base
+
     def _append(self, cond: Conditioned):
         m = len(cond.value)
-        need = self._n + m
+        need = self._n + m - self._base
         if len(self._bufs["value"]) < need:
-            cap = max(need, len(self._bufs["value"]) * 2)
+            if self.window:
+                # windowed: one right-sized allocation (compaction keeps the
+                # filled span under 2*window + one feed)
+                cap = max(need, 2 * self.window + (1 << 17))
+            else:
+                cap = max(need, len(self._bufs["value"]) * 2)
+            filled = self._n - self._base
             for k in _KEYS:
                 new = alloc_array(
                     cap, np.uint32 if k == "edge_time" else np.float32
                 )
-                new[: self._n] = self._bufs[k][: self._n]
+                new[:filled] = self._bufs[k][:filled]
                 self._bufs[k] = new
+        lo = self._n - self._base
         for k in _KEYS:
-            self._bufs[k][self._n : need] = getattr(cond, k)
-        self._n = need
+            self._bufs[k][lo:need] = getattr(cond, k)
+        self._n += m
+
+    def _compact(self):
+        """Advance the window base, keeping `window` samples behind both the
+        stream end and the walker clock (absolute clocks never change)."""
+        W = self.window
+        if not W or (self._n - self._base) <= 2 * W:
+            return
+        new_base = min(self._n - W, self._t - W)
+        if new_base <= self._base:
+            return
+        shift = new_base - self._base
+        keep = self._n - new_base
+        for k in _KEYS:
+            buf = self._bufs[k]
+            buf[:keep] = buf[shift : shift + keep]
+        self._base = new_base
 
     def _view(self) -> Conditioned:
-        return Conditioned(*[self._bufs[k][: self._n] for k in _KEYS])
+        from ..core.streamview import StreamView
+
+        filled = self._n - self._base
+        if self._base == 0:
+            return Conditioned(*[self._bufs[k][:filled] for k in _KEYS])
+        return Conditioned(
+            *[StreamView(self._bufs[k][:filled], self._base) for k in _KEYS]
+        )
+
+    def _warm_channels(self, ctx):
+        """Pre-create every decode channel entry so window shifts never meet
+        a fresh entry (box running sums must extend continuously)."""
+        if not self.window:
+            return
+        ch = ctx.channels
+        for tech in self._techs:
+            name = type(tech).__name__
+            if name == "NfcATech":
+                for br in tech.bitrates:
+                    ch.box_sq(br.period2)
+                    ch.corr_s0_dense(br)
+                for br in tech.bitrates[1:]:
+                    ch.bpsk_dense(br)
+            elif name == "NfcFTech":
+                for br in tech.bitrates:
+                    ch.box_value(br.period2)
+            elif name == "NfcVTech":
+                ch.nfcv_listen_dense(tech.bitrate)
+        # NFC-B listen BPSK channels (rates 106k/212k share A's bitrate set)
+        for tech in self._techs:
+            if type(tech).__name__ == "NfcBTech":
+                for br in tech.bitrates[:2]:
+                    ch.bpsk_dense(br)
+
+    def _ensure_capacity(self, m: int):
+        need = self._n + m - self._base
+        if len(self._bufs["value"]) < need:
+            if self.window:
+                # windowed: one right-sized allocation (compaction keeps the
+                # filled span under 2*window + one feed)
+                cap = max(need, 2 * self.window + (1 << 17))
+            else:
+                cap = max(need, len(self._bufs["value"]) * 2)
+            filled = self._n - self._base
+            for k in _KEYS:
+                new = alloc_array(
+                    cap, np.uint32 if k == "edge_time" else np.float32
+                )
+                new[:filled] = self._bufs[k][:filled]
+                self._bufs[k] = new
 
     def feed(self, block: np.ndarray) -> list[Frame]:
         """Condition + decode one block; returns newly completed frames."""
         assert not self._finished, "stream already finished"
+        self._compact()
         block = np.ascontiguousarray(block, np.float32)
-        cond = condition_stream(block, self.params, self._state)
-        self._append(cond)
+        self._ensure_capacity(len(block))
+        # condition directly into the stream buffers (no per-block outputs)
+        from ..native.binding import condition_stream_into
+
+        m = condition_stream_into(
+            block, self.params, self._state, self._bufs, self._n - self._base
+        )
+        self._n += m
         return self._advance()
 
     def finish(self) -> list[Frame]:
@@ -131,12 +229,14 @@ class StreamingNfcDecoder:
             self._techs = self._proto._make_techs(ctx)
             for tech in self._techs:
                 tech.initialize()
+            self._warm_channels(ctx)
         else:
             ctx = self._ctx
             ctx.cond = full
-            ctx.n = len(full.value)
-            # channel cache extends over only the new tail (O(block))
-            ctx.channels.rebind(full)
+            ctx.n = len(full.value)  # absolute stream end
+            # channel cache extends over only the new tail (O(block)) and
+            # shifts its windows when the base advanced
+            ctx.channels.rebind(full, self._base)
             self._carrier.bind(ctx)
             for tech in self._techs:
                 tech.bind_channels()

@@ -1,0 +1,86 @@
+"""Windowed streaming: bounded-memory live decode matches unbounded decode.
+
+All FSM state stays in absolute stream clocks; the decoder keeps only the
+trailing window of every dense array and native kernels address it through
+virtual pointers.  These tests force real window compactions on the golden
+fixtures and assert byte+sample-exact frame equality.
+"""
+
+import numpy as np
+import pytest
+
+from nfclab.io.golden import GOLDEN_TYPES, read_golden_frames
+from nfclab.io.wav import read_wav
+from nfclab.runtime.streaming import StreamingNfcDecoder
+
+
+def _native_ok():
+    from nfclab.native.binding import native_available
+
+    return native_available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_ok(), reason="windowed streaming requires the native library"
+)
+
+
+def _stream(samples, rate, window, block=65536):
+    dec = StreamingNfcDecoder(rate, window=window)
+    frames = []
+    for off in range(0, len(samples), block):
+        frames.extend(dec.feed(samples[off : off + block]))
+    frames.extend(dec.finish())
+    return dec, frames
+
+
+@pytest.mark.parametrize(
+    "name,window",
+    [
+        ("test_POLL_ABF_001", 1 << 18),
+        ("test_NFC-V_26kbps_001", 1 << 18),
+    ],
+)
+def test_windowed_matches_golden(fixture_dir, name, window):
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    dec, frames = _stream(samples, info.sample_rate, window)
+    assert dec.base > 0, "window never compacted; test is vacuous"
+    got = [f for f in frames if f.frame_type in GOLDEN_TYPES]
+    want = read_golden_frames(str(fixture_dir / f"{name}.json"))
+    assert got == want
+
+
+def test_windowed_bpsk_across_compactions(fixture_dir):
+    """BPSK listen decode (running product integrators) stays exact across
+    window shifts — tiled 424 kbps capture, windowed vs unbounded."""
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_424kbps_001.wav"))
+    big = np.tile(samples, 8)
+    dec_w, frames_w = _stream(big, info.sample_rate, 1 << 17)
+    dec_u, frames_u = _stream(big, info.sample_rate, None)
+    assert dec_w.base > 0
+    got_w = [f for f in frames_w if f.frame_type in GOLDEN_TYPES]
+    got_u = [f for f in frames_u if f.frame_type in GOLDEN_TYPES]
+    assert got_w == got_u
+    assert len(got_w) == 8 * len(
+        read_golden_frames(str(fixture_dir / "test_NFC-A_424kbps_001.json"))
+    )
+
+
+def test_windowed_long_stream_bounded_memory(fixture_dir):
+    """A multi-window tiled stream decodes identically to the unbounded
+    decoder while the physical buffers stay <= 2x window."""
+    samples, info = read_wav(str(fixture_dir / "test_POLL_AB_001.wav"))
+    big = np.tile(samples, 6)
+    W = 1 << 19
+
+    dec_w, frames_w = _stream(big, info.sample_rate, W)
+    dec_u, frames_u = _stream(big, info.sample_rate, None)
+
+    assert dec_w.base > W  # several compactions
+    assert len(dec_w._bufs["value"]) <= 2 * W + (1 << 17)
+    got_w = [f for f in frames_w if f.frame_type in GOLDEN_TYPES]
+    got_u = [f for f in frames_u if f.frame_type in GOLDEN_TYPES]
+    assert got_w == got_u
+    assert len(got_w) == 6 * len(
+        read_golden_frames(str(fixture_dir / "test_POLL_AB_001.json"))
+    )
