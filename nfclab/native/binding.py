@@ -418,30 +418,6 @@ def box_bpsk_native(filt, lag, width):
     return _box_call("nfclab_box_bpsk", filt, lag, width)
 
 
-def detect_sd_idx_native(box, env, d, p1, p2, corr_thr, power_thr, signed_v):
-    """Fused dense SD channel + threshold-crossing index collection
-    (one pass; replaces the numpy sd/mask/flatnonzero pipeline).
-    Returns (sd f32[n], idx int64[count])."""
-    lib = _load()
-    n = len(box)
-    sd = np.empty(n, np.float32)
-    idx = np.empty(n, np.int64)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int64)
-    fn = lib.nfclab_detect_sd_v if signed_v else lib.nfclab_detect_sd_af
-    count = fn(
-        box.ctypes.data_as(f32p),
-        env.ctypes.data_as(f32p),
-        ctypes.c_int64(n),
-        ctypes.c_int32(d),
-        ctypes.c_int32(p1),
-        ctypes.c_int32(p2),
-        ctypes.c_float(float(corr_thr)),
-        ctypes.c_float(float(power_thr)),
-        sd.ctypes.data_as(f32p),
-        idx.ctypes.data_as(i32p),
-    )
-    return sd, idx[:count].copy()
 
 
 def edge_mask_b_native(filt, env, d, min_deep, power_thr):
@@ -608,20 +584,3 @@ def collect_cmp_ext_native(x, start, n, thr, op):
     return idx[:count]  # scratch view; consume before the next scan
 
 
-def threshold_indices(x, thr, op=">"):
-    """Native threshold index collection with numpy fallback."""
-    if native_available():
-        try:
-            if op == ">":
-                return collect_gt_native(x, thr)
-            if op == ">=":
-                return collect_ge_native(x, thr)
-            if op == "<":
-                return collect_lt_native(x, thr)
-        except Exception:
-            pass
-    if op == ">":
-        return np.flatnonzero(x > thr)
-    if op == ">=":
-        return np.flatnonzero(x >= thr)
-    return np.flatnonzero(x < thr)

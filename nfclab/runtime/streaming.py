@@ -30,12 +30,7 @@ import numpy as np
 
 from ..core.frame import Frame, FramePhase, FrameTech, FrameType
 from ..core.params import SignalParams
-from ..native.binding import (
-    Conditioned,
-    alloc_array,
-    condition_stream,
-    new_stream_state,
-)
+from ..native.binding import Conditioned, alloc_array, new_stream_state
 from .decoder import CarrierDetector, DecoderContext, NfcDecoder, walk
 
 _KEYS = (
@@ -88,28 +83,6 @@ class StreamingNfcDecoder:
     @property
     def base(self) -> int:
         return self._base
-
-    def _append(self, cond: Conditioned):
-        m = len(cond.value)
-        need = self._n + m - self._base
-        if len(self._bufs["value"]) < need:
-            if self.window:
-                # windowed: one right-sized allocation (compaction keeps the
-                # filled span under 2*window + one feed)
-                cap = max(need, 2 * self.window + (1 << 17))
-            else:
-                cap = max(need, len(self._bufs["value"]) * 2)
-            filled = self._n - self._base
-            for k in _KEYS:
-                new = alloc_array(
-                    cap, np.uint32 if k == "edge_time" else np.float32
-                )
-                new[:filled] = self._bufs[k][:filled]
-                self._bufs[k] = new
-        lo = self._n - self._base
-        for k in _KEYS:
-            self._bufs[k][lo:need] = getattr(cond, k)
-        self._n += m
 
     def _compact(self):
         """Advance the window base, keeping `window` samples behind both the
