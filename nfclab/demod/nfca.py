@@ -146,6 +146,21 @@ class NfcATech:
             ctx.cond.mod_depth, self.minimum_modulation_deep
         )
 
+    def debug_sd_channels(self):
+        """Dense signed SD per rate for the 10-channel debug tap
+        (NfcSignalDebug parity; computed on demand — the decode path reads
+        SD on the fly and no longer materializes these)."""
+        ch = self.ctx.channels
+        return [
+            ch.detect_sd(
+                ch.box_value(br.period2),
+                br.symbol_delay_detect,
+                br.period1,
+                br.period2,
+            )
+            for br in self.bitrates
+        ]
+
     # ------------------------------------------------------- detect (event API)
 
     def is_dirty(self) -> bool:

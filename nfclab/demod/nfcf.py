@@ -138,6 +138,14 @@ class NfcFTech:
             self._box.append(box)
             self._mask_idx.append(idx)
 
+    def debug_sd_channels(self):
+        """Dense |SD| inputs per rate for the debug tap (d = 0)."""
+        ch = self.ctx.channels
+        return [
+            ch.detect_sd(ch.box_value(br.period2), 0, br.period1, br.period2)
+            for br in self.bitrates
+        ]
+
     # ------------------------------------------------------------------ detect
 
     def is_dirty(self) -> bool:

@@ -170,6 +170,20 @@ class NfcVTech:
         mask[:BUFFER_SIZE] = False
         self._mask_idx = np.flatnonzero(mask)
 
+    def debug_sd_channels(self):
+        """Dense detect S0 for the debug tap (reversed-difference form)."""
+        br = self.bitrate
+        box = self.ctx.channels.box_value(br.period2)
+        n = len(box)
+        d = br.symbol_delay_detect
+        gap = br.period1 - br.period2
+        sd = np.zeros(n, np.float32)
+        lo = d + br.period1
+        sd[lo:] = (
+            box[lo - d - gap : n - d - gap] - box[lo - d : n - d]
+        ) / np.float32(br.period2)
+        return [sd]
+
     # ------------------------------------------------------------------ detect
 
     def is_dirty(self) -> bool:

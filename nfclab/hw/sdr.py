@@ -119,7 +119,11 @@ class NativeSdrDevice(SignalDevice):
     # -------------------------------------------------------------- streaming
 
     def _on_block(self, samples, count, offset, user):
-        block = np.ctypeslib.as_array(samples, shape=(count,)).copy()
+        if count == 0:
+            # driver EOF marker (e.g. rtl_tcp server closed the connection)
+            block = np.empty(0, np.float32)
+        else:
+            block = np.ctypeslib.as_array(samples, shape=(count,)).copy()
         try:
             self._queue.put_nowait(block)
         except queue.Full:
@@ -145,7 +149,7 @@ class NativeSdrDevice(SignalDevice):
 
     def read(self, count: int = 0, timeout: float = 1.0):
         """Next captured block (float32; rtltcp delivers interleaved IQ).
-        None on timeout."""
+        None on timeout; a zero-length block marks driver EOF."""
         try:
             block = self._queue.get(timeout=timeout)
         except queue.Empty:

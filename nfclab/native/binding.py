@@ -410,33 +410,6 @@ def box_sum_native(x, width):
     return _box_call("nfclab_box_sum", x, width)
 
 
-def box_sq_native(filt, width):
-    return _box_call("nfclab_box_sq", filt, width)
-
-
-def box_bpsk_native(filt, lag, width):
-    return _box_call("nfclab_box_bpsk", filt, lag, width)
-
-
-
-
-def edge_mask_b_native(filt, env, d, min_deep, power_thr):
-    """NFC-B falling-edge trigger indices (one pass)."""
-    lib = _load()
-    n = len(filt)
-    idx = np.empty(n, np.int64)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    i32p = ctypes.POINTER(ctypes.c_int64)
-    count = lib.nfclab_edge_mask_b(
-        filt.ctypes.data_as(f32p),
-        env.ctypes.data_as(f32p),
-        ctypes.c_int64(n),
-        ctypes.c_int32(d),
-        ctypes.c_float(float(min_deep)),
-        ctypes.c_float(float(power_thr)),
-        idx.ctypes.data_as(i32p),
-    )
-    return idx[:count].copy()
 
 
 def _collect_cmp(name, x, thr):
@@ -459,27 +432,29 @@ def collect_gt_native(x, thr):
     return _collect_cmp("nfclab_collect_gt", x, thr)
 
 
-def collect_ge_native(x, thr):
-    """Indices where x >= thr."""
-    return _collect_cmp("nfclab_collect_ge", x, thr)
 
 
-def collect_lt_native(x, thr):
-    """Indices where x < thr."""
-    return _collect_cmp("nfclab_collect_lt", x, thr)
 
 
-_scratch_i64: np.ndarray | None = None
+_scratch_tls = None
 
 
 def _idx_scratch(n: int) -> np.ndarray:
-    """Reusable int64 scratch for index scans (fresh per-call allocations
-    page-fault on this VM; the scratch stays warm).  Contents are only valid
-    until the next scan — callers copy out immediately."""
-    global _scratch_i64
-    if _scratch_i64 is None or len(_scratch_i64) < n:
-        _scratch_i64 = alloc_array(max(n, 1 << 16), np.int64)
-    return _scratch_i64
+    """Reusable per-thread int64 scratch for index scans (fresh per-call
+    allocations page-fault on this VM; the scratch stays warm).  Contents
+    are only valid until the same thread's next scan — callers copy out
+    immediately.  Thread-local so concurrent decoders (live pipeline +
+    batch) never alias."""
+    global _scratch_tls
+    if _scratch_tls is None:
+        import threading
+
+        _scratch_tls = threading.local()
+    buf = getattr(_scratch_tls, "buf", None)
+    if buf is None or len(buf) < n:
+        buf = alloc_array(max(n, 1 << 16), np.int64)
+        _scratch_tls.buf = buf
+    return buf
 
 
 def box_ext_native(kind, src, start, n, width, lag, acc, arr, base=0):

@@ -278,7 +278,13 @@ static int rtltcp_start(void *dev, nfclab_stream_cb cb, void *user)
         while (d->running.load()) {
             const ssize_t r =
                 recv(d->fd, raw.data() + held, raw.size() - held, 0);
-            if (r <= 0) {
+            if (r == 0) {
+                // orderly server shutdown: signal EOF (zero-length block)
+                // instead of busy-spinning on an endless stream of zeros
+                cb(block.data(), 0, d->offset, user);
+                break;
+            }
+            if (r < 0) {
                 if (d->running.load())
                     continue;  // timeout; poll the running flag
                 break;

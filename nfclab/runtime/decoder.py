@@ -222,11 +222,9 @@ class NfcDecoder:
 
             sd = []
             for tech in techs:
-                chans = getattr(tech, "_sd", None)
-                if isinstance(chans, list):
-                    sd.extend(chans)
-                elif chans is not None:
-                    sd.append(chans)
+                fn = getattr(tech, "debug_sd_channels", None)
+                if fn is not None:
+                    sd.extend(fn())
             write_radio_debug(cond, sd, sample_rate, self.debug_path)
 
         walk(ctx, carrier, techs, 0)

@@ -152,7 +152,7 @@ class LiveRadioSourceTask(Task):
         self._avrg = 0.0
 
     def run(self):
-        from ..hw.device import PARAM_SAMPLE_RATE
+        from ..hw.device import PARAM_GAIN_VALUE, PARAM_SAMPLE_RATE
         from ..hw.sdr import NativeSdrDevice
 
         dev = NativeSdrDevice(self.ident)
@@ -172,6 +172,8 @@ class LiveRadioSourceTask(Task):
             block = dev.read(timeout=0.25)
             if block is None:
                 continue
+            if len(block) == 0:  # driver EOF (e.g. server disconnect)
+                break
             if is_iq:
                 iq = SignalBuffer(
                     block, rate, offset,
@@ -187,7 +189,11 @@ class LiveRadioSourceTask(Task):
                 )
                 offset += len(mag)
                 self.raw_stream.next(raw)
-                self.agc.update(self._avrg, offset, len(mag))
+                # software AGC (RadioDeviceTask.cpp:662-686): forward gain
+                # steps to the live device when manual gain wasn't requested
+                step = self.agc.update(self._avrg, offset, len(mag))
+                if step is not None and PARAM_GAIN_VALUE not in self.config:
+                    dev.set(PARAM_GAIN_VALUE, step)
             else:
                 raw = SignalBuffer(
                     block, rate, offset,
