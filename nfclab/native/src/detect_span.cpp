@@ -441,6 +441,13 @@ extern "C" {
 // Full native detect walk: carrier crossings + all four techs per sample.
 // Stops (with snapshot restore) at any sample needing Python handling:
 // carrier crossing events, tech locks.  Returns that clock, or -1 at t1.
+//
+// Rollback is checkpoint + replay: state snapshots are taken every
+// SNAP_EVERY samples (not per sample — the copies were the dominant cost of
+// the walk); on a hit at t the states are restored to the last checkpoint
+// and re-stepped deterministically to t-1, leaving exactly the pre-t state.
+static const int64_t SNAP_EVERY = 64;
+
 int64_t nfclab_detect_all(
     int64_t t0, int64_t t1,
     const float *env, const float *filt, const float *mdepth,
@@ -472,15 +479,9 @@ int64_t nfclab_detect_all(
     double snap_b[2 * M_FIELDS];
     double snap_f[2 * M_FIELDS];
     double snap_v[M_FIELDS];
+    int64_t snap_t = t0;
 
-    for (int64_t t = t0; t < t1; t++) {
-        // carrier hysteresis crossing (NfcDecoder.cpp:472-523): rare; the
-        // event itself (frame emit + state flip) runs in Python
-        const float a = avg[t];
-        if ((carrier_on_time == 0 && a > high_thr) ||
-            (carrier_off_time == 0 && a < low_thr))
-            return t;
-
+    const auto save = [&] {
         if (a_on)
             std::memcpy(snap_a, a_st, sizeof(snap_a));
         if (b_on)
@@ -489,26 +490,47 @@ int64_t nfclab_detect_all(
             std::memcpy(snap_f, f_st, sizeof(double) * f_rates * M_FIELDS);
         if (v_on)
             std::memcpy(snap_v, v_st, sizeof(snap_v));
-
-        int hit = -1;
+    };
+    const auto restore = [&] {
+        if (a_on)
+            std::memcpy(a_st, snap_a, sizeof(snap_a));
+        if (b_on)
+            std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
+        if (f_on)
+            std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
+        if (v_on)
+            std::memcpy(v_st, snap_v, sizeof(snap_v));
+    };
+    const auto step_all = [&](int64_t t) -> int {
         if (a_on && step_a(A, t, env, mdepth, power_thr) >= 0)
-            hit = 0;
-        if (hit < 0 && b_on && step_b(B, t, env, filt, mdepth, power_thr) >= 0)
-            hit = 1;
-        if (hit < 0 && f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
-            hit = 2;
-        if (hit < 0 && v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
-            hit = 3;
+            return 0;
+        if (b_on && step_b(B, t, env, filt, mdepth, power_thr) >= 0)
+            return 1;
+        if (f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
+            return 2;
+        if (v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
+            return 3;
+        return -1;
+    };
 
-        if (hit >= 0) {
-            if (a_on)
-                std::memcpy(a_st, snap_a, sizeof(snap_a));
-            if (b_on)
-                std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
-            if (f_on)
-                std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
-            if (v_on)
-                std::memcpy(v_st, snap_v, sizeof(snap_v));
+    save();
+    for (int64_t t = t0; t < t1; t++) {
+        // carrier hysteresis crossing (NfcDecoder.cpp:472-523): rare; the
+        // event itself (frame emit + state flip) runs in Python
+        const float a = avg[t];
+        if ((carrier_on_time == 0 && a > high_thr) ||
+            (carrier_off_time == 0 && a < low_thr))
+            return t;
+
+        if (t - snap_t >= SNAP_EVERY) {
+            save();
+            snap_t = t;
+        }
+
+        if (step_all(t) >= 0) {
+            restore();
+            for (int64_t u = snap_t; u < t; u++)
+                step_all(u);
             return t;
         }
     }
@@ -539,30 +561,44 @@ int64_t nfclab_detect_span(
     double snap_b[2 * M_FIELDS];
     double snap_f[2 * M_FIELDS];
     double snap_v[M_FIELDS];
+    int64_t snap_t = t0;
 
-    for (int64_t t = t0; t < t1; t++) {
+    const auto save = [&] {
         if (b_on)
             std::memcpy(snap_b, b_st, sizeof(double) * b_rates * M_FIELDS);
         if (f_on)
             std::memcpy(snap_f, f_st, sizeof(double) * f_rates * M_FIELDS);
         if (v_on)
             std::memcpy(snap_v, v_st, sizeof(double) * M_FIELDS);
-
-        int hit = -1;
+    };
+    const auto restore = [&] {
+        if (b_on)
+            std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
+        if (f_on)
+            std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
+        if (v_on)
+            std::memcpy(v_st, snap_v, sizeof(double) * M_FIELDS);
+    };
+    const auto step_all = [&](int64_t t) -> int {
         if (b_on && step_b(B, t, env, filt, mdepth, power_thr) >= 0)
-            hit = 0;
-        if (hit < 0 && f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
-            hit = 1;
-        if (hit < 0 && v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
-            hit = 2;
+            return 0;
+        if (f_on && step_f(F, t, env, mdepth, power_thr) >= 0)
+            return 1;
+        if (v_on && step_v(V, t, env, value, mdepth, power_thr) >= 0)
+            return 2;
+        return -1;
+    };
 
-        if (hit >= 0) {
-            if (b_on)
-                std::memcpy(b_st, snap_b, sizeof(double) * b_rates * M_FIELDS);
-            if (f_on)
-                std::memcpy(f_st, snap_f, sizeof(double) * f_rates * M_FIELDS);
-            if (v_on)
-                std::memcpy(v_st, snap_v, sizeof(double) * M_FIELDS);
+    save();
+    for (int64_t t = t0; t < t1; t++) {
+        if (t - snap_t >= SNAP_EVERY) {
+            save();
+            snap_t = t;
+        }
+        if (step_all(t) >= 0) {
+            restore();
+            for (int64_t u = snap_t; u < t; u++)
+                step_all(u);
             return t;
         }
     }
