@@ -102,9 +102,16 @@ class LazyChannels:
         if base is None or base == self.base:
             return
         assert base > self.base
-        # bring every extendable entry current under the old base
+        # bring running-sum (box) entries current under the old base — their
+        # f64 accumulators must extend continuously.  Derived channels are
+        # position-pure and idx sets prune below base, so both extend lazily
+        # on next access (restarting from the new base if they went stale).
         for ent in list(self._cache.values()):
-            if isinstance(ent, dict) and ent.get("extend") is not None:
+            if (
+                isinstance(ent, dict)
+                and ent.get("kind") == "box"
+                and ent.get("extend") is not None
+            ):
                 ent["extend"]()
         delta = base - self.base
         for ent in self._cache.values():
@@ -187,6 +194,7 @@ class LazyChannels:
     def _box_chan(self, key, kind: str, width: int, lag: int = 0):
         ent = self._entry(key)
         if ent["extend"] is None:
+            ent["kind"] = "box"
             ent["extend"] = lambda: self._box_chan(key, kind, width, lag)
         n = self.n
         if ent["n"] < n:
@@ -234,8 +242,20 @@ class LazyChannels:
 
         ent = self._entry(key)
         if ent["extend"] is None:
+            ent["kind"] = "derived"
             ent["extend"] = lambda: self._derived(key, build_tail)
         n = self.n
+        if self.base and ent["n"] < self.base + 4096:
+            # entry went stale across window shifts (not accessed while the
+            # base advanced): restart from the new base — the tail would
+            # otherwise read its source channels below the window (shifts up
+            # to d+gap < 4096 behind the fill start).  Values are
+            # position-pure; the zeroed head below base+margin is never read
+            # (decode reads stay within the walker's window).
+            head = min(self.base + 4096, n)
+            if ent["n"] < head:
+                ent["arr"][: head - self.base] = 0.0
+                ent["n"] = head
         if ent["n"] < n:
             build_tail(StreamView(ent["arr"], self.base), ent["n"], n)
             ent["n"] = n
@@ -342,8 +362,14 @@ class LazyChannels:
             }
             self._cache[key] = ent
         if ent["extend"] is None:
+            ent["kind"] = "idx"
             ent["extend"] = lambda: self._idx_chan(key, scan_tail)
         n = self.n
+        if self.base and ent["scanned"] < self.base + 4096:
+            # events in the dropped past are unreachable; rescan from inside
+            # the window (scan kernels look back up to d+gap < 4096 samples,
+            # which must stay above the window base)
+            ent["scanned"] = max(ent["scanned"], min(self.base + 4096, n))
         if ent["scanned"] < n:
             self._append_idx(ent, scan_tail(ent["scanned"], n), n)
         idx = ent["idx"]
