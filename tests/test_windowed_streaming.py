@@ -84,3 +84,25 @@ def test_windowed_long_stream_bounded_memory(fixture_dir):
     assert len(got_w) == 6 * len(
         read_golden_frames(str(fixture_dir / "test_POLL_AB_001.json"))
     )
+
+
+def test_windowed_stale_channel_restart(fixture_dir):
+    """A long idle gap (no locks, so decode channels go stale across many
+    window shifts) followed by traffic: derived channels must restart inside
+    the window and decode the late frames exactly."""
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    # capture, ~3.3M samples of carrier-level idle (several windows), capture
+    idle = np.full(3_300_000, np.float32(samples[0]))
+    big = np.concatenate([samples, idle, samples])
+    W = 1 << 18
+
+    dec_w, frames_w = _stream(big, info.sample_rate, W)
+    dec_u, frames_u = _stream(big, info.sample_rate, None)
+
+    assert dec_w.base > 2 * W  # the idle stretch really crossed windows
+    got_w = [f for f in frames_w if f.frame_type in GOLDEN_TYPES]
+    got_u = [f for f in frames_u if f.frame_type in GOLDEN_TYPES]
+    assert got_w == got_u
+    # both halves decoded (2x the fixture's golden frame count)
+    want = read_golden_frames(str(fixture_dir / "test_NFC-A_106kbps_001.json"))
+    assert len(got_w) == 2 * len(want)
