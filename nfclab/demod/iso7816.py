@@ -171,6 +171,7 @@ class Iso7816Decoder:
         self.sym_data = 0
         self.sym_start = 0
         self.sym_end = 0
+        self._clk_ptr = 0  # next unconsumed falling clock edge (monotonic)
 
         self.reset_modulation()
 
@@ -230,6 +231,33 @@ class Iso7816Decoder:
 
     # ------------------------------------------------------------ main decode
 
+    def bind(self, data, edge, n, io_edges, io_falls, line_edges, clk_falls):
+        """(Re)bind the dense arrays + event indices the walker reads.
+        FSM state (mod/char/frame/protocol and the consumed-clock pointer)
+        is untouched, so the streaming decoder can rebind after each feed
+        and resume the walk (indices must be append-only extensions)."""
+        self._data = data
+        self._edge = edge
+        self._n = n
+        self._io_edges = io_edges
+        self._io_falls = io_falls
+        self._line_edges = line_edges
+        self._clk_falls = clk_falls
+
+    def emit_line_events(self, line_edges) -> None:
+        """detectLines over the given edge clocks (independent of FSM
+        state; the streaming decoder passes only the new tail's edges)."""
+        for t in line_edges:
+            self._emit_line_events(int(t))
+
+    def walk(self, t: int) -> int:
+        """Run the event walk from clock t to the end of the bound arrays;
+        returns the resume clock (== n when all events consumed)."""
+        n = self._n
+        while t < n:
+            t = self._step_from(t)
+        return t
+
     def decode(self, samples: np.ndarray) -> list[Frame]:
         """samples: [N, channels>=4] float (logic levels)."""
         n, ch = samples.shape
@@ -237,30 +265,22 @@ class Iso7816Decoder:
         edge = np.zeros_like(data)
         edge[1:] = data[1:] - data[:-1]
 
-        self._data = data
-        self._edge = edge
-        self._n = n
-
-        io_edges = np.flatnonzero(edge[:, CH_IO] != 0)
         rst_edges = np.flatnonzero(edge[:, CH_RST] != 0)
         vcc_edges = np.flatnonzero(edge[:, CH_VCC] != 0)
-        clk_falls = np.flatnonzero(edge[:, CH_CLK] < 0)
-        line_edges = np.union1d(rst_edges, vcc_edges)
-
-        self._io_edges = io_edges
-        self._io_falls = np.flatnonzero(edge[:, CH_IO] < 0)
-        self._line_edges = line_edges
-        self._clk_falls = clk_falls
-        self._clk_ptr = 0  # next unconsumed falling clock edge
+        self.bind(
+            data,
+            edge,
+            n,
+            np.flatnonzero(edge[:, CH_IO] != 0),
+            np.flatnonzero(edge[:, CH_IO] < 0),
+            np.union1d(rst_edges, vcc_edges),
+            np.flatnonzero(edge[:, CH_CLK] < 0),
+        )
 
         # emit line events in one pass (detectLines, independent of FSM state)
-        for t in line_edges:
-            self._emit_line_events(int(t))
+        self.emit_line_events(self._line_edges)
 
-        # main event walk
-        t = 0
-        while t < n:
-            t = self._step_from(t)
+        self.walk(0)
         # frames are emitted in walk order; line events were pre-emitted, so
         # order by start time for a stable stream
         self.frames.sort(key=lambda f: (f.sample_start, f.sample_end))

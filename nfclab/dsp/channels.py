@@ -106,13 +106,10 @@ class LazyChannels:
         # f64 accumulators must extend continuously.  Derived channels are
         # position-pure and idx sets prune below base, so both extend lazily
         # on next access (restarting from the new base if they went stale).
-        for ent in list(self._cache.values()):
-            if (
-                isinstance(ent, dict)
-                and ent.get("kind") == "box"
-                and ent.get("extend") is not None
-            ):
-                ent["extend"]()
+        # NOTE: the streaming decoder must also call extend_boxes() BEFORE
+        # compacting its buffers — a box entry that lagged a full window
+        # would otherwise have to read inputs below the new base.
+        self.extend_boxes()
         delta = base - self.base
         for ent in self._cache.values():
             if not isinstance(ent, dict):
@@ -130,6 +127,18 @@ class LazyChannels:
                     idx[: k - cut] = idx[cut:k]
                     ent["idx_n"] = k - cut
         self.base = base
+
+    def extend_boxes(self):
+        """Extend every running-sum (box) entry to the current stream end.
+        Must run while all of its inputs are still inside the window — the
+        streaming decoder calls this before compacting its buffers."""
+        for ent in list(self._cache.values()):
+            if (
+                isinstance(ent, dict)
+                and ent.get("kind") == "box"
+                and ent.get("extend") is not None
+            ):
+                ent["extend"]()
 
     # ------------------------------------------------------- entry management
 

@@ -34,3 +34,105 @@ class IsoDecoder:
         if samples.ndim != 2:
             raise ValueError("logic capture must be multi-channel")
         return self.decode(samples, info.sample_rate)
+
+
+class _GrowIdx:
+    """Append-only int64 index buffer (amortized O(new))."""
+
+    def __init__(self):
+        self._buf = np.empty(1024, np.int64)
+        self.n = 0
+
+    def append(self, idx: np.ndarray):
+        need = self.n + len(idx)
+        if len(self._buf) < need:
+            new = np.empty(max(need, len(self._buf) * 2), np.int64)
+            new[: self.n] = self._buf[: self.n]
+            self._buf = new
+        self._buf[self.n : need] = idx
+        self.n = need
+
+    def view(self) -> np.ndarray:
+        return self._buf[: self.n]
+
+
+class StreamingIsoDecoder:
+    """Incremental ISO7816 decode: feed [M, channels] blocks as they arrive
+    (the live DSLogic stream case); completed frames return per feed.
+
+    The Iso7816 walker is event-at-a-time with all FSM state on the decoder
+    object, so streaming is: grow the dense data/edge buffers, extend the
+    event indices over the new tail, rebind, and resume the walk from the
+    saved clock.  Feeds are O(block); frames match the one-shot decoder
+    (modulo emission order — both sort by sample position)."""
+
+    def __init__(self, sample_rate: int, channels: int = 4,
+                 stream_time: float = 0.0):
+        from ..demod.iso7816 import Iso7816Decoder
+
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self._dec = Iso7816Decoder(sample_rate, stream_time)
+        cap = 1 << 16
+        self._data = np.empty((cap, channels), np.float32)
+        self._edge = np.zeros((cap, channels), np.float32)
+        self._n = 0
+        self._idx = {k: _GrowIdx() for k in
+                     ("io_edges", "io_falls", "line_edges", "clk_falls")}
+        self._t = 0
+        self._emitted = 0
+
+    def feed(self, block: np.ndarray) -> list[Frame]:
+        from ..demod.iso7816 import CH_CLK, CH_IO, CH_RST, CH_VCC
+
+        block = np.asarray(block, np.float32)
+        if block.ndim != 2 or block.shape[1] != self.channels:
+            raise ValueError(f"expected [M, {self.channels}] block")
+        m = len(block)
+        lo, need = self._n, self._n + m
+        if len(self._data) < need:
+            cap = max(need, len(self._data) * 2)
+            for name in ("_data", "_edge"):
+                old = getattr(self, name)
+                new = np.zeros((cap, self.channels), np.float32)
+                new[:lo] = old[:lo]
+                setattr(self, name, new)
+        self._data[lo:need] = block
+        # edge tail (edge[0] stays 0; boundary row uses the previous sample)
+        e0 = max(lo, 1)
+        self._edge[e0:need] = self._data[e0:need] - self._data[e0 - 1 : need - 1]
+        self._n = need
+
+        tail = self._edge[lo:need]
+        new_line = np.union1d(
+            np.flatnonzero(tail[:, CH_RST] != 0),
+            np.flatnonzero(tail[:, CH_VCC] != 0),
+        ) + lo
+        self._idx["io_edges"].append(np.flatnonzero(tail[:, CH_IO] != 0) + lo)
+        self._idx["io_falls"].append(np.flatnonzero(tail[:, CH_IO] < 0) + lo)
+        self._idx["line_edges"].append(new_line)
+        self._idx["clk_falls"].append(np.flatnonzero(tail[:, CH_CLK] < 0) + lo)
+
+        dec = self._dec
+        dec.bind(
+            self._data[: self._n],
+            self._edge[: self._n],
+            self._n,
+            self._idx["io_edges"].view(),
+            self._idx["io_falls"].view(),
+            self._idx["line_edges"].view(),
+            self._idx["clk_falls"].view(),
+        )
+        dec.emit_line_events(new_line)
+        self._t = dec.walk(self._t)
+
+        new = dec.frames[self._emitted :]
+        self._emitted = len(dec.frames)
+        new.sort(key=lambda f: (f.sample_start, f.sample_end))
+        return new
+
+    def finish(self) -> list[Frame]:
+        new = self._dec.frames[self._emitted :]
+        self._emitted = len(self._dec.frames)
+        new.sort(key=lambda f: (f.sample_start, f.sample_end))
+        return new

@@ -257,13 +257,13 @@ class RadioDecoderTask(Task):
 
 
 class LogicDecoderTask(Task):
-    """logic.signal.raw -> logic.decoder.frame (LogicDecoderTask parity)."""
+    """logic.signal.raw -> logic.decoder.frame (LogicDecoderTask parity).
 
-    def __init__(self, decoder=None):
+    Truly streaming: each logic block feeds the incremental ISO7816 decoder
+    and completed frames publish immediately (the live DSLogic case)."""
+
+    def __init__(self):
         super().__init__("worker.LogicDecoder", "logic.decoder")
-        from .logic_decoder import IsoDecoder
-
-        self.decoder = decoder or IsoDecoder()
         self.frame_stream = Subject.name("logic.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("logic.signal.raw").subscribe(
@@ -271,9 +271,10 @@ class LogicDecoderTask(Task):
         )
 
     def run(self):
+        from .logic_decoder import StreamingIsoDecoder
+
         self.update_status("streaming")
-        chunks: list[np.ndarray] = []
-        rate = 0
+        dec: StreamingIsoDecoder | None = None
         while not self.terminated:
             try:
                 buf = self.signal_queue.get(timeout=0.1)
@@ -281,11 +282,16 @@ class LogicDecoderTask(Task):
                 continue
             if not buf.valid:
                 break
-            rate = buf.sample_rate
-            chunks.append(np.asarray(buf.data, np.float32))
-        if chunks:
-            samples = np.concatenate(chunks)
-            for frame in self.decoder.decode(samples, rate):
+            block = np.asarray(buf.data, np.float32)
+            if dec is None:
+                dec = StreamingIsoDecoder(
+                    buf.sample_rate, channels=block.shape[1]
+                )
+            for frame in dec.feed(block):
+                self.frame_stream.next(frame)
+            self.throughput.update(len(block))
+        if dec is not None:
+            for frame in dec.finish():
                 self.frame_stream.next(frame)
         self.frame_stream.next(None)
         self.update_status("complete")

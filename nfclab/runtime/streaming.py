@@ -93,6 +93,11 @@ class StreamingNfcDecoder:
         new_base = min(self._n - W, self._t - W)
         if new_base <= self._base:
             return
+        # bring box running sums current while their inputs are still inside
+        # the old window (an entry lagging a full window would otherwise read
+        # below the new base after the shift)
+        if self._ctx is not None:
+            self._ctx.channels.extend_boxes()
         shift = new_base - self._base
         keep = self._n - new_base
         for k in _KEYS:

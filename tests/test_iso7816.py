@@ -179,3 +179,26 @@ def test_parity_error_flagged():
     atr = [f for f in frames if f.frame_type == int(FrameType.IsoATRFrame)]
     assert len(atr) == 1
     assert atr[0].has_flags(FrameFlags.ParityError)
+
+
+@pytest.mark.parametrize("block", [65536, 17001])
+def test_streaming_iso_matches_batch(block):
+    """Chunked feeds through StreamingIsoDecoder equal the one-shot decode
+    (T=0 session with ATR + TPDU exchange)."""
+    from nfclab.runtime.logic_decoder import IsoDecoder, StreamingIsoDecoder
+
+    capture = make_session(
+        atr=(0x3B, 0x00), tpdu=[0x00, 0xA4, 0x04, 0x00, 0x00, 0x90, 0x00]
+    )
+    want = IsoDecoder().decode(capture, SAMPLE_RATE)
+
+    dec = StreamingIsoDecoder(SAMPLE_RATE, channels=capture.shape[1])
+    got = []
+    for off in range(0, len(capture), block):
+        got.extend(dec.feed(capture[off : off + block]))
+    got.extend(dec.finish())
+
+    key = lambda f: (f.sample_start, f.sample_end, f.frame_type)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # frames appeared before the final feed (incremental emission)
+    assert len(got) == len(want) and len(want) > 0
