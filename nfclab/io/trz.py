@@ -87,8 +87,66 @@ def _frame_from_json(e: dict) -> Frame:
     )
 
 
-def write_trace(path: str, frames: list[Frame], signals: list[SignalStream] = ()):
-    """Write a TRZ trace (gzip tar, maximum compression like gzopen "wb9")."""
+def _shift_frame(f: Frame, start: int, rate_hint: int) -> Frame:
+    rate = f.sample_rate or rate_hint
+    dt = start / rate if rate else 0.0
+    g = Frame(
+        tech_type=f.tech_type,
+        frame_type=f.frame_type,
+        frame_phase=f.frame_phase,
+        frame_flags=f.frame_flags,
+        frame_rate=f.frame_rate,
+        data=f.data,
+        sample_start=f.sample_start - start,
+        sample_end=f.sample_end - start,
+        sample_rate=f.sample_rate,
+        time_start=f.time_start - dt,
+        time_end=f.time_end - dt,
+        date_time=f.date_time,
+    )
+    return g
+
+
+def write_trace(
+    path: str,
+    frames: list[Frame],
+    signals: list[SignalStream] = (),
+    sample_range: tuple[int, int] | None = None,
+):
+    """Write a TRZ trace (gzip tar, maximum compression like gzopen "wb9").
+
+    sample_range=(start, end): save only that sample span, with frames and
+    signal offsets shifted so the range starts at sample 0 (the reference's
+    time-range save, TraceStorageTask.cpp:322-363 writeTraceFile filter +
+    writeFrameEntry range shift :460-520)."""
+    if sample_range is not None:
+        start, end = sample_range
+        rate_hint = next(
+            (f.sample_rate for f in frames if f.sample_rate), 0
+        )
+        frames = [
+            _shift_frame(f, start, rate_hint)
+            for f in frames
+            if start <= f.sample_start and f.sample_end <= end
+        ]
+        clipped = []
+        for s in signals:
+            sel = (s.offsets >= start) & (s.offsets <= end)
+            offs = s.offsets[sel] - start
+            # anchor the delta coding at the first kept point (the gap from
+            # the range start may exceed the u8 offset-delta budget)
+            anchor = int(offs[0]) if len(offs) else 0
+            clipped.append(
+                SignalStream(
+                    s.stream_id,
+                    s.sample_rate,
+                    s.kind,
+                    offs,
+                    s.values[sel],
+                    anchor,
+                )
+            )
+        signals = clipped
     with tarfile.open(path, "w:gz", compresslevel=9) as tar:
 
         def add(name: str, payload: bytes):
