@@ -43,8 +43,6 @@ class StreamView:
             start = None if i.start is None else i.start - b
             stop = None if i.stop is None else i.stop - b
             return self.data[start:stop:i.step]
-        if isinstance(i, np.ndarray):
-            return self.data[i - b]
         return self.data[i - b]
 
     def __setitem__(self, i, value):
@@ -53,9 +51,6 @@ class StreamView:
             start = None if i.start is None else i.start - b
             stop = None if i.stop is None else i.stop - b
             self.data[start:stop:i.step] = value
-            return
-        if isinstance(i, np.ndarray):
-            self.data[i - b] = value
             return
         self.data[i - b] = value
 

@@ -120,10 +120,20 @@ class NativeSdrDevice(SignalDevice):
 
     def _on_block(self, samples, count, offset, user):
         if count == 0:
-            # driver EOF marker (e.g. rtl_tcp server closed the connection)
+            # driver EOF marker (e.g. rtl_tcp server closed the connection):
+            # must not be droppable — evict data blocks until it fits
             block = np.empty(0, np.float32)
-        else:
-            block = np.ctypeslib.as_array(samples, shape=(count,)).copy()
+            while True:
+                try:
+                    self._queue.put_nowait(block)
+                    return
+                except queue.Full:
+                    try:
+                        dropped = self._queue.get_nowait()
+                        self._dropped += len(dropped)
+                    except queue.Empty:
+                        pass
+        block = np.ctypeslib.as_array(samples, shape=(count,)).copy()
         try:
             self._queue.put_nowait(block)
         except queue.Full:

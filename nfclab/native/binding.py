@@ -256,45 +256,22 @@ def condition_stream_into(
 
 def condition_stream(value: np.ndarray, params, state: np.ndarray) -> Conditioned:
     """Incrementally condition one block, updating `state` in place — the
-    streaming-exact variant of condition_exact (same math, explicit carry)."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+    streaming-exact variant of condition_exact (same math, explicit carry).
+    Thin convenience over condition_stream_into with fresh output arrays."""
     value = np.ascontiguousarray(value, dtype=np.float32)
     n = len(value)
-    env = np.empty(n, np.float32)
-    filt = np.empty(n, np.float32)
-    mdev = np.empty(n, np.float32)
-    avg = np.empty(n, np.float32)
-    mdepth = np.empty(n, np.float32)
-    epeak = np.empty(n, np.float32)
-    etime = np.empty(n, np.uint32)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    f64p = ctypes.POINTER(ctypes.c_double)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    lib.nfclab_condition_stream(
-        value.ctypes.data_as(f32p),
-        ctypes.c_int64(n),
-        ctypes.c_float(params.signal_enve_w0),
-        ctypes.c_float(params.signal_enve_w1),
-        ctypes.c_float(params.signal_mdev_w0),
-        ctypes.c_float(params.signal_mdev_w1),
-        ctypes.c_float(params.signal_mean_w0),
-        ctypes.c_float(params.signal_mean_w1),
-        ctypes.c_float(params.signal_iir_dc_a),
-        ctypes.c_int32(params.elementary_time_unit),
-        ctypes.c_float(params.signal_low_threshold),
-        ctypes.c_float(params.signal_high_threshold),
-        state.ctypes.data_as(f64p),
-        env.ctypes.data_as(f32p),
-        filt.ctypes.data_as(f32p),
-        mdev.ctypes.data_as(f32p),
-        avg.ctypes.data_as(f32p),
-        mdepth.ctypes.data_as(f32p),
-        epeak.ctypes.data_as(f32p),
-        etime.ctypes.data_as(u32p),
-    )
-    return Conditioned(value, env, filt, mdev, avg, mdepth, epeak, etime)
+    bufs = {
+        k: np.empty(n, np.uint32 if k == "edge_time" else np.float32)
+        for k in (
+            "value", "envelope", "filtered", "deviation",
+            "average", "mod_depth", "edge_peak", "edge_time",
+        )
+    }
+    condition_stream_into(value, params, state, bufs, 0)
+    return Conditioned(*(bufs[k] for k in (
+        "value", "envelope", "filtered", "deviation",
+        "average", "mod_depth", "edge_peak", "edge_time",
+    )))
 
 
 def iq_magnitude_native(iq: np.ndarray, avrg: float = 0.0):

@@ -107,6 +107,13 @@ class CarrierDetector:
 
     def _edge_or_clock(self, t: int) -> int:
         edge = int(self.ctx.cond.edge_time[t])
+        # the conditioner stores carrierEdgeTime as u32; reconstruct the full
+        # clock (largest value <= t congruent mod 2^32) so unbounded live
+        # streams survive the wrap at ~2^32 samples.  edge == 0 stays the
+        # no-edge sentinel (a real edge congruent to 0 is vanishingly rare
+        # and only costs a timestamp falling back to the clock).
+        if edge != 0 and t >= (1 << 32):
+            edge = t - ((t - edge) & 0xFFFFFFFF)
         # carrierEdgeTime was cleared at the last event; only a newer peak
         # update counts (NfcDecoder.cpp:479,495,504,520)
         if edge > self._edge_cleared_at or (edge != 0 and self._edge_cleared_at == 0):

@@ -70,6 +70,8 @@ class StreamingIsoDecoder:
                  stream_time: float = 0.0):
         from ..demod.iso7816 import Iso7816Decoder
 
+        if channels < 4:
+            raise ValueError("logic decode expects channels>=4 (IO/CLK/RST/VCC)")
         self.sample_rate = sample_rate
         self.channels = channels
         self._dec = Iso7816Decoder(sample_rate, stream_time)

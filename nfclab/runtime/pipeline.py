@@ -13,10 +13,9 @@ reference wire protocol (SURVEY.md §1):
     radio.decoder.frame / logic.decoder.frame     decoded frames
     <task>.status / <task>.command                control plane
 
-The dense decode itself is block-buffered: signal blocks accumulate and the
-event-driven decoder runs at EOF (the in-band empty buffer), preserving the
-one-shot decoder's exactness.  Incremental decode is a planned optimization;
-the task surface is already streaming-shaped.
+Both decoders are incremental: each signal block feeds the streaming
+radio/logic decoder and completed frames publish immediately (bounded
+latency live decode, windowed memory for the radio path).
 """
 
 from __future__ import annotations
@@ -152,7 +151,11 @@ class LiveRadioSourceTask(Task):
         self._avrg = 0.0
 
     def run(self):
-        from ..hw.device import PARAM_GAIN_VALUE, PARAM_SAMPLE_RATE
+        from ..hw.device import (
+            PARAM_GAIN_MODE,
+            PARAM_GAIN_VALUE,
+            PARAM_SAMPLE_RATE,
+        )
         from ..hw.sdr import NativeSdrDevice
 
         dev = NativeSdrDevice(self.ident)
@@ -189,11 +192,12 @@ class LiveRadioSourceTask(Task):
                 )
                 offset += len(mag)
                 self.raw_stream.next(raw)
-                # software AGC (RadioDeviceTask.cpp:662-686): forward gain
-                # steps to the live device when manual gain wasn't requested
-                step = self.agc.update(self._avrg, offset, len(mag))
-                if step is not None and PARAM_GAIN_VALUE not in self.config:
-                    dev.set(PARAM_GAIN_VALUE, step)
+                # software AGC (RadioDeviceTask.cpp:660-686): only when the
+                # gain mode wasn't explicitly set to manual (1)
+                if self.config.get(PARAM_GAIN_MODE) != 1:
+                    step = self.agc.update(self._avrg, offset, len(mag))
+                    if step is not None:
+                        dev.set(PARAM_GAIN_VALUE, step)
             else:
                 raw = SignalBuffer(
                     block, rate, offset,
@@ -465,9 +469,10 @@ class TraceStorageTask(Task):
     """Accumulate frames + adaptive streams, write a TRZ on completion
     (TraceStorageTask write path parity)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, sample_range: tuple[int, int] | None = None):
         super().__init__("worker.TraceStorage", "storage")
         self.path = path
+        self.sample_range = sample_range
         self.frames: list[Frame] = []
         self.signals: list[SignalBuffer] = []
         self._done = threading.Event()
@@ -510,7 +515,9 @@ class TraceStorageTask(Task):
                     buf.offset,
                 )
             )
-        write_trace(self.path, self.frames, streams)
+        write_trace(
+            self.path, self.frames, streams, sample_range=self.sample_range
+        )
         self.update_status("complete", frames=len(self.frames))
 
 

@@ -53,6 +53,12 @@ class StreamingNfcDecoder:
 
     def __init__(self, sample_rate: int, window: int | None = None,
                  **decoder_kwargs):
+        if window is not None and window < (1 << 16):
+            raise ValueError(
+                "window must be >= 65536 samples (and must exceed the "
+                "protocol frame-waiting lookback, ~370k at 10 MS/s, for "
+                "correct decode)"
+            )
         self.sample_rate = sample_rate
         self.window = window
         self.params = SignalParams(
@@ -143,11 +149,14 @@ class StreamingNfcDecoder:
     def _ensure_capacity(self, m: int):
         need = self._n + m - self._base
         if len(self._bufs["value"]) < need:
-            if self.window:
-                # windowed: one right-sized allocation (compaction keeps the
-                # filled span under 2*window + one feed)
-                cap = max(need, 2 * self.window + (1 << 17))
+            steady = 2 * (self.window or 0) + (1 << 17)
+            if self.window and need <= steady:
+                # windowed steady state: one right-sized allocation
+                # (compaction keeps the filled span under 2*window + a feed)
+                cap = steady
             else:
+                # unbounded, or the walker stalled past the window: grow
+                # geometrically so repeated growth stays amortized O(1)
                 cap = max(need, len(self._bufs["value"]) * 2)
             filled = self._n - self._base
             for k in _KEYS:
