@@ -87,6 +87,12 @@ class LazyChannels:
     def __init__(self, cond):
         self.cond = cond
         self.base = 0
+        # windowed steady-state capacity (set by StreamingNfcDecoder):
+        # allocating channel buffers at their final size up front avoids the
+        # doubling-growth copies while the window fills (~2x the window
+        # footprint of extra memory traffic per channel otherwise; pages
+        # fault in lazily so virtual size is free)
+        self.capacity_hint = 0
         self._cache: dict = {}
 
     @property
@@ -155,7 +161,9 @@ class LazyChannels:
                     "(StreamingNfcDecoder does this when windowing is on)"
                 )
             ent = {
-                "arr": alloc_array(max(window, 4096), dtype),
+                "arr": alloc_array(
+                    max(window, 4096, self.capacity_hint), dtype
+                ),
                 "n": self.base,
                 "acc": np.zeros(1, np.float64),
                 "idx": None,
@@ -164,7 +172,9 @@ class LazyChannels:
             }
             self._cache[key] = ent
         if len(ent["arr"]) < window:
-            new = alloc_array(max(window, len(ent["arr"]) * 2), dtype)
+            new = alloc_array(
+                max(window, len(ent["arr"]) * 2, self.capacity_hint), dtype
+            )
             filled = max(0, ent["n"] - self.base)
             new[:filled] = ent["arr"][:filled]
             ent["arr"] = new
@@ -403,6 +413,38 @@ class LazyChannels:
             else:
                 m = seg < thr
             return (np.flatnonzero(m) + start).astype(np.int64)
+
+        return self._idx_chan(key, tail)
+
+    def crossing_idx(self, src: str, thr, op: str) -> np.ndarray:
+        """Clocks where (cond.<src> OP thr) BECOMES true (run starts).
+        Consumers pair this with an O(1) direct test at the query clock:
+        next-true >= t is t itself when the condition already holds at t,
+        else the next crossing.  Keeps the carrier/power event channels
+        O(events) instead of O(samples) for densely-true conditions."""
+        key = ("xing", src, float(thr), op)
+
+        def tail(start, n):
+            x = getattr(self.cond, src)
+            nb = _native()
+            if nb is not None:
+                return nb.collect_cross_ext_native(x, start, n, thr, op)
+            seg = x[start:n]
+            if op == ">":
+                m = seg > thr
+            elif op == ">=":
+                m = seg >= thr
+            else:
+                m = seg < thr
+            if start > 0:
+                p = x[start - 1]
+                prev = p > thr if op == ">" else p >= thr if op == ">=" else p < thr
+            else:
+                prev = False
+            rising = m.copy()
+            rising[1:] &= ~m[:-1]
+            rising[0] &= not prev
+            return (np.flatnonzero(rising) + start).astype(np.int64)
 
         return self._idx_chan(key, tail)
 

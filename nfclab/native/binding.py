@@ -189,6 +189,9 @@ def _load():
             "nfclab_collect_gt_ext",
             "nfclab_collect_ge_ext",
             "nfclab_collect_lt_ext",
+            "nfclab_collect_cross_gt_ext",
+            "nfclab_collect_cross_ge_ext",
+            "nfclab_collect_cross_lt_ext",
         ):
             getattr(lib, name).restype = ctypes.c_int64
         _lib = lib
@@ -523,6 +526,30 @@ def collect_cmp_ext_native(x, start, n, thr, op):
         ">": "nfclab_collect_gt_ext",
         ">=": "nfclab_collect_ge_ext",
         "<": "nfclab_collect_lt_ext",
+    }[op]
+    idx = _idx_scratch(max(n - start, 1))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    count = getattr(lib, name)(
+        as_f32_ptr(x),
+        ctypes.c_int64(n),
+        ctypes.c_int64(start),
+        ctypes.c_float(float(thr)),
+        idx.ctypes.data_as(i64p),
+    )
+    return idx[:count]  # scratch view; consume before the next scan
+
+
+def collect_cross_ext_native(x, start, n, thr, op):
+    """Rising-crossing indices over [start, n): clocks where (x OP thr)
+    becomes true.  Reads x[start-1] when start > 0 (callers keep start
+    inside the stream window)."""
+    from ..core.streamview import as_f32_ptr
+
+    lib = _load()
+    name = {
+        ">": "nfclab_collect_cross_gt_ext",
+        ">=": "nfclab_collect_cross_ge_ext",
+        "<": "nfclab_collect_cross_lt_ext",
     }[op]
     idx = _idx_scratch(max(n - start, 1))
     i64p = ctypes.POINTER(ctypes.c_int64)

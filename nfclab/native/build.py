@@ -47,7 +47,7 @@ def build(force: bool = False) -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = [
         "g++",
-        "-O2",
+        "-O3",
         "-std=c++17",
         "-shared",
         "-fPIC",

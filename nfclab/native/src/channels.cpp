@@ -226,6 +226,40 @@ int64_t nfclab_collect_lt_ext(const float *x, int64_t n, int64_t start,
     return count;
 }
 
+// Rising-crossing collectors: indices t in [start, n) where (x[t] OP thr)
+// holds and did not hold at t-1 (t == 0 counts when the condition holds).
+// The carrier/power walkers only ever ask "next clock >= t where the
+// condition holds"; pairing an O(1) direct test at t with these run-start
+// indices keeps the index channels O(events) instead of O(samples) for
+// conditions that are densely true (carrier-on covers most of a capture,
+// NfcDecoder.cpp:472-523).  Callers guarantee x[start-1] is readable
+// (windowed rescans restart at base+4096 > base).
+#define NFCLAB_COLLECT_CROSS(NAME, COND)                                      \
+    int64_t NAME(const float *x, int64_t n, int64_t start, float thr,        \
+                 int64_t *idx_out)                                            \
+    {                                                                         \
+        int64_t count = 0;                                                    \
+        bool prev = start > 0 ? (COND(x[start - 1])) : false;                 \
+        for (int64_t t = start; t < n; t++) {                                 \
+            const bool cur = COND(x[t]);                                      \
+            if (cur && !prev)                                                 \
+                idx_out[count++] = t;                                         \
+            prev = cur;                                                       \
+        }                                                                     \
+        return count;                                                         \
+    }
+
+#define NFCLAB_GT(v) ((v) > thr)
+#define NFCLAB_GE(v) ((v) >= thr)
+#define NFCLAB_LT(v) ((v) < thr)
+NFCLAB_COLLECT_CROSS(nfclab_collect_cross_gt_ext, NFCLAB_GT)
+NFCLAB_COLLECT_CROSS(nfclab_collect_cross_ge_ext, NFCLAB_GE)
+NFCLAB_COLLECT_CROSS(nfclab_collect_cross_lt_ext, NFCLAB_LT)
+#undef NFCLAB_GT
+#undef NFCLAB_GE
+#undef NFCLAB_LT
+#undef NFCLAB_COLLECT_CROSS
+
 int64_t nfclab_collect_gt(const float *x, int64_t n, float thr,
                           int64_t *idx_out)
 {

@@ -35,15 +35,20 @@ class DecoderContext:
         self.modulation = None
         self.locked_tech = None
 
-    # precomputed power-ok sample indices for event scheduling
-    # (extension-aware: the streaming decoder re-reads after each feed)
+    # precomputed power-ok crossing indices for event scheduling
+    # (extension-aware: the streaming decoder re-reads after each feed).
+    # Run starts only — power-ok is densely true under carrier, so the next
+    # power-ok clock >= t is t itself when envelope[t] passes, else the next
+    # run start.
     @property
     def _power_idx(self):
-        return self.channels.threshold_idx(
+        return self.channels.crossing_idx(
             "envelope", self.power_level_threshold, ">="
         )
 
     def next_power_ok(self, t: int) -> int | None:
+        if t < self.n and self.cond.envelope[t] >= self.power_level_threshold:
+            return t
         idx = self._power_idx
         i = np.searchsorted(idx, t)
         if i >= len(idx):
@@ -75,10 +80,12 @@ class CarrierDetector:
         p = ctx.params
         self._high_thr = np.float32(p.signal_high_threshold)
         self._low_thr = np.float32(p.signal_low_threshold)
-        self._above_idx = ctx.channels.threshold_idx(
+        # run-start crossings only (O(events)); _next_interesting_compute
+        # pairs them with a direct test at the query clock
+        self._above_idx = ctx.channels.crossing_idx(
             "average", self._high_thr, ">"
         )
-        self._below_idx = ctx.channels.threshold_idx(
+        self._below_idx = ctx.channels.crossing_idx(
             "average", self._low_thr, "<"
         )
         self._ni_cache = None
@@ -94,15 +101,23 @@ class CarrierDetector:
         return val
 
     def _next_interesting_compute(self, t: int) -> int | None:
+        avg = self.ctx.cond.average
+        in_stream = t < self.ctx.n
         cands = []
         if not self.carrier_on_time:
-            i = np.searchsorted(self._above_idx, t)
-            if i < len(self._above_idx):
-                cands.append(int(self._above_idx[i]))
+            if in_stream and avg[t] > self._high_thr:
+                cands.append(t)
+            else:
+                i = np.searchsorted(self._above_idx, t)
+                if i < len(self._above_idx):
+                    cands.append(int(self._above_idx[i]))
         if not self.carrier_off_time:
-            i = np.searchsorted(self._below_idx, t)
-            if i < len(self._below_idx):
-                cands.append(int(self._below_idx[i]))
+            if in_stream and avg[t] < self._low_thr:
+                cands.append(t)
+            else:
+                i = np.searchsorted(self._below_idx, t)
+                if i < len(self._below_idx):
+                    cands.append(int(self._below_idx[i]))
         return min(cands) if cands else None
 
     def _edge_or_clock(self, t: int) -> int:

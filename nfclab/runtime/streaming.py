@@ -212,6 +212,10 @@ class StreamingNfcDecoder:
                 full, self.sample_rate, self.params, self._proto.stream_time
             )
             self._ctx = ctx
+            if self.window:
+                # channel buffers reach 2*window + one feed at steady state;
+                # allocating that up front avoids doubling-growth copies
+                ctx.channels.capacity_hint = 2 * self.window + (1 << 17)
             self._carrier = CarrierDetector(ctx)
             self._techs = self._proto._make_techs(ctx)
             for tech in self._techs:
