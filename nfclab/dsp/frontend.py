@@ -133,6 +133,43 @@ def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
                 pb4[:, : t - d], ((0, 0), (d, 0))
             )
 
+        power_ok = env >= jnp.float32(params.power_level_threshold)
+
+        # NFC-B falling-edge trigger masks (NfcB.cpp:283): filt[t-d] below
+        # -minDeep*env at power-ok samples, delays 0 and p2(106k)*2
+        d_b106 = bitrates_a[0].period1  # 94 at 10 MS/s
+        for d in (0, d_b106):
+            fd = jnp.pad(filt[:, : t - d], ((0, 0), (d, 0))) if d else filt
+            out[f"mask_b_{d}"] = power_ok & (
+                fd < -(jnp.float32(thr["nfcb"]) * env)
+            )
+
+        # NFC-F correlation masks: A's SD family at d=0 over the same
+        # half-symbol boxes (NfcF.cpp detect)
+        for br in bitrates_a[1:]:
+            p1, p2 = br.period1, br.period2
+            box = boxes[p2]
+            gap = p1 - p2
+            bm_g = jnp.pad(box[:, :-gap], ((0, 0), (gap, 0)))
+            bm_1 = jnp.pad(box[:, :-1], ((0, 0), (1, 0)))
+            sd = ((box - bm_g) - (bm_g - bm_1)) / jnp.float32(p2)
+            out[f"mask_f_{br.rate_type}"] = power_ok & (
+                jnp.abs(sd) > jnp.float32(thr["nfcf"]) * env
+            )
+
+        # NFC-V signed SD mask (NfcV.cpp:236-435): reversed-difference SD
+        # over the half-symbol box at delay period0
+        from ..demod.nfcv import nfcv_bitrate
+
+        brv = nfcv_bitrate(params.sample_rate)
+        p2v, p1v, dv = brv.period2, brv.period1, brv.symbol_delay_detect
+        gapv = p1v - p2v
+        boxv = _box_sum_t(value, p2v)
+        u0 = jnp.pad(boxv[:, : t - dv], ((0, 0), (dv, 0)))
+        ug = jnp.pad(boxv[:, : t - dv - gapv], ((0, 0), (dv + gapv, 0)))
+        sd_v = (ug - u0) / jnp.float32(p2v)
+        out["mask_v"] = power_ok & (sd_v > jnp.float32(thr["nfcv"]) * env)
+
         return out
 
     return frontend
@@ -148,23 +185,31 @@ def jitted_frontend(sample_rate: int, power_level_threshold: float = 0.01):
 
 def make_fused_frontend(
     params: SignalParams,
-    corr_threshold: float = 0.75,
+    corr_thresholds: dict | None = None,
     native_layout: bool = True,
 ):
     """Production-throughput frontend: the fused Pallas kernel (conditioning
-    + mod depth + every box channel in one sweep) plus the elementwise
-    SD/mask derivation for the NFC-A detect path.  Box sums carry the same
-    f32 running-sum roundoff family as the reference's own integrators; the
-    bit-exact golden path uses the unfused conditioner + host f64 channels.
+    + mod depth + every box channel in one sweep) plus in-kernel detect
+    triggers for ALL four technologies packed into the single `detect_mask`
+    bitfield output.  Box sums carry the same f32 running-sum roundoff
+    family as the reference's own integrators; the bit-exact golden path
+    uses the unfused conditioner + host f64 channels.
 
     native_layout keeps everything in the kernel's [g, t, 8, 128] tiling so
-    no output pays an HBM transpose back to [B, T].  The NFC-A detect masks
-    (and mod depth) are produced inside the kernel itself — this wrapper
-    only forwards the thresholds."""
+    no output pays an HBM transpose back to [B, T]."""
     from .pallas.fused_frontend import fused_frontend
 
     pt = _params_tuple(params)
-    mask_params = (float(params.power_level_threshold), float(corr_threshold))
+    thr = {"nfca": 0.75, "nfcb": 0.10, "nfcf": 0.50, "nfcv": 0.50}
+    if corr_thresholds:
+        thr.update(corr_thresholds)
+    mask_params = (
+        float(params.power_level_threshold),
+        float(thr["nfca"]),
+        float(thr["nfcb"]),
+        float(thr["nfcf"]),
+        float(thr["nfcv"]),
+    )
 
     def run(value):
         return fused_frontend(

@@ -14,14 +14,22 @@ trip each; this kernel produces all of them in a single sweep:
   own float32 integrators (NfcA.cpp:246-250 et al.), with identical
   roundoff family; zero-filled rings reproduce the reference's warm-up.
 
-Outputs (17 x f32): env, filt, mdev, avg, mod_depth,
+Outputs (15 x f32): env, filt, mdev, avg, mod_depth,
   bv12, bv24, bv47, bv94        raw-value boxes (A rates p2 + V p2)
   q47, q189                     squared-filtered boxes (A/V listen)
   p24x6, p47x12, p94x24         BPSK product boxes (A424/A212+B212/B106)
-  mask_a_0/1/2                  NFC-A detect masks (0/1 f32): |SD| above the
-                                correlation threshold at power-ok samples,
-                                SD read from a VMEM ring of box values at
-                                the rate's delay cascade (no XLA pass)
+  detect_mask                   ALL-tech detect trigger bits packed into one
+                                f32 integer (0..255): bits 0-2 NFC-A rates
+                                (|SD| above corr threshold at power-ok
+                                samples, NfcA.cpp:224-291), bits 3-4 NFC-B
+                                falling-edge triggers at delays 0/94
+                                (NfcB.cpp:283), bits 5-6 NFC-F correlation
+                                (NfcF.cpp detect), bit 7 NFC-V signed SD
+                                (NfcV.cpp:236-435).  SD values are read from
+                                VMEM rings of box values at each rate's
+                                delay cascade — one packed output instead of
+                                per-tech mask arrays keeps HBM write traffic
+                                flat while covering every technology.
 
 Layout: the kernel's native tiling is [g, t, 8, 128] (1024 streams per grid
 row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
@@ -55,19 +63,34 @@ RP_RINGS = (8, 16, 32)
 # NFC-A detect per rate: (delay cascade d, gap = p1-p2, p2, index of p2 in
 # BV_WIDTHS); max ring lookback = d + gap + 1 = 154 < RB_RING
 A_RATES = ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
-RB_RING = 192
+RB_RING = 256  # power of two so lax.rem lowers to a bitwise AND
 
-N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + len(A_RATES)
+# NFC-B falling-edge trigger delays (filtered-signal lookbacks, < RF_RING)
+B_DELAYS = (0, 94)
+# NFC-F detect per rate: (d, gap, p2, A_RATES ring index holding that box) —
+# F's SD reads the same bv24/bv12 box values A rates 1/2 already ring-buffer
+F_RATES = ((0, 23, 24, 1), (0, 12, 12, 2))
+# NFC-V signed SD: (d, gap, p2, BV_WIDTHS index); lookback d+gap+1 = 474
+V_RATE = (378, 95, 94, 3)
+RBV_RING = 512
+
+# detect_mask bit weights (f32-exact integers)
+MASK_BITS_A = (1.0, 2.0, 4.0)
+MASK_BITS_B = (8.0, 16.0)
+MASK_BITS_F = (32.0, 64.0)
+MASK_BIT_V = 128.0
+
+N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
 
 
 def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
-                  rv, rf, rq, rp0, rp1, rp2, rb, sums):
+                  rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     (enve_w0, enve_w1, mdev_w0, mdev_w1, mean_w0, mean_w1, iir_a, etu) = params
-    (power_thr, corr_thr) = mask_params
+    (power_thr, a_thr, b_min_deep, f_thr, v_thr) = mask_params
 
     t_idx = pl.program_id(1)
     rps = (rp0, rp1, rp2)
@@ -79,6 +102,10 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
         carry[1] = init_ref[1]  # w1
         carry[2] = init_ref[2]  # mdev
         carry[3] = init_ref[3]  # avg
+        carry[4] = init_ref[4]  # silence pulse counter
+        carry[5] = z  # prev bv47 (B(t-1) for the d=0 SD reads)
+        carry[6] = z  # prev bv24
+        carry[7] = z  # prev bv12
         for k in range(rv.shape[0]):
             rv[k] = z
         for k in range(rf.shape[0]):
@@ -90,6 +117,8 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
                 rp[k] = z
         for k in range(rb.shape[0]):
             rb[k] = z
+        for k in range(rbv.shape[0]):
+            rbv[k] = z
         for k in range(sums.shape[0]):
             sums[k] = z
 
@@ -170,22 +199,70 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
             s += 1
         rf[slot_f] = filt
 
-        # NFC-A detect masks from box-value rings (frontend.py SD formula):
+        # all-tech detect trigger bits, packed into one f32 integer output.
+        # SD formulas read VMEM rings of box values at each rate's delay
+        # cascade (frontend.py SD formula):
         # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
         slot_b = jax.lax.rem(t, RB_RING)
         power_ok = new_env >= power_thr
-        min_corr = corr_thr * new_env
+        mval = jnp.zeros((8, 128), jnp.float32)
+
+        # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291).
+        # d == 0 rates read the current box value from `sums` and B(t-1)
+        # from the carried previous value — only the gap lookback needs the
+        # ring (each dynamic ring access is a scalar-addressed VMEM op).
+        min_corr_a = a_thr * new_env
+        prev_bv = {47: carry[5], 24: carry[6], 12: carry[7]}
         for r, (d, gap, p2, widx) in enumerate(A_RATES):
             base = r * RB_RING
-            # store first: rate 0 has d == 0 and reads the current box value
             rb[base + slot_b] = sums[widx]
-            b0 = rb[base + jax.lax.rem(t - d + RB_RING, RB_RING)]
+            if d == 0:
+                b0 = sums[widx]
+                b1 = prev_bv[BV_WIDTHS[widx]]
+            else:
+                b0 = rb[base + jax.lax.rem(t - d + RB_RING, RB_RING)]
+                b1 = rb[base + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
             bg = rb[base + jax.lax.rem(t - d - gap + 2 * RB_RING, RB_RING)]
-            b1 = rb[base + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
             sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
-            mask = power_ok & (jnp.abs(sd) > min_corr)
-            out_refs[o][j] = mask.astype(jnp.float32)
-            o += 1
+            mask = power_ok & (jnp.abs(sd) > min_corr_a)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
+
+        # NFC-F: same SD family over bv24/bv12, which A rates 1/2 already
+        # ring-buffer; d = 0 so b0/b1 come from sums and the carried prevs
+        min_corr_f = f_thr * new_env
+        for r, (d, gap, p2, ridx) in enumerate(F_RATES):
+            base = ridx * RB_RING
+            widx = A_RATES[ridx][3]
+            b0 = sums[widx]
+            b1 = prev_bv[BV_WIDTHS[widx]]
+            bg = rb[base + jax.lax.rem(t - gap + RB_RING, RB_RING)]
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr_f)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
+
+        # NFC-B: falling-edge trigger filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
+        edge_b = -(b_min_deep * new_env)
+        for r, d in enumerate(B_DELAYS):
+            fd = filt if d == 0 else rf[jax.lax.rem(t - d + RF_RING, RF_RING)]
+            mask = power_ok & (fd < edge_b)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
+
+        # NFC-V: signed SD = (B(u-gap) - B(u))/p2 > thr*env (NfcV.cpp:236-435)
+        dv, gapv, p2v, widxv = V_RATE
+        slot_bv = jax.lax.rem(t, RBV_RING)
+        rbv[slot_bv] = sums[widxv]
+        u0 = rbv[jax.lax.rem(t - dv + RBV_RING, RBV_RING)]
+        ug = rbv[jax.lax.rem(t - dv - gapv + 2 * RBV_RING, RBV_RING)]
+        sd_v = (ug - u0) / jnp.float32(p2v)
+        mask_v = power_ok & (sd_v > v_thr * new_env)
+        mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
+
+        out_refs[o][j] = mval
+
+        # carry this step's box values as next step's B(t-1)
+        carry[5] = sums[2]  # bv47
+        carry[6] = sums[1]  # bv24
+        carry[7] = sums[0]  # bv12
         return 0
 
     if UNROLL:
@@ -233,10 +310,10 @@ def _jitted(params, mask_params, g: int, t: int):
         out_refs = [
             _View(r) for r in rest[:N_OUT]
         ]
-        carry, rv, rf, rq, rp0, rp1, rp2, rb, sums = rest[N_OUT:]
+        carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT:]
         _fused_kernel(
             params, mask_params, _View(value_ref), _View(init_ref), out_refs,
-            carry, rv, rf, rq, rp0, rp1, rp2, rb, sums,
+            carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
         )
 
     out_shape = [jax.ShapeDtypeStruct((g, t, 8, 128), jnp.float32)] * N_OUT
@@ -252,7 +329,7 @@ def _jitted(params, mask_params, g: int, t: int):
             out_specs=[tile_spec] * N_OUT,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((5, 8, 128), jnp.float32),  # carry
+                pltpu.VMEM((8, 8, 128), jnp.float32),  # carry + prev boxes
                 pltpu.VMEM((RV_RING, 8, 128), jnp.float32),
                 pltpu.VMEM((RF_RING, 8, 128), jnp.float32),
                 pltpu.VMEM((RQ_RING, 8, 128), jnp.float32),
@@ -260,6 +337,7 @@ def _jitted(params, mask_params, g: int, t: int):
                 pltpu.VMEM((RP_RINGS[1], 8, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[2], 8, 128), jnp.float32),
                 pltpu.VMEM((len(A_RATES) * RB_RING, 8, 128), jnp.float32),
+                pltpu.VMEM((RBV_RING, 8, 128), jnp.float32),
                 pltpu.VMEM((n_sums, 8, 128), jnp.float32),
             ],
         )(value, init)
@@ -272,18 +350,38 @@ OUTPUT_NAMES = (
     + [f"bv{w}" for w in BV_WIDTHS]
     + [f"q{w}" for w in Q_WIDTHS]
     + [f"p{lag}x{box}" for lag, box in PB]
-    + [f"mask_a_{r}" for r in range(len(A_RATES))]
+    + ["detect_mask"]
+)
+
+# detect_mask bit layout: (name, weight)
+MASK_LAYOUT = (
+    [(f"mask_a_{r}", int(w)) for r, w in enumerate(MASK_BITS_A)]
+    + [(f"mask_b_{d}", int(w)) for d, w in zip(B_DELAYS, MASK_BITS_B)]
+    + [(f"mask_f_{r}", int(w)) for r, w in zip((1, 2), MASK_BITS_F)]
+    + [("mask_v", int(MASK_BIT_V))]
 )
 
 
+def unpack_detect_mask(mask):
+    """detect_mask f32 bitfield -> dict of per-tech/rate boolean arrays."""
+    import jax.numpy as jnp
+
+    bits = mask.astype(jnp.int32)
+    return {
+        name: (bits & w) != 0
+        for name, w in MASK_LAYOUT
+    }
+
+
 def fused_frontend(value, params, native_layout=False,
-                   mask_params=(0.01, 0.75)):
+                   mask_params=(0.01, 0.75, 0.10, 0.50, 0.50)):
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
     native_layout=True:  dict of [g, t, 8, 128] f32 (kernel-native tiling;
     stream b lives at [b // 1024, :, (b % 1024) // 128, b % 128]).
-    mask_params: (power_level_threshold, nfca_correlation_threshold)."""
+    mask_params: (power_level_threshold, nfca_corr_thr, nfcb_min_deep,
+    nfcf_corr_thr, nfcv_corr_thr)."""
     import jax.numpy as jnp
 
     b, t = value.shape
@@ -291,7 +389,7 @@ def fused_frontend(value, params, native_layout=False,
     g = b // LANES
     vt = jnp.asarray(value, jnp.float32).reshape(g, 8, 128, t).transpose(0, 3, 1, 2)
     init = jnp.zeros((g, 5, 8, 128), jnp.float32)
-    mp = (np.float32(mask_params[0]), np.float32(mask_params[1]))
+    mp = tuple(np.float32(m) for m in mask_params)
     outs = _jitted(params, mp, g, t)(vt, init)
     res = {}
     for name, o in zip(OUTPUT_NAMES, outs):

@@ -55,14 +55,17 @@ def main() -> int:
         else:
             print(f"{name}: bit-exact")
 
-    for r in range(3):
-        a = np.asarray(ref[f"mask_a_{r}"]).astype(np.float32)
-        b = np.asarray(fused[f"mask_a_{r}"])
+    from nfclab.dsp.pallas.fused_frontend import MASK_LAYOUT
+
+    packed = np.asarray(fused["detect_mask"]).astype(np.int32)
+    for name, w in MASK_LAYOUT:
+        a = np.asarray(ref[name]).astype(bool)
+        b = (packed & w) != 0
         diff = int(np.sum(a != b))
         frac = diff / a.size
-        print(f"mask_a_{r}: {diff}/{a.size} bits differ ({frac:.2e})")
+        print(f"{name}: {diff}/{a.size} bits differ ({frac:.2e})")
         if frac > 1e-4:
-            failures.append(f"mask_a_{r}: {frac:.2e} of bits differ (>1e-4)")
+            failures.append(f"{name}: {frac:.2e} of bits differ (>1e-4)")
 
     if failures:
         print("FAIL:")
