@@ -174,7 +174,8 @@ def cmd_live(args) -> int:
     Subject.name("radio.decoder.frame").subscribe(frames.put, replay=False)
 
     source = LiveRadioSourceTask(
-        args.device, config, duration_blocks=args.blocks
+        args.device, config, duration_blocks=args.blocks,
+        reconnect=args.reconnect,
     )
     decoder = RadioDecoderTask(
         enable_nfca=not args.disable_nfca,
@@ -227,6 +228,9 @@ def main(argv=None) -> int:
     p.add_argument("--gain", type=float, default=None)
     p.add_argument("--blocks", type=int, default=None,
                    help="stop after N capture blocks (default: run until ^C)")
+    p.add_argument("--reconnect", action="store_true",
+                   help="keep rescanning/reopening the device after "
+                        "disconnect (the reference GUI's 1 Hz hotplug loop)")
     p.add_argument("--timeout", type=float, default=5.0,
                    help="idle seconds before exiting")
     p.add_argument("--disable-nfca", action="store_true")

@@ -140,42 +140,86 @@ class LiveRadioSourceTask(Task):
     (RadioDeviceTask.cpp `setup`)."""
 
     def __init__(self, ident: str, config: dict | None = None,
-                 duration_blocks: int | None = None):
+                 duration_blocks: int | None = None,
+                 reconnect: bool = False, rescan_interval: float = 1.0):
         super().__init__("worker.LiveRadioSource", "radio.receiver")
         self.ident = ident
         self.config = dict(config or {})
         self.duration_blocks = duration_blocks
+        # hotplug recovery (RadioDeviceTask.cpp:167-246 refresh loop): keep
+        # rescanning/reopening an absent or disconnected device instead of
+        # completing on the first EOF.  Off by default so the one-shot CLI
+        # exits promptly on server disconnect.
+        self.reconnect = reconnect
+        self.rescan_interval = rescan_interval
         self.iq_stream = Subject.name("radio.signal.iq")
         self.raw_stream = Subject.name("radio.signal.raw")
         self.agc = SoftwareAgc()
         self._avrg = 0.0
+        self.samples_lost = 0
 
     def run(self):
+        from ..hw.sdr import NativeSdrDevice
+
+        rate = 0
+        offset = 0
+        blocks = 0
+        while not self.terminated:
+            dev = NativeSdrDevice(self.ident)
+            if not dev.open():
+                self.update_status("absent")
+                if not self.reconnect:
+                    self.raw_stream.next(SignalBuffer.eof(0))
+                    return
+                self._terminated.wait(self.rescan_interval)
+                continue
+            rate, offset, blocks, disconnected = self._stream(
+                dev, offset, blocks
+            )
+            dev.stop()
+            dev.close()
+            self.samples_lost += dev.samples_lost
+            done = self.terminated or (
+                self.duration_blocks and blocks >= self.duration_blocks
+            )
+            if disconnected and self.reconnect and not done:
+                # in-band EOF then rescan, like the reference's hotplug loop
+                self.iq_stream.next(
+                    SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ)
+                )
+                self.raw_stream.next(SignalBuffer.eof(rate))
+                self.update_status("absent")
+                self._terminated.wait(self.rescan_interval)
+                continue
+            break
+        self.iq_stream.next(SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ))
+        self.raw_stream.next(SignalBuffer.eof(rate))
+        self.update_status(
+            "complete", samples=self.throughput.total, lost=self.samples_lost
+        )
+
+    def _stream(self, dev, offset: int, blocks: int):
+        """Configure + drain one device session; returns (rate, offset,
+        blocks, disconnected)."""
         from ..hw.device import (
             PARAM_GAIN_MODE,
             PARAM_GAIN_VALUE,
             PARAM_SAMPLE_RATE,
         )
-        from ..hw.sdr import NativeSdrDevice
 
-        dev = NativeSdrDevice(self.ident)
-        if not dev.open():
-            self.update_status("absent")
-            self.raw_stream.next(SignalBuffer.eof(0))
-            return
         for param, value in self.config.items():
             dev.set(param, value)
         rate = int(dev.get(PARAM_SAMPLE_RATE, 10_000_000))
         dev.start()
         self.update_status("streaming")
-        offset = 0
-        blocks = 0
         is_iq = self.ident.startswith("rtltcp")
+        disconnected = False
         while not self.terminated:
             block = dev.read(timeout=0.25)
             if block is None:
                 continue
             if len(block) == 0:  # driver EOF (e.g. server disconnect)
+                disconnected = True
                 break
             if is_iq:
                 iq = SignalBuffer(
@@ -209,13 +253,7 @@ class LiveRadioSourceTask(Task):
             blocks += 1
             if self.duration_blocks and blocks >= self.duration_blocks:
                 break
-        dev.stop()
-        dev.close()
-        self.iq_stream.next(SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ))
-        self.raw_stream.next(SignalBuffer.eof(rate))
-        self.update_status(
-            "complete", samples=self.throughput.total, lost=dev.samples_lost
-        )
+        return rate, offset, blocks, disconnected
 
 
 class RadioDecoderTask(Task):

@@ -210,3 +210,84 @@ def test_live_cli_decodes_rtltcp_stream(fixture_dir):
     # the capture opens with a WUPA (0x52)
     assert polls[0]["data"] == "52"
     assert polls[0]["tech"] == "NfcA"
+
+
+class ReconnectRtlTcpServer:
+    """rtl_tcp server accepting N sequential sessions on one port, each
+    serving one payload then disconnecting (hotplug-cycle fixture)."""
+
+    def __init__(self, payloads):
+        self.payloads = payloads
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.sessions = 0
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        for payload in self.payloads:
+            conn, _ = self.sock.accept()
+            self.sessions += 1
+            conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+            conn.sendall(payload.tobytes())
+            time.sleep(0.4)  # let the client drain before the disconnect
+            conn.close()
+        self.sock.close()  # later open() attempts fail -> device absent
+
+
+def test_live_radio_source_reconnects_after_disconnect():
+    """Hotplug recovery (RadioDeviceTask.cpp:167-246): with reconnect=True
+    the live source publishes an in-band EOF on disconnect, rescans, reopens
+    the device, and keeps the sample offset monotonic across sessions."""
+    import queue
+
+    from nfclab.runtime.pipeline import LiveRadioSourceTask
+    from nfclab.runtime.subject import Subject
+
+    payload = (np.arange(2 * 65536) % 256).astype(np.uint8)
+    server = ReconnectRtlTcpServer([payload, payload])
+
+    events: "queue.Queue" = queue.Queue()
+    unsub = Subject.name("radio.signal.raw").subscribe(
+        events.put, replay=False
+    )
+    task = LiveRadioSourceTask(
+        f"rtltcp://127.0.0.1:{server.port}",
+        {PARAM_SAMPLE_RATE: 10e6},
+        reconnect=True,
+        rescan_interval=0.1,
+    )
+    th = threading.Thread(target=task.run, daemon=True)
+    th.start()
+    try:
+        eofs = 0
+        sessions_with_data = 0
+        in_session = False
+        offsets = []
+        deadline = time.time() + 30
+        while eofs < 2 and time.time() < deadline:
+            try:
+                buf = events.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            if not buf.valid:
+                if in_session:
+                    eofs += 1
+                    in_session = False
+                continue
+            if not in_session:
+                sessions_with_data += 1
+                in_session = True
+            offsets.append(buf.offset)
+        assert server.sessions == 2
+        assert sessions_with_data == 2, "no data after reconnect"
+        assert eofs == 2, "missing in-band EOF per disconnect"
+        assert offsets == sorted(offsets), "offset not monotonic"
+        assert offsets[-1] > 0
+    finally:
+        unsub()
+        task.terminate()
+        th.join(timeout=10)
+        assert not th.is_alive()
