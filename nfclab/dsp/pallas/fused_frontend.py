@@ -83,8 +83,8 @@ MASK_BIT_V = 128.0
 N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
 
 
-def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
-                  rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
+def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
+                  carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -97,7 +97,7 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
 
     @pl.when(t_idx == 0)
     def _():
-        z = jnp.zeros((8, 128), jnp.float32)
+        z = jnp.zeros((sub, 128), jnp.float32)
         carry[0] = init_ref[0]  # env
         carry[1] = init_ref[1]  # w1
         carry[2] = init_ref[2]  # mdev
@@ -205,7 +205,7 @@ def _fused_kernel(params, mask_params, value_ref, init_ref, out_refs, carry,
         # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
         slot_b = jax.lax.rem(t, RB_RING)
         power_ok = new_env >= power_thr
-        mval = jnp.zeros((8, 128), jnp.float32)
+        mval = jnp.zeros((sub, 128), jnp.float32)
 
         # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291).
         # d == 0 rates read the current box value from `sums` and B(t-1)
@@ -290,7 +290,7 @@ class _View:
 
 
 @functools.lru_cache(maxsize=4)
-def _jitted(params, mask_params, g: int, t: int):
+def _jitted(params, mask_params, g: int, t: int, sub: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -300,10 +300,11 @@ def _jitted(params, mask_params, g: int, t: int):
     n_sums = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
 
     tile_spec = pl.BlockSpec(
-        (1, TILE, 8, 128), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     init_spec = pl.BlockSpec(
-        (1, 5, 8, 128), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, 5, sub, 128), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
     def kernel(value_ref, init_ref, *rest):
@@ -312,11 +313,11 @@ def _jitted(params, mask_params, g: int, t: int):
         ]
         carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT:]
         _fused_kernel(
-            params, mask_params, _View(value_ref), _View(init_ref), out_refs,
-            carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
+            params, mask_params, sub, _View(value_ref), _View(init_ref),
+            out_refs, carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
         )
 
-    out_shape = [jax.ShapeDtypeStruct((g, t, 8, 128), jnp.float32)] * N_OUT
+    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
 
     def run(value, init):
         return pl.pallas_call(
@@ -329,16 +330,16 @@ def _jitted(params, mask_params, g: int, t: int):
             out_specs=[tile_spec] * N_OUT,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((8, 8, 128), jnp.float32),  # carry + prev boxes
-                pltpu.VMEM((RV_RING, 8, 128), jnp.float32),
-                pltpu.VMEM((RF_RING, 8, 128), jnp.float32),
-                pltpu.VMEM((RQ_RING, 8, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[0], 8, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[1], 8, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[2], 8, 128), jnp.float32),
-                pltpu.VMEM((len(A_RATES) * RB_RING, 8, 128), jnp.float32),
-                pltpu.VMEM((RBV_RING, 8, 128), jnp.float32),
-                pltpu.VMEM((n_sums, 8, 128), jnp.float32),
+                pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
+                pltpu.VMEM((RV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RF_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RQ_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
+                pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((n_sums, sub, 128), jnp.float32),
             ],
         )(value, init)
 
@@ -386,11 +387,20 @@ def fused_frontend(value, params, native_layout=False,
 
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
-    g = b // LANES
-    vt = jnp.asarray(value, jnp.float32).reshape(g, 8, 128, t).transpose(0, 3, 1, 2)
-    init = jnp.zeros((g, 5, 8, 128), jnp.float32)
+    # (8, 128) is the VPU-native register tile and measures fastest (wider
+    # tiles split into multiple VREGs per op and double VMEM ring pressure:
+    # sub=16 benched ~10% slower); wider options remain for odd batches
+    sub = next(s for s in (8, 16, 32) if b % (128 * s) == 0)
+    lanes = 128 * sub
+    g = b // lanes
+    vt = (
+        jnp.asarray(value, jnp.float32)
+        .reshape(g, sub, 128, t)
+        .transpose(0, 3, 1, 2)
+    )
+    init = jnp.zeros((g, 5, sub, 128), jnp.float32)
     mp = tuple(np.float32(m) for m in mask_params)
-    outs = _jitted(params, mp, g, t)(vt, init)
+    outs = _jitted(params, mp, g, t, sub)(vt, init)
     res = {}
     for name, o in zip(OUTPUT_NAMES, outs):
         res[name] = o if native_layout else o.transpose(0, 2, 3, 1).reshape(b, t)
