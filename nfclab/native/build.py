@@ -48,6 +48,9 @@ def build(force: bool = False) -> Path:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",  # SIMD for the branch-free scans; exactness is
+        # preserved by -fno-fast-math -ffp-contract=off (no FMA contraction,
+        # no reassociation — vector lanes run the same IEEE ops)
         "-std=c++17",
         "-shared",
         "-fPIC",

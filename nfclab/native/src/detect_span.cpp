@@ -13,6 +13,7 @@
 // then re-executes sample t (applying the lock tail with full frame/context
 // bookkeeping).  Returns -1 when the span completes without a lock.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -434,9 +435,106 @@ int step_a(AState &A, int64_t t, const float *env_a, const float *mdepth,
     return -1;
 }
 
+// ---- idle fast path ------------------------------------------------------
+//
+// Between frames every rate-FSM sits in its zero state, where a detect step
+// can only mutate state when its engage condition fires (verified against
+// each step function above: all other writes are no-op zero stores or are
+// gated by the nonzero fields this predicate requires to be zero; NFC-B's
+// per-sample value-threshold store is dead — every consumer recomputes it
+// from env[t] before reading).  The walk therefore scans forward with the
+// branch-free trigger test below (same arrays, same f32 op order as the
+// step functions, so bit-identical decisions) and re-enters per-sample
+// stepping only at trigger samples.  Visiting extra samples is always safe;
+// skipping is only done while provably idle.
+
+inline bool rate_is_idle(const double *m)
+{
+    return m[M_SYM_START] == 0.0 && m[M_SYM_END] == 0.0 &&
+           m[M_SEARCH_START] == 0.0 && m[M_SEARCH_END] == 0.0 &&
+           m[M_SEARCH_SYNC] == 0.0 && m[M_CORR_PEAK_T] == 0.0 &&
+           m[M_CORR_PEAK_V] == 0.0 && m[M_DET_PEAK_T] == 0.0 &&
+           m[M_DET_PEAK_V] == 0.0;
+}
+
+struct IdleScan {
+    const float *env, *filt, *avg;
+    float power_thr;
+    bool watch_on, watch_off;  // carrier crossings still pending
+    float low_thr, high_thr;
+    int a_on, b_on, f_on, v_on;
+    const AState *A;
+    const BState *B;
+    const FState *F;
+    const VState *V;
+
+    // first t in [t0, t1) where any engage condition (or carrier crossing)
+    // can fire; t1 if none
+    int64_t scan(int64_t t0, int64_t t1) const
+    {
+        for (int64_t t = t0; t < t1; t++) {
+            const float a = avg[t];
+            if (watch_on && a > high_thr)
+                return t;
+            if (watch_off && a < low_thr)
+                return t;
+            if (t < 1024)
+                continue;
+            const float e = env[t];
+            if (e < power_thr)
+                continue;
+            if (a_on) {
+                const float min_corr = e * A->corr_thr;
+                for (int r = 0; r < 3; r++) {
+                    const int32_t *p = A->par + r * P_FIELDS;
+                    if (fsm_sd_af(A->box[r], t, p[P_D], p[P_P1], p[P_P2]) <
+                        -min_corr)
+                        return t;
+                }
+            }
+            if (b_on) {
+                for (int r = 0; r < B->rates; r++) {
+                    const int32_t *p = B->par + r * P_FIELDS;
+                    if (filt[t - p[P_D]] < -(e * B->min_deep))
+                        return t;
+                }
+            }
+            if (f_on) {
+                const float min_corr = e * F->corr_thr;
+                for (int r = 0; r < F->rates; r++) {
+                    const int32_t *p = F->par + r * P_FIELDS;
+                    const float sd = std::fabs(
+                        fsm_sd_af(F->box[r], t, 0, p[P_P1], p[P_P2]));
+                    if (sd > min_corr)
+                        return t;
+                }
+            }
+            if (v_on) {
+                const int32_t *p = V->par;
+                if (fsm_sd_v(V->box, t, p[P_D], p[P_P1], p[P_P2]) >
+                    e * V->corr_thr)
+                    return t;
+            }
+        }
+        return t1;
+    }
+};
+
+// walk observability: samples skipped by the idle scan vs stepped through
+// the full state machines (rt::Throughput-style counters; read via
+// nfclab_detect_stats)
+std::atomic<int64_t> g_idle_skipped {0};
+std::atomic<int64_t> g_stepped {0};
+
 } // namespace
 
 extern "C" {
+
+void nfclab_detect_stats(int64_t *skipped, int64_t *stepped)
+{
+    *skipped = g_idle_skipped.load(std::memory_order_relaxed);
+    *stepped = g_stepped.load(std::memory_order_relaxed);
+}
 
 // Full native detect walk: carrier crossings + all four techs per sample.
 // Stops (with snapshot restore) at any sample needing Python handling:
@@ -513,8 +611,48 @@ int64_t nfclab_detect_all(
         return -1;
     };
 
+    const auto all_idle = [&]() -> bool {
+        if (a_on)
+            for (int r = 0; r < 3; r++)
+                if (!rate_is_idle(a_st + r * M_FIELDS))
+                    return false;
+        if (b_on)
+            for (int r = 0; r < b_rates; r++)
+                if (!rate_is_idle(b_st + r * M_FIELDS))
+                    return false;
+        if (f_on)
+            for (int r = 0; r < f_rates; r++)
+                if (!rate_is_idle(f_st + r * M_FIELDS))
+                    return false;
+        if (v_on && !rate_is_idle(v_st))
+            return false;
+        return true;
+    };
+    const IdleScan scan {env, filt, avg, power_thr,
+                         carrier_on_time == 0, carrier_off_time == 0,
+                         low_thr, high_thr, a_on, b_on, f_on, v_on,
+                         &A, &B, &F, &V};
+
     save();
+    bool try_idle = true;
     for (int64_t t = t0; t < t1; t++) {
+        // idle fast path: when every rate-FSM is in its zero state the next
+        // possible state change is the next engage-condition sample — scan
+        // there branch-free instead of stepping the full state machines
+        if (try_idle && all_idle()) {
+            const int64_t nt = scan.scan(t, t1);
+            if (nt > t) {
+                // no state changed over the skip; re-anchor the replay base
+                g_idle_skipped.fetch_add(nt - t, std::memory_order_relaxed);
+                t = nt;
+                snap_t = nt;
+                save();
+                if (t >= t1)
+                    break;
+            }
+            try_idle = false;  // recheck at the next snapshot boundary
+        }
+
         // carrier hysteresis crossing (NfcDecoder.cpp:472-523): rare; the
         // event itself (frame emit + state flip) runs in Python
         const float a = avg[t];
@@ -525,8 +663,10 @@ int64_t nfclab_detect_all(
         if (t - snap_t >= SNAP_EVERY) {
             save();
             snap_t = t;
+            try_idle = true;
         }
 
+        g_stepped.fetch_add(1, std::memory_order_relaxed);
         if (step_all(t) >= 0) {
             restore();
             for (int64_t u = snap_t; u < t; u++)
