@@ -192,7 +192,9 @@ def cmd_live(args) -> int:
     try:
         while True:
             frame = frames.get(timeout=args.timeout)
-            if frame is None:  # EOF
+            if frame is None:  # per-session EOF sentinel
+                if args.reconnect:
+                    continue  # next session follows after the rescan
                 break
             print(frame_json(frame) if args.json else frame_text(frame))
             count += 1

@@ -387,10 +387,10 @@ def fused_frontend(value, params, native_layout=False,
 
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
-    # (8, 128) is the VPU-native register tile and measures fastest (wider
-    # tiles split into multiple VREGs per op and double VMEM ring pressure:
-    # sub=16 benched ~10% slower); wider options remain for odd batches
-    sub = next(s for s in (8, 16, 32) if b % (128 * s) == 0)
+    # (8, 128) is the VPU-native register tile and measures fastest (sub=16
+    # benched ~10% slower: multi-VREG ops + doubled VMEM ring pressure); the
+    # kernel internals stay parametrized over `sub` for future experiments
+    sub = 8
     lanes = 128 * sub
     g = b // lanes
     vt = (

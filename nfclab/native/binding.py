@@ -194,6 +194,9 @@ def _load():
             "nfclab_collect_cross_lt_ext",
         ):
             getattr(lib, name).restype = ctypes.c_int64
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.nfclab_detect_stats.argtypes = [i64p, i64p]
+        lib.nfclab_detect_stats.restype = None
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -202,6 +205,17 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def detect_stats_native() -> tuple[int, int]:
+    """Process-wide detect-walk counters: (samples skipped by the idle fast
+    path, samples stepped through the full state machines)."""
+    lib = _load()
+    if lib is None:
+        return (0, 0)
+    sk, st = ctypes.c_int64(), ctypes.c_int64()
+    lib.nfclab_detect_stats(ctypes.byref(sk), ctypes.byref(st))
+    return sk.value, st.value
 
 
 def new_stream_state() -> np.ndarray:

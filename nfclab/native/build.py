@@ -35,33 +35,47 @@ def lib_path() -> Path:
     return _BUILD_DIR / LIB_NAME
 
 
+CXXFLAGS = [
+    "-O3",
+    "-march=native",  # SIMD for the branch-free scans; exactness is
+    # preserved by -fno-fast-math -ffp-contract=off (no FMA contraction,
+    # no reassociation — vector lanes run the same IEEE ops).  -march=native
+    # makes the artifact machine-specific; the stamp below includes the
+    # host's uname so a copied _build/ rebuilds instead of SIGILLing.
+    "-std=c++17",
+    "-shared",
+    "-fPIC",
+    # keep strict IEEE fp so the oracle matches the reference float math
+    "-fno-fast-math",
+    "-ffp-contract=off",
+]
+
+
+def _stamp() -> str:
+    import hashlib
+    import platform
+
+    key = " ".join(CXXFLAGS) + "|" + platform.machine() + platform.node()
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def build(force: bool = False) -> Path:
-    """Compile the native library if missing or out of date. Returns its path."""
+    """Compile the native library if missing or out of date (source mtimes,
+    compiler flags, or build host changed). Returns its path."""
     out = lib_path()
     srcs = [_SRC_DIR / s for s in SOURCES]
+    stamp_file = _BUILD_DIR / "flags.stamp"
+    stamp = _stamp()
     if not force and out.exists():
         deps = srcs + [_SRC_DIR / h for h in HEADERS]
         newest_src = max(s.stat().st_mtime for s in deps)
-        if out.stat().st_mtime >= newest_src:
+        stamp_ok = stamp_file.exists() and stamp_file.read_text() == stamp
+        if out.stat().st_mtime >= newest_src and stamp_ok:
             return out
     _BUILD_DIR.mkdir(exist_ok=True)
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",  # SIMD for the branch-free scans; exactness is
-        # preserved by -fno-fast-math -ffp-contract=off (no FMA contraction,
-        # no reassociation — vector lanes run the same IEEE ops)
-        "-std=c++17",
-        "-shared",
-        "-fPIC",
-        # keep strict IEEE fp so the oracle matches the reference float math
-        "-fno-fast-math",
-        "-ffp-contract=off",
-        "-o",
-        str(out),
-        *[str(s) for s in srcs],
-    ]
+    cmd = ["g++", *CXXFLAGS, "-o", str(out), *[str(s) for s in srcs]]
     subprocess.run(cmd, check=True, capture_output=True)
+    stamp_file.write_text(stamp)
     return out
 
 

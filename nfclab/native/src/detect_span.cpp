@@ -635,6 +635,17 @@ int64_t nfclab_detect_all(
 
     save();
     bool try_idle = true;
+    int64_t n_skipped = 0, n_stepped = 0;
+    // flush the local counters into the globals exactly once per call (a
+    // per-sample atomic RMW in this loop would serialize the hot path)
+    struct Flush {
+        int64_t *sk, *st;
+        ~Flush()
+        {
+            g_idle_skipped.fetch_add(*sk, std::memory_order_relaxed);
+            g_stepped.fetch_add(*st, std::memory_order_relaxed);
+        }
+    } flush {&n_skipped, &n_stepped};
     for (int64_t t = t0; t < t1; t++) {
         // idle fast path: when every rate-FSM is in its zero state the next
         // possible state change is the next engage-condition sample — scan
@@ -643,7 +654,7 @@ int64_t nfclab_detect_all(
             const int64_t nt = scan.scan(t, t1);
             if (nt > t) {
                 // no state changed over the skip; re-anchor the replay base
-                g_idle_skipped.fetch_add(nt - t, std::memory_order_relaxed);
+                n_skipped += nt - t;
                 t = nt;
                 snap_t = nt;
                 save();
@@ -666,7 +677,7 @@ int64_t nfclab_detect_all(
             try_idle = true;
         }
 
-        g_stepped.fetch_add(1, std::memory_order_relaxed);
+        n_stepped++;
         if (step_all(t) >= 0) {
             restore();
             for (int64_t u = snap_t; u < t; u++)

@@ -169,6 +169,9 @@ class LiveRadioSourceTask(Task):
             if not dev.open():
                 self.update_status("absent")
                 if not self.reconnect:
+                    self.iq_stream.next(
+                        SignalBuffer.eof(0, SignalType.SIGNAL_TYPE_RADIO_IQ)
+                    )
                     self.raw_stream.next(SignalBuffer.eof(0))
                     return
                 self._terminated.wait(self.rescan_interval)
@@ -277,24 +280,37 @@ class RadioDecoderTask(Task):
 
         self.update_status("streaming")
         dec: StreamingNfcDecoder | None = None
+
+        def flush(d):
+            if d is not None:
+                for frame in d.finish():
+                    self.frame_stream.next(frame)
+            # per-stream boundary sentinel (in-band EOF re-published on the
+            # frame stream); the task itself stays alive for the next
+            # session, like the reference worker (RadioDecoderTask.cpp runs
+            # until a Stop command, not until an EOF buffer)
+            self.frame_stream.next(None)
+
         while not self.terminated:
             try:
                 buf = self.signal_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if not buf.valid:  # EOF marker
-                break
+            if not buf.valid:  # in-band EOF: flush + await the next session
+                flush(dec)
+                dec = None
+                self.update_status("idle", frames=self.throughput.total)
+                continue
             if dec is None:
                 dec = StreamingNfcDecoder(
                     buf.sample_rate, window=self.window, **self.decoder_kwargs
                 )
+                self.update_status("streaming")
             for frame in dec.feed(np.asarray(buf.data, np.float32)):
                 self.frame_stream.next(frame)
             self.throughput.update(buf.elements)
         if dec is not None:
-            for frame in dec.finish():
-                self.frame_stream.next(frame)
-        self.frame_stream.next(None)  # EOF
+            flush(dec)
         self.update_status("complete", frames=self.throughput.total)
 
 
@@ -317,25 +333,34 @@ class LogicDecoderTask(Task):
 
         self.update_status("streaming")
         dec: StreamingIsoDecoder | None = None
+
+        def flush(d):
+            if d is not None:
+                for frame in d.finish():
+                    self.frame_stream.next(frame)
+            self.frame_stream.next(None)
+
         while not self.terminated:
             try:
                 buf = self.signal_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if not buf.valid:
-                break
+            if not buf.valid:  # in-band EOF: flush + await the next session
+                flush(dec)
+                dec = None
+                self.update_status("idle")
+                continue
             block = np.asarray(buf.data, np.float32)
             if dec is None:
                 dec = StreamingIsoDecoder(
                     buf.sample_rate, channels=block.shape[1]
                 )
+                self.update_status("streaming")
             for frame in dec.feed(block):
                 self.frame_stream.next(frame)
             self.throughput.update(len(block))
         if dec is not None:
-            for frame in dec.finish():
-                self.frame_stream.next(frame)
-        self.frame_stream.next(None)
+            flush(dec)
         self.update_status("complete")
 
 
@@ -361,7 +386,7 @@ class ResamplingTask(Task):
             except queue.Empty:
                 continue
             if not buf.valid:
-                break
+                continue  # stream boundary; the resampler is stateless
             if buf.signal_type == SignalType.SIGNAL_TYPE_RADIO_SAMPLES:
                 vals, offs = self._radio(buf.data)
                 self.out.next(
@@ -459,7 +484,7 @@ class FourierTask(Task):
             except queue.Empty:
                 continue
             if not buf.valid:
-                break
+                continue  # stream boundary; keep serving the next session
             need = self.processor.length * max(
                 1, int(buf.sample_rate / self.processor.bandwidth)
             )
@@ -495,10 +520,19 @@ class SignalStorageTask(Task):
                 buf = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if not buf.valid:
+            if buf.valid:
+                self.device.write(buf)
+                self.throughput.update(buf.elements)
+            # EOF buffers are stream boundaries: recording runs until Stop
+            # (terminate), like the reference's recorder worker
+        while True:  # drain what was already queued before the Stop
+            try:
+                buf = self.q.get_nowait()
+            except queue.Empty:
                 break
-            self.device.write(buf)
-            self.throughput.update(buf.elements)
+            if buf.valid:
+                self.device.write(buf)
+                self.throughput.update(buf.elements)
         self.device.close()
         self.update_status("complete", samples=self.throughput.total)
 

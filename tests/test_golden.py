@@ -52,3 +52,22 @@ def run_fixture(fixture_dir: Path, name: str, **dec_kwargs):
 @pytest.mark.parametrize("name", ALL_FIXTURES)
 def test_golden_all_techs(fixture_dir, name):
     run_fixture(fixture_dir, name)
+
+
+def test_idle_fast_path_fires(fixture_dir):
+    """The detect walk's idle scan must actually skip samples on a real
+    capture (observability counters from detect_span.cpp)."""
+    from nfclab.io.wav import read_wav
+    from nfclab.native.binding import detect_stats_native, native_available
+    from nfclab.runtime.decoder import NfcDecoder
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    sk0, st0 = detect_stats_native()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    NfcDecoder().decode(samples, info.sample_rate)
+    sk1, st1 = detect_stats_native()
+    assert sk1 - sk0 > 10_000, "idle fast path never skipped"
+    assert st1 - st0 > 0

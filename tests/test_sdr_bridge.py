@@ -291,3 +291,65 @@ def test_live_radio_source_reconnects_after_disconnect():
         task.terminate()
         th.join(timeout=10)
         assert not th.is_alive()
+
+
+def test_reconnect_pipeline_decodes_after_disconnect(fixture_dir):
+    """Full pipeline hotplug: source(reconnect=True) -> RadioDecoderTask.
+    The decoder must treat the per-disconnect in-band EOF as a session
+    boundary (flush + continue), so frames decode from BOTH sessions."""
+    import queue
+
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import (
+        Executor,
+        LiveRadioSourceTask,
+        RadioDecoderTask,
+    )
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    samples, info = read_wav(
+        str(fixture_dir / "test_NFC-A_106kbps_001.wav")
+    )
+    n = len(samples)
+    iq = np.empty(2 * n, np.uint8)
+    iq[0::2] = np.clip(
+        np.round(samples * 127.5 + 127.5), 0, 255
+    ).astype(np.uint8)
+    iq[1::2] = 128
+    server = ReconnectRtlTcpServer([iq, iq])
+
+    frames: "queue.Queue" = queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames.put, replay=False)
+
+    source = LiveRadioSourceTask(
+        f"rtltcp://127.0.0.1:{server.port}",
+        {PARAM_SAMPLE_RATE: info.sample_rate},
+        reconnect=True,
+        rescan_interval=0.1,
+    )
+    decoder = RadioDecoderTask()
+    ex = Executor(pool_size=2)
+    ex.submit(decoder)
+    ex.submit(source)
+    try:
+        sessions = []
+        current = []
+        deadline = time.time() + 60
+        while len(sessions) < 2 and time.time() < deadline:
+            try:
+                f = frames.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            if f is None:
+                sessions.append(current)
+                current = []
+            else:
+                current.append(f)
+        assert len(sessions) == 2, "decoder died after the first disconnect"
+        for i, sess in enumerate(sessions):
+            polls = [f for f in sess if f.frame_type == 0x102]
+            assert polls, f"no POLL frames decoded in session {i}"
+            assert polls[0].data == b"\x52"
+    finally:
+        ex.shutdown()
