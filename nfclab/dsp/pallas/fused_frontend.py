@@ -83,7 +83,26 @@ MASK_BIT_V = 128.0
 N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
 
 
-def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
+# ring-state layout inside the carried state array [NSTATE, sub, 128]:
+# every VMEM ring plus the conditioning carry and running sums, so a stream
+# can be fed through the kernel in time chunks (state_out of chunk k is
+# state_in of chunk k+1) with outputs bit-identical to one monolithic pass.
+S_CARRY = 0
+S_RV = S_CARRY + 8
+S_RF = S_RV + RV_RING
+S_RQ = S_RF + RF_RING
+S_RP0 = S_RQ + RQ_RING
+S_RP1 = S_RP0 + RP_RINGS[0]
+S_RP2 = S_RP1 + RP_RINGS[1]
+S_RB = S_RP2 + RP_RINGS[2]
+S_RBV = S_RB + len(A_RATES) * RB_RING
+S_SUMS = S_RBV + RBV_RING
+N_SUMS = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
+NSTATE = S_SUMS + N_SUMS
+
+
+def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
+                  state_in, out_refs, state_out,
                   carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
     import jax
     import jax.numpy as jnp
@@ -94,36 +113,25 @@ def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
 
     t_idx = pl.program_id(1)
     rps = (rp0, rp1, rp2)
+    # absolute clock of this chunk's first sample (0 for a fresh stream; the
+    # ring slot phases and the envelope seeding window depend on it)
+    base = base_ref[0]
 
     @pl.when(t_idx == 0)
     def _():
-        z = jnp.zeros((sub, 128), jnp.float32)
-        carry[0] = init_ref[0]  # env
-        carry[1] = init_ref[1]  # w1
-        carry[2] = init_ref[2]  # mdev
-        carry[3] = init_ref[3]  # avg
-        carry[4] = init_ref[4]  # silence pulse counter
-        carry[5] = z  # prev bv47 (B(t-1) for the d=0 SD reads)
-        carry[6] = z  # prev bv24
-        carry[7] = z  # prev bv12
-        for k in range(rv.shape[0]):
-            rv[k] = z
-        for k in range(rf.shape[0]):
-            rf[k] = z
-        for k in range(rq.shape[0]):
-            rq[k] = z
-        for rp in rps:
-            for k in range(rp.shape[0]):
-                rp[k] = z
-        for k in range(rb.shape[0]):
-            rb[k] = z
-        for k in range(rbv.shape[0]):
-            rbv[k] = z
-        for k in range(sums.shape[0]):
-            sums[k] = z
+        carry[...] = state_in[0, S_CARRY:S_RV]
+        rv[...] = state_in[0, S_RV:S_RF]
+        rf[...] = state_in[0, S_RF:S_RQ]
+        rq[...] = state_in[0, S_RQ:S_RP0]
+        rp0[...] = state_in[0, S_RP0:S_RP1]
+        rp1[...] = state_in[0, S_RP1:S_RP2]
+        rp2[...] = state_in[0, S_RP2:S_RB]
+        rb[...] = state_in[0, S_RB:S_RBV]
+        rbv[...] = state_in[0, S_RBV:S_SUMS]
+        sums[...] = state_in[0, S_SUMS:NSTATE]
 
     def body(j, _):
-        t = t_idx * TILE + j
+        t = base + t_idx * TILE + j
         v = value_ref[j]
         env = carry[0]
         w1 = carry[1]
@@ -214,15 +222,15 @@ def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
         min_corr_a = a_thr * new_env
         prev_bv = {47: carry[5], 24: carry[6], 12: carry[7]}
         for r, (d, gap, p2, widx) in enumerate(A_RATES):
-            base = r * RB_RING
-            rb[base + slot_b] = sums[widx]
+            roff = r * RB_RING
+            rb[roff + slot_b] = sums[widx]
             if d == 0:
                 b0 = sums[widx]
                 b1 = prev_bv[BV_WIDTHS[widx]]
             else:
-                b0 = rb[base + jax.lax.rem(t - d + RB_RING, RB_RING)]
-                b1 = rb[base + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
-            bg = rb[base + jax.lax.rem(t - d - gap + 2 * RB_RING, RB_RING)]
+                b0 = rb[roff + jax.lax.rem(t - d + RB_RING, RB_RING)]
+                b1 = rb[roff + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
+            bg = rb[roff + jax.lax.rem(t - d - gap + 2 * RB_RING, RB_RING)]
             sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
             mask = power_ok & (jnp.abs(sd) > min_corr_a)
             mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
@@ -231,11 +239,11 @@ def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
         # ring-buffer; d = 0 so b0/b1 come from sums and the carried prevs
         min_corr_f = f_thr * new_env
         for r, (d, gap, p2, ridx) in enumerate(F_RATES):
-            base = ridx * RB_RING
+            roff = ridx * RB_RING
             widx = A_RATES[ridx][3]
             b0 = sums[widx]
             b1 = prev_bv[BV_WIDTHS[widx]]
-            bg = rb[base + jax.lax.rem(t - gap + RB_RING, RB_RING)]
+            bg = rb[roff + jax.lax.rem(t - gap + RB_RING, RB_RING)]
             sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
             mask = power_ok & (jnp.abs(sd) > min_corr_f)
             mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
@@ -271,6 +279,19 @@ def _fused_kernel(params, mask_params, sub, value_ref, init_ref, out_refs,
     else:
         jax.lax.fori_loop(0, TILE, body, 0)
 
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        state_out[0, S_CARRY:S_RV] = carry[...]
+        state_out[0, S_RV:S_RF] = rv[...]
+        state_out[0, S_RF:S_RQ] = rf[...]
+        state_out[0, S_RQ:S_RP0] = rq[...]
+        state_out[0, S_RP0:S_RP1] = rp0[...]
+        state_out[0, S_RP1:S_RP2] = rp1[...]
+        state_out[0, S_RP2:S_RB] = rp2[...]
+        state_out[0, S_RB:S_RBV] = rb[...]
+        state_out[0, S_RBV:S_SUMS] = rbv[...]
+        state_out[0, S_SUMS:NSTATE] = sums[...]
+
 
 class _View:
     """Ref view dropping a leading singleton dim."""
@@ -297,37 +318,39 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
     from jax.experimental.pallas import tpu as pltpu
 
     n_t = t // TILE
-    n_sums = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
 
     tile_spec = pl.BlockSpec(
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    init_spec = pl.BlockSpec(
-        (1, 5, sub, 128), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    state_spec = pl.BlockSpec(
+        (1, NSTATE, sub, 128), lambda b, i: (b, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def kernel(value_ref, init_ref, *rest):
-        out_refs = [
-            _View(r) for r in rest[:N_OUT]
-        ]
-        carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT:]
+    def kernel(base_ref, value_ref, state_in_ref, *rest):
+        out_refs = [_View(r) for r in rest[:N_OUT]]
+        state_out_ref = rest[N_OUT]
+        carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT + 1:]
         _fused_kernel(
-            params, mask_params, sub, _View(value_ref), _View(init_ref),
-            out_refs, carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
+            params, mask_params, sub, n_t, base_ref, _View(value_ref),
+            state_in_ref, out_refs, state_out_ref,
+            carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
         )
 
     out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
+    out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
 
-    def run(value, init):
+    def run(base, value, state):
         return pl.pallas_call(
             kernel,
             grid=(g, n_t),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024
+                vmem_limit_bytes=96 * 1024 * 1024
             ),
-            in_specs=[tile_spec, init_spec],
-            out_specs=[tile_spec] * N_OUT,
+            in_specs=[base_spec, tile_spec, state_spec],
+            out_specs=[tile_spec] * N_OUT + [state_spec],
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
@@ -339,9 +362,9 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
                 pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
                 pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((n_sums, sub, 128), jnp.float32),
+                pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
             ],
-        )(value, init)
+        )(base, value, state)
 
     return jax.jit(run)
 
@@ -375,14 +398,20 @@ def unpack_detect_mask(mask):
 
 
 def fused_frontend(value, params, native_layout=False,
-                   mask_params=(0.01, 0.75, 0.10, 0.50, 0.50)):
+                   mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
+                   state=None, base=0, return_state=False):
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
     native_layout=True:  dict of [g, t, 8, 128] f32 (kernel-native tiling;
     stream b lives at [b // 1024, :, (b % 1024) // 128, b % 128]).
     mask_params: (power_level_threshold, nfca_corr_thr, nfcb_min_deep,
-    nfcf_corr_thr, nfcv_corr_thr)."""
+    nfcf_corr_thr, nfcv_corr_thr).
+
+    Chunked streaming: pass `state` (the previous chunk's carried state, or
+    None at stream start), `base` (this chunk's absolute start clock, int32
+    range) and `return_state=True`; outputs are bit-identical to one
+    monolithic pass over the concatenated chunks."""
     import jax.numpy as jnp
 
     b, t = value.shape
@@ -398,10 +427,40 @@ def fused_frontend(value, params, native_layout=False,
         .reshape(g, sub, 128, t)
         .transpose(0, 3, 1, 2)
     )
-    init = jnp.zeros((g, 5, sub, 128), jnp.float32)
+    if state is None:
+        state = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
+    base_arr = jnp.asarray([base], jnp.int32)
     mp = tuple(np.float32(m) for m in mask_params)
-    outs = _jitted(params, mp, g, t, sub)(vt, init)
+    outs = _jitted(params, mp, g, t, sub)(base_arr, vt, state)
+    state_out = outs[-1]
     res = {}
-    for name, o in zip(OUTPUT_NAMES, outs):
+    for name, o in zip(OUTPUT_NAMES, outs[:-1]):
         res[name] = o if native_layout else o.transpose(0, 2, 3, 1).reshape(b, t)
+    if return_state:
+        return res, state_out
     return res
+
+
+def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
+                          mask_params=(0.01, 0.75, 0.10, 0.50, 0.50)):
+    """Generator: feed [B, T] through the kernel in `chunk`-sample slices
+    with carried ring state, yielding (offset, outputs) per chunk.  Device
+    memory is bounded by one chunk's outputs; the concatenated outputs are
+    bit-identical to a single monolithic kernel pass (validated on TPU by
+    tools/validate_fused)."""
+    import jax.numpy as jnp
+
+    b, t = value.shape
+    assert chunk % TILE == 0
+    value = jnp.asarray(value, jnp.float32)
+    state = None
+    for off in range(0, t, chunk):
+        end = min(off + chunk, t)
+        if (end - off) % TILE:
+            raise ValueError("stream length must be a multiple of TILE")
+        res, state = fused_frontend(
+            value[:, off:end], params, native_layout=native_layout,
+            mask_params=mask_params, state=state, base=off,
+            return_state=True,
+        )
+        yield off, res

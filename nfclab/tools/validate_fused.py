@@ -67,6 +67,33 @@ def main() -> int:
         if frac > 1e-4:
             failures.append(f"{name}: {frac:.2e} of bits differ (>1e-4)")
 
+    # chunked streaming must be bit-identical to the monolithic pass
+    from nfclab.dsp.frontend import _params_tuple
+    from nfclab.dsp.pallas.fused_frontend import fused_frontend_stream
+
+    OUT_CHECK = (
+        "envelope", "filtered", "average", "bv12", "bv94", "q47", "q189",
+        "p24x6", "p94x24", "detect_mask",
+    )
+    mp = (
+        float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50,
+    )
+    for name in OUT_CHECK:
+        pieces = []
+        for off, res in fused_frontend_stream(
+            x, _params_tuple(params), chunk=1024, mask_params=mp
+        ):
+            pieces.append(np.asarray(res[name]))
+        chunked = np.concatenate(pieces, axis=1)
+        whole = np.asarray(fused[name])
+        if np.array_equal(chunked, whole, equal_nan=True):
+            print(f"chunked {name}: bit-exact")
+        else:
+            failures.append(
+                f"chunked {name}: differs from monolithic pass "
+                f"(maxdiff {np.nanmax(np.abs(chunked - whole)):.3e})"
+            )
+
     if failures:
         print("FAIL:")
         for f in failures:
