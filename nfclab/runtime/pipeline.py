@@ -386,7 +386,11 @@ class ResamplingTask(Task):
             except queue.Empty:
                 continue
             if not buf.valid:
-                continue  # stream boundary; the resampler is stateless
+                # forward the in-band boundary so downstream consumers (the
+                # TRZ writer) can order themselves against this stream; the
+                # resampler itself is stateless
+                self.out.next(buf)
+                continue
             if buf.signal_type == SignalType.SIGNAL_TYPE_RADIO_SAMPLES:
                 vals, offs = self._radio(buf.data)
                 self.out.next(
@@ -548,6 +552,7 @@ class TraceStorageTask(Task):
         self.frames: list[Frame] = []
         self.signals: list[SignalBuffer] = []
         self._done = threading.Event()
+        self._adaptive_done = threading.Event()
         Subject.name("radio.decoder.frame").subscribe(
             self._on_frame, replay=False
         )
@@ -555,7 +560,7 @@ class TraceStorageTask(Task):
             self._on_frame, replay=False
         )
         Subject.name("adaptive.signal").subscribe(
-            self.signals.append, replay=False
+            self._on_signal, replay=False
         )
 
     def _on_frame(self, frame):
@@ -564,9 +569,21 @@ class TraceStorageTask(Task):
         else:
             self.frames.append(frame)
 
+    def _on_signal(self, buf):
+        if buf.valid:
+            self.signals.append(buf)
+        else:
+            self._adaptive_done.set()
+
     def run(self):
         self.update_status("accumulating")
+        # wait for the frame-stream EOF, then for the adaptive-stream
+        # boundary (the resampler runs on its own thread, so frame EOF alone
+        # doesn't order us after the render stream); terminate always wins
+        # and writes whatever accumulated (reference Stop semantics)
         while not self.terminated and not self._done.wait(0.1):
+            pass
+        while not self.terminated and not self._adaptive_done.wait(0.1):
             pass
         from ..io.trz import SignalStream, write_trace
 
