@@ -610,6 +610,60 @@ class TraceStorageTask(Task):
         self.update_status("complete", frames=len(self.frames))
 
 
+class TraceReplayTask(Task):
+    """Read a TRZ trace and republish its contents: frames on
+    ``storage.frame``, adaptive signal streams on ``storage.signal``
+    (TraceStorageTask.cpp:258-320 read path, readFrameEntry :364-455).
+
+    In-band EOF (None on the frame stream, invalid buffer on the signal
+    stream) marks the end of the replay, mirroring the live pipeline's
+    stream-boundary convention."""
+
+    def __init__(self, path: str):
+        super().__init__("worker.TraceReplay", "storage")
+        self.path = path
+        self.frame_stream = Subject.name("storage.frame")
+        self.signal_stream = Subject.name("storage.signal")
+
+    def run(self):
+        from ..io.trz import read_trace
+
+        self.update_status("reading")
+        frames, streams = read_trace(self.path)
+        rate = 0
+        for frame in frames:
+            if self.terminated:
+                break
+            self.frame_stream.next(frame)
+            rate = frame.sample_rate or rate
+        for s in streams:
+            if self.terminated:
+                break
+            kind_type = (
+                SignalType.SIGNAL_TYPE_LOGIC_SIGNAL
+                if s.kind == "logic"
+                else SignalType.SIGNAL_TYPE_RADIO_SIGNAL
+            )
+            self.signal_stream.next(
+                SignalBuffer(
+                    np.stack(
+                        [s.values, (s.offsets - s.start_offset).astype(np.float32)],
+                        axis=-1,
+                    ),
+                    s.sample_rate,
+                    s.start_offset,
+                    signal_type=kind_type,
+                    stream_id=s.stream_id,
+                )
+            )
+            rate = s.sample_rate or rate
+        self.frame_stream.next(None)
+        self.signal_stream.next(SignalBuffer.eof(rate))
+        self.update_status(
+            "complete", frames=len(frames), signals=len(streams)
+        )
+
+
 def run_radio_pipeline(wav_path: str, timeout: float = 300.0) -> list[Frame]:
     """Wire up source -> decoder (+resampler) and run to completion; the
     app-rx orchestration in one call."""

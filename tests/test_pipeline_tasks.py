@@ -65,3 +65,26 @@ def test_storage_and_trace_tasks(tmp_path, fixture_dir):
     frames, signals = read_trace(trz_path)
     assert len([f for f in frames if f.frame_type in (0x102, 0x103)]) == 10
     assert signals and all(s.kind == "radio" for s in signals)
+
+    # replay the trace: TraceReplayTask republishes on storage.frame /
+    # storage.signal (reference TraceStorageTask read path)
+    from nfclab.runtime.pipeline import TraceReplayTask
+
+    got_frames, got_signals = [], []
+    replay_done = threading.Event()
+    Subject.name("storage.frame").subscribe(
+        lambda f: got_frames.append(f) if f is not None else None,
+        replay=False,
+    )
+    Subject.name("storage.signal").subscribe(
+        lambda b: got_signals.append(b) if b.valid else replay_done.set(),
+        replay=False,
+    )
+    ex2 = Executor()
+    ex2.submit(TraceReplayTask(trz_path))
+    assert replay_done.wait(30)
+    ex2.shutdown()
+    assert got_frames == frames
+    assert len(got_signals) == len(signals)
+    total_points = sum(len(s.offsets) for s in signals)
+    assert sum(len(b.data) for b in got_signals) == total_points
