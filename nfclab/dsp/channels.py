@@ -137,14 +137,39 @@ class LazyChannels:
     def extend_boxes(self):
         """Extend every running-sum (box) entry to the current stream end.
         Must run while all of its inputs are still inside the window — the
-        streaming decoder calls this before compacting its buffers."""
-        for ent in list(self._cache.values()):
-            if (
-                isinstance(ent, dict)
-                and ent.get("kind") == "box"
-                and ent.get("extend") is not None
-            ):
+        streaming decoder calls this before compacting its buffers (and once
+        per feed, so the walk finds every box channel current).
+
+        All pending extensions are fused into ONE native pass over the
+        conditioned stream (nfclab_box_multi_ext): the per-channel kernels
+        would re-read value/filtered once per channel, and with ~14 live
+        channels those source re-reads dominate the per-feed cost."""
+        n = self.n
+        pending = [
+            (key, ent)
+            for key, ent in list(self._cache.items())
+            if isinstance(ent, dict)
+            and ent.get("kind") == "box"
+            and ent.get("extend") is not None
+            and ent["n"] < n
+        ]
+        nb = _native()
+        if nb is None or len(pending) > 64:
+            for _, ent in pending:
                 ent["extend"]()
+            return
+        jobs, ents = [], []
+        for key, ent in pending:
+            ent = self._entry(key)  # ensure output capacity first
+            kind, width, lag = ent["meta"]
+            jobs.append((kind, width, lag, ent["n"], ent["acc"], ent["arr"]))
+            ents.append(ent)
+        if jobs:
+            nb.box_multi_ext_native(
+                self.cond.value, self.cond.filtered, n, self.base, jobs
+            )
+            for ent in ents:
+                ent["n"] = n
 
     # ------------------------------------------------------- entry management
 
@@ -214,6 +239,8 @@ class LazyChannels:
         ent = self._entry(key)
         if ent["extend"] is None:
             ent["kind"] = "box"
+            # (kind_code, width, lag) for the fused multi-channel extender
+            ent["meta"] = ({"sum": 0, "sq": 1, "bpsk": 2}[kind], width, lag)
             ent["extend"] = lambda: self._box_chan(key, kind, width, lag)
         n = self.n
         if ent["n"] < n:

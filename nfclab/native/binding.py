@@ -163,6 +163,7 @@ def _load():
             f32p,
         ]
         lib.nfclab_box_bpsk.restype = None
+        lib.nfclab_box_multi_ext.restype = None
         lib.nfclab_iq_magnitude.argtypes = [
             f32p,
             ctypes.c_int64,
@@ -481,6 +482,45 @@ def box_ext_native(kind, src, start, n, width, lag, acc, arr, base=0):
             src_p, ctypes.c_int64(n), ctypes.c_int64(start),
             ctypes.c_int32(lag), ctypes.c_int32(width), acc_p, out_p,
         )
+
+
+def box_multi_ext_native(value, filt, n, base, jobs):
+    """Extend K box channels over their [start, n) tails in one native pass
+    (fused source reads; per-channel math identical to box_ext_native).
+    jobs: list of (kind_code, width, lag, start, acc_arr, out_arr) with
+    kind_code 0=sum(value) 1=sq(filtered) 2=bpsk(filtered, lag); out_arr
+    holds clocks [base, ...) and is addressed via a virtual pointer."""
+    from ..core.streamview import as_f32_ptr
+
+    lib = _load()
+    k = len(jobs)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    kinds = np.fromiter((j[0] for j in jobs), np.int32, k)
+    widths = np.fromiter((j[1] for j in jobs), np.int32, k)
+    lags = np.fromiter((j[2] for j in jobs), np.int32, k)
+    starts = np.fromiter((j[3] for j in jobs), np.int64, k)
+    accs = (f64p * k)(*(j[4].ctypes.data_as(f64p) for j in jobs))
+    outs = (f32p * k)(
+        *(
+            ctypes.cast(
+                ctypes.c_void_p(j[5].ctypes.data - base * j[5].itemsize), f32p
+            )
+            for j in jobs
+        )
+    )
+    lib.nfclab_box_multi_ext(
+        as_f32_ptr(value),
+        as_f32_ptr(filt),
+        ctypes.c_int64(n),
+        ctypes.c_int32(k),
+        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        accs,
+        outs,
+    )
 
 
 def detect_sd_idx_ext_native(

@@ -84,6 +84,73 @@ void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
     nfclab_box_bpsk_ext(filt, n, 0, lag, w, &acc, out);
 }
 
+// Fused multi-channel box extension: extend K box channels over the new
+// samples in ONE pass over the conditioned stream (the per-channel kernels
+// above re-read `value`/`filtered` once per channel; with ~14 live channels
+// the source re-reads dominate the streaming decoder's per-feed cost).
+// Per-channel math is kept expression-identical to the individual kernels,
+// so the extended arrays stay bit-identical to a fresh full-stream pass.
+// kinds: 0 = sum(value), 1 = sq(filtered), 2 = bpsk(filtered, lag).
+void nfclab_box_multi_ext(const float *value, const float *filt, int64_t n,
+                          int32_t k, const int32_t *kinds,
+                          const int32_t *widths, const int32_t *lags,
+                          const int64_t *starts, double **accs, float **outs)
+{
+    enum { MAXK = 64 };
+    if (k <= 0 || k > MAXK)
+        return;
+    double acc[MAXK];
+    int64_t t0 = n;
+    for (int32_t c = 0; c < k; c++) {
+        acc[c] = *accs[c];
+        if (starts[c] < t0)
+            t0 = starts[c];
+    }
+    for (int64_t t = t0; t < n; t++) {
+        for (int32_t c = 0; c < k; c++) {
+            if (t < starts[c])
+                continue;
+            const int32_t w = widths[c];
+            double a = acc[c];
+            switch (kinds[c]) {
+            case 0: { // sum(value) — nfclab_box_sum_ext body
+                a += value[t];
+                if (t >= w)
+                    a -= value[t - w];
+                break;
+            }
+            case 1: { // sq(filtered) — nfclab_box_sq_ext body
+                const float q = filt[t] * filt[t] * 10.0f;
+                a += q;
+                if (t >= w) {
+                    const float qo =
+                        filt[t - w] * filt[t - w] * 10.0f;
+                    a -= qo;
+                }
+                break;
+            }
+            default: { // bpsk(filtered, lag) — nfclab_box_bpsk_ext body
+                const int32_t lag = lags[c];
+                const float p =
+                    (t >= lag) ? filt[t] * filt[t - lag] * 10.0f : 0.0f;
+                a += p;
+                if (t >= w) {
+                    const int64_t j = t - w;
+                    const float po =
+                        (j >= lag) ? filt[j] * filt[j - lag] * 10.0f : 0.0f;
+                    a -= po;
+                }
+                break;
+            }
+            }
+            acc[c] = a;
+            outs[c][t] = static_cast<float>(a);
+        }
+    }
+    for (int32_t c = 0; c < k; c++)
+        *accs[c] = acc[c];
+}
+
 // Fused detect-channel builders: compute the dense SD correlation channel and
 // collect threshold-crossing clock indices in one pass (replaces the numpy
 // sd/mask/flatnonzero pipeline in demod/*.bind_channels, which costs several

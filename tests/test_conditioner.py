@@ -74,3 +74,59 @@ def test_conditioner_repair_path():
     x[250_000:] = 0.35 + 0.01 * rng.standard_normal(n - 250_000)
     x = x.astype(np.float32)
     _compare(x, SignalParams(10_000_000), block=32768, halo=8192)
+
+
+def test_box_multi_ext_bit_identical():
+    """The fused multi-channel box extender must produce bit-identical
+    arrays and carries to the per-channel _ext kernels, including when
+    channels extend from different start clocks."""
+    import numpy as np
+
+    from nfclab.native import binding
+
+    if not binding.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    value = (rng.random(n, np.float32) * 0.4).astype(np.float32)
+    filt = (rng.random(n, np.float32) - 0.5).astype(np.float32) * 0.2
+
+    # (kind_code, width, lag): sum(value), sq(filt), bpsk(filt, lag)
+    specs = [(0, 37, 0), (0, 512, 0), (1, 64, 0), (1, 300, 0),
+             (2, 128, 47), (2, 96, 200)]
+    kinds = {0: "sum", 1: "sq", 2: "bpsk"}
+
+    # reference: per-channel extension in two chunks
+    ref = []
+    for kind, w, lag in specs:
+        acc = np.zeros(1, np.float64)
+        out = np.zeros(n, np.float32)
+        src = value if kind == 0 else filt
+        binding.box_ext_native(kinds[kind], src, 0, 30_000, w, lag, acc, out)
+        binding.box_ext_native(kinds[kind], src, 30_000, n, w, lag, acc, out)
+        ref.append((acc.copy(), out))
+
+    # fused: same two chunks, all channels at once, plus a staggered start
+    # for one channel (extends alone first, then joins the fused pass)
+    accs = [np.zeros(1, np.float64) for _ in specs]
+    outs = [np.zeros(n, np.float32) for _ in specs]
+    binding.box_ext_native(
+        kinds[specs[0][0]], value, 0, 10_000, specs[0][1], specs[0][2],
+        accs[0], outs[0],
+    )
+    starts = [10_000] + [0] * (len(specs) - 1)
+    jobs = [
+        (k, w, lag, starts[i], accs[i], outs[i])
+        for i, (k, w, lag) in enumerate(specs)
+    ]
+    binding.box_multi_ext_native(value, filt, 30_000, 0, jobs)
+    jobs = [(k, w, lag, 30_000, accs[i], outs[i])
+            for i, (k, w, lag) in enumerate(specs)]
+    binding.box_multi_ext_native(value, filt, n, 0, jobs)
+
+    for i in range(len(specs)):
+        assert np.array_equal(ref[i][1], outs[i]), f"channel {i} diverged"
+        assert ref[i][0][0] == accs[i][0], f"carry {i} diverged"
