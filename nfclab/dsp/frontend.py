@@ -195,8 +195,9 @@ def make_fused_frontend(
     family as the reference's own integrators; the bit-exact golden path
     uses the unfused conditioner + host f64 channels.
 
-    native_layout keeps everything in the kernel's [g, t, 8, 128] tiling so
-    no output pays an HBM transpose back to [B, T]."""
+    native_layout keeps everything in the kernel's [g, t, sub, 128] tiling
+    (sub = 16 when B % 2048 == 0, else 8) so no output pays an HBM transpose
+    back to [B, T]."""
     from .pallas.fused_frontend import fused_frontend
 
     pt = _params_tuple(params)

@@ -403,8 +403,9 @@ def fused_frontend(value, params, native_layout=False,
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
-    native_layout=True:  dict of [g, t, 8, 128] f32 (kernel-native tiling;
-    stream b lives at [b // 1024, :, (b % 1024) // 128, b % 128]).
+    native_layout=True:  dict of [g, t, sub, 128] f32 (kernel-native tiling;
+    with lanes = sub * 128, stream b lives at
+    [b // lanes, :, (b % lanes) // 128, b % 128]).
     mask_params: (power_level_threshold, nfca_corr_thr, nfcb_min_deep,
     nfcf_corr_thr, nfcv_corr_thr).
 
@@ -416,10 +417,11 @@ def fused_frontend(value, params, native_layout=False,
 
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
-    # (8, 128) is the VPU-native register tile and measures fastest (sub=16
-    # benched ~10% slower: multi-VREG ops + doubled VMEM ring pressure); the
-    # kernel internals stay parametrized over `sub` for future experiments
-    sub = 8
+    # wider tiles amortize the serial per-step latency over more streams:
+    # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
+    # the bottleneck, not VPU throughput); sub=32 exceeds VMEM (rings scale
+    # with sub) and fails to compile.  sub=8 remains for 1024-stream batches.
+    sub = 16 if b % 2048 == 0 else 8
     lanes = 128 * sub
     g = b // lanes
     vt = (

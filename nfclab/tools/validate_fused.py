@@ -37,7 +37,7 @@ def main() -> int:
 
     params = SignalParams(10_000_000)
     rng = np.random.default_rng(42)
-    B, T = 1024, 4096
+    B, T = 2048, 4096  # B % 2048 == 0 exercises the sub=16 tile path
     x = (rng.random((B, T), dtype=np.float32) * 0.4 + 0.01).astype(np.float32)
     x[:, 1000:1100] *= 0.05
     x[:, 2000:2100] *= 0.3
