@@ -94,6 +94,9 @@ class LazyChannels:
         # fault in lazily so virtual size is free)
         self.capacity_hint = 0
         self._cache: dict = {}
+        # fused per-feed extension plan (extend_all); invalidated whenever
+        # the entry set, a buffer address, or the window base changes
+        self._plan = None
 
     @property
     def n(self) -> int:
@@ -133,6 +136,7 @@ class LazyChannels:
                     idx[: k - cut] = idx[cut:k]
                     ent["idx_n"] = k - cut
         self.base = base
+        self._plan = None  # virtual pointers shifted
 
     def extend_boxes(self):
         """Extend every running-sum (box) entry to the current stream end.
@@ -171,6 +175,212 @@ class LazyChannels:
             for ent in ents:
                 ent["n"] = n
 
+    # ------------------------------------------------- fused per-feed extend
+
+    def extend_all(self):
+        """Extend EVERY cached channel entry to the current stream end in ONE
+        native call (the streaming decoder calls this once per feed, right
+        after rebind).  Replaces ~20 per-feed ctypes calls with one and keeps
+        the feed tail cache-hot across the box → derived → index chain.
+        Results are bit-identical to the lazy per-entry path — the native
+        kernel reuses the same per-channel bodies (channels.cpp
+        nfclab_feed_ext).  Falls back to the lazy extenders without g++."""
+        n = self.n
+        nb = _native()
+        if nb is None:
+            for ent in list(self._cache.values()):
+                if isinstance(ent, dict) and ent.get("extend") is not None:
+                    ent["extend"]()
+            return
+        plan = self._plan
+        if plan is None or plan["cond_addr"] != nb.vaddr(self.cond.value):
+            plan = self._build_plan(nb)
+        jobs, metas, caps = plan["jobs"], plan["metas"], plan["caps"]
+        base = self.base
+        any_work = False
+        for i, (cls, ent) in enumerate(metas):
+            if cls == "idx":
+                s = ent["scanned"]
+                if base and s < base + 4096:
+                    # events in the dropped past are unreachable (same
+                    # restart rule as _idx_chan)
+                    s = max(s, min(base + 4096, n))
+                    ent["scanned"] = s
+                if n - s > caps[i]:
+                    # arena slot too small (catch-up span): rebuild sized up
+                    self._plan = None
+                    return self.extend_all()
+            else:
+                if len(ent["arr"]) < n - base:
+                    # output buffer too small for the grown window: rebuild
+                    # the plan (its capacity pass reallocates)
+                    self._plan = None
+                    return self.extend_all()
+                s = ent["n"]
+                if cls == "derived" and base and s < base + 4096:
+                    # stale across window shifts: restart from the new base
+                    # (same rule as _derived)
+                    h = min(base + 4096, n)
+                    if s < h:
+                        ent["arr"][: h - base] = 0.0
+                        ent["n"] = s = h
+            jobs[i].start = s
+            jobs[i].count = 0
+            if s < n:
+                any_work = True
+        if any_work:
+            nb.feed_ext_native(self.cond, n, len(metas), jobs)
+            arena = plan["arena"]
+            offs = plan["offs"]
+            for i, (cls, ent) in enumerate(metas):
+                if cls == "idx":
+                    c = int(jobs[i].count)
+                    o = offs[i]
+                    self._append_idx(ent, arena[o : o + c], n)
+                else:
+                    ent["n"] = n
+        for ent in plan["py"]:
+            ent["extend"]()
+
+    def _build_plan(self, nb):
+        """Compile the cached entry set into an NfcFeedJob array (pointers
+        resolved once; per-feed execution only updates `start`)."""
+        import ctypes
+
+        from ..native.binding import NfcFeedJob, alloc_array
+
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        base = self.base
+        n = self.n
+
+        boxes, derived, idxs, py = [], [], [], []
+        for key, ent in list(self._cache.items()):
+            if not isinstance(ent, dict) or ent.get("extend") is None:
+                continue
+            kind = ent.get("kind")
+            if kind == "box":
+                boxes.append(key)
+            elif kind == "derived" and ent.get("fx") is not None \
+                    and self._cache.get(ent["fx"][1]) is not None:
+                derived.append(key)
+            elif kind == "idx" and ent.get("fx") is not None:
+                fx = ent["fx"]
+                if fx[0] == "sd" and self._cache.get(fx[1]) is None:
+                    py.append(ent)
+                else:
+                    idxs.append(key)
+            else:
+                py.append(ent)
+
+        # ensure output capacities BEFORE capturing any pointer (growth
+        # reallocates)
+        for key in boxes + derived:
+            self._entry(key)
+
+        k = len(boxes) + len(derived) + len(idxs)
+        jobs = (NfcFeedJob * k)()
+        metas, caps, offs = [], [], []
+
+        def vp_f32(arr):
+            # channel buffers hold clocks [base, ...): virtual pointer
+            addr = arr.ctypes.data - base * arr.itemsize
+            return ctypes.cast(ctypes.c_void_p(addr), f32p)
+
+        i = 0
+        for key in boxes:
+            ent = self._cache[key]
+            kc, width, lag = ent["meta"]
+            j = jobs[i]
+            j.kind = kc  # meta kind codes == FX_BOX_* (0 sum, 1 sq, 2 bpsk)
+            j.width = width
+            j.lag = lag
+            j.out = vp_f32(ent["arr"])
+            j.acc = ent["acc"].ctypes.data_as(f64p)
+            metas.append(("box", ent))
+            caps.append(0)
+            offs.append(0)
+            i += 1
+        for key in derived:
+            ent = self._cache[key]
+            op, src_key, oa, ob, lo = ent["fx"]
+            src = self._cache[src_key]
+            j = jobs[i]
+            j.kind = nb.FX_D_SUB if op == "sub" else nb.FX_D_COPY
+            j.oa = oa
+            j.ob = ob
+            j.lo = lo
+            j.in_ = vp_f32(src["arr"])
+            j.out = vp_f32(ent["arr"])
+            metas.append(("derived", ent))
+            caps.append(0)
+            offs.append(0)
+            i += 1
+        # index jobs write into fixed arena slots (cap covers a catch-up
+        # span; exceeded -> plan rebuilds with a larger slot)
+        idx_meta = []
+        total = 0
+        for key in idxs:
+            ent = self._cache[key]
+            s = ent["scanned"]
+            cap = max(1 << 17, n - s)
+            idx_meta.append((key, ent, total, cap))
+            total += cap
+        # reuse the arena across plan rebuilds (a fresh allocation per
+        # compaction would page-fault its whole footprint back in)
+        arena = getattr(self, "_arena", None)
+        if arena is None or len(arena) < total:
+            arena = alloc_array(max(total, 1), np.int64)
+            self._arena = arena
+        for key, ent, off, cap in idx_meta:
+            fx = ent["fx"]
+            j = jobs[i]
+            if fx[0] == "sd":
+                _, src_key, d, p1, p2, corr, power, signed_v = fx
+                j.kind = nb.FX_IDX_SD_V if signed_v else nb.FX_IDX_SD_AF
+                j.oa = d
+                j.p1 = p1
+                j.ob = p2
+                j.f0 = float(corr)
+                j.f1 = float(power)
+                j.in_ = vp_f32(self._cache[src_key]["arr"])
+            elif fx[0] == "edgeb":
+                _, d, min_deep, power_thr = fx
+                j.kind = nb.FX_IDX_EDGE_B
+                j.oa = d
+                j.f0 = float(min_deep)
+                j.f1 = float(power_thr)
+            else:
+                _, src, thr, cmp_op = fx
+                table = (
+                    {">": nb.FX_IDX_GT, ">=": nb.FX_IDX_GE, "<": nb.FX_IDX_LT}
+                    if fx[0] == "cmp"
+                    else {">": nb.FX_X_GT, ">=": nb.FX_X_GE, "<": nb.FX_X_LT}
+                )
+                j.kind = table[cmp_op]
+                j.src = nb.FX_SRC[src]
+                j.f0 = float(thr)
+            j.idx_out = ctypes.cast(
+                ctypes.c_void_p(arena.ctypes.data + off * 8), i64p
+            )
+            metas.append(("idx", ent))
+            caps.append(cap)
+            offs.append(off)
+            i += 1
+
+        plan = {
+            "jobs": jobs,
+            "metas": metas,
+            "caps": caps,
+            "offs": offs,
+            "arena": arena,
+            "py": py,
+            "cond_addr": nb.vaddr(self.cond.value),
+        }
+        self._plan = plan
+        return plan
+
     # ------------------------------------------------------- entry management
 
     def _entry(self, key, dtype=np.float32):
@@ -196,6 +406,7 @@ class LazyChannels:
                 "extend": None,
             }
             self._cache[key] = ent
+            self._plan = None
         if len(ent["arr"]) < window:
             new = alloc_array(
                 max(window, len(ent["arr"]) * 2, self.capacity_hint), dtype
@@ -203,6 +414,7 @@ class LazyChannels:
             filled = max(0, ent["n"] - self.base)
             new[:filled] = ent["arr"][:filled]
             ent["arr"] = new
+            self._plan = None
         return ent
 
     def _ret(self, ent):
@@ -278,18 +490,21 @@ class LazyChannels:
 
     # ------------------------------------------------------- derived channels
 
-    def _derived(self, key, build_tail):
+    def _derived(self, key, build_tail, fx=None):
         """Dense channel derived elementwise from box channels; build_tail
         (arr, start, n) fills absolute clocks [start, n) through a
         StreamView (values are position-pure, so tail recompute equals full
         recompute).  build_tail must re-fetch its source channels itself so
-        the stored extender never sees stale views."""
+        the stored extender never sees stale views.  fx = ("sub"|"copy",
+        src_key, oa, ob, lo) describes the same computation declaratively for
+        the fused per-feed extender (extend_all)."""
         from ..core.streamview import StreamView
 
         ent = self._entry(key)
         if ent["extend"] is None:
             ent["kind"] = "derived"
-            ent["extend"] = lambda: self._derived(key, build_tail)
+            ent["fx"] = fx
+            ent["extend"] = lambda: self._derived(key, build_tail, fx)
         n = self.n
         if self.base and ent["n"] < self.base + 4096:
             # entry went stale across window shifts (not accessed while the
@@ -321,7 +536,10 @@ class LazyChannels:
             arr[start:s] = 0.0
             arr[s:n] = bq[s - d : n - d] - bq[s - d - gap : n - d - gap]
 
-        return self._derived(("s0q_t", br.tech_type, br.rate_type), tail)
+        key = ("s0q_t", br.tech_type, br.rate_type)
+        if key not in self._cache:
+            self.box_sq(p2)  # fused-plan source must exist first
+        return self._derived(key, tail, fx=("sub", ("bq", p2), d, d + gap, lo))
 
     def bpsk_dense(self, br) -> np.ndarray:
         """Dense BPSK phase window PB4 by decoder clock: PB4(t) indexed so that
@@ -335,7 +553,10 @@ class LazyChannels:
             arr[start:s] = 0.0
             arr[s:n] = pb[s - d : n - d]
 
-        return self._derived(("pb4_t", br.tech_type, br.rate_type), tail)
+        key = ("pb4_t", br.tech_type, br.rate_type)
+        if key not in self._cache:
+            self.box_bpsk(p1, p4)
+        return self._derived(key, tail, fx=("copy", ("bp", p1, p4), d, 0, d))
 
     def nfcv_listen_dense(self, br) -> np.ndarray:
         """NFC-V listen channel by decoder clock (NfcV.cpp:825-835): the
@@ -351,7 +572,10 @@ class LazyChannels:
             arr[start:s] = 0.0
             arr[s:n] = b1q[s - d - gap : n - d - gap] - b1q[s - d : n - d]
 
-        return self._derived(("vq_t", br.rate_type), tail)
+        key = ("vq_t", br.rate_type)
+        if key not in self._cache:
+            self.box_sq(p1)
+        return self._derived(key, tail, fx=("sub", ("bq", p1), d + gap, d, lo))
 
     # --------------------------------------------- fused detect SD + indices
 
@@ -389,13 +613,19 @@ class LazyChannels:
                 signed_v,
             )
 
-        return self._idx_chan(key, tail)
+        if key not in self._cache:
+            self.box_value(p2)
+        return self._idx_chan(
+            key, tail,
+            fx=("sd", ("bv", p2), d, p1, p2, corr_thr, power_thr, signed_v),
+        )
 
     # --------------------------------------------------------- index channels
 
-    def _idx_chan(self, key, scan_tail) -> np.ndarray:
+    def _idx_chan(self, key, scan_tail, fx=None) -> np.ndarray:
         """Pure index set (absolute clocks); scan_tail(start, n) returns new
-        indices in [start, n)."""
+        indices in [start, n).  fx declaratively describes the scan for the
+        fused per-feed extender (extend_all)."""
         ent = self._cache.get(key)
         if ent is None:
             ent = {
@@ -407,9 +637,11 @@ class LazyChannels:
                 "extend": None,
             }
             self._cache[key] = ent
+            self._plan = None
         if ent["extend"] is None:
             ent["kind"] = "idx"
-            ent["extend"] = lambda: self._idx_chan(key, scan_tail)
+            ent["fx"] = fx
+            ent["extend"] = lambda: self._idx_chan(key, scan_tail, fx)
         n = self.n
         if self.base and ent["scanned"] < self.base + 4096:
             # events in the dropped past are unreachable; rescan from inside
@@ -441,7 +673,7 @@ class LazyChannels:
                 m = seg < thr
             return (np.flatnonzero(m) + start).astype(np.int64)
 
-        return self._idx_chan(key, tail)
+        return self._idx_chan(key, tail, fx=("cmp", src, float(thr), op))
 
     def crossing_idx(self, src: str, thr, op: str) -> np.ndarray:
         """Clocks where (cond.<src> OP thr) BECOMES true (run starts).
@@ -473,7 +705,7 @@ class LazyChannels:
             rising[0] &= not prev
             return (np.flatnonzero(rising) + start).astype(np.int64)
 
-        return self._idx_chan(key, tail)
+        return self._idx_chan(key, tail, fx=("cross", src, float(thr), op))
 
     def gt_idx(self, x: np.ndarray, thr) -> np.ndarray:
         """Indices where x > thr.  `x` must be a conditioned-stream array;
@@ -510,7 +742,9 @@ class LazyChannels:
             mask = (env[s:n] >= power_thr) & (shifted < -(min_deep * env[s:n]))
             return (np.flatnonzero(mask) + s).astype(np.int64)
 
-        return self._idx_chan(key, tail)
+        return self._idx_chan(
+            key, tail, fx=("edgeb", d, float(min_deep), float(power_thr))
+        )
 
     # ------------------------------------------------------------ legacy API
 

@@ -48,6 +48,73 @@ def alloc_array(n: int, dtype=np.float32) -> np.ndarray:
     except Exception:
         return np.empty(n, dtype)
 
+class NfcFeedJob(ctypes.Structure):
+    """Mirror of channels.cpp NfcFeedJob (fused per-feed channel extension).
+    Field order/types must match the C struct exactly."""
+
+    _fields_ = [
+        ("kind", ctypes.c_int32),
+        ("width", ctypes.c_int32),
+        ("lag", ctypes.c_int32),
+        ("oa", ctypes.c_int32),
+        ("p1", ctypes.c_int32),
+        ("ob", ctypes.c_int32),
+        ("src", ctypes.c_int32),
+        ("pad", ctypes.c_int32),
+        ("start", ctypes.c_int64),
+        ("lo", ctypes.c_int64),
+        ("f0", ctypes.c_float),
+        ("f1", ctypes.c_float),
+        ("in_", ctypes.POINTER(ctypes.c_float)),
+        ("out", ctypes.POINTER(ctypes.c_float)),
+        ("acc", ctypes.POINTER(ctypes.c_double)),
+        ("idx_out", ctypes.POINTER(ctypes.c_int64)),
+        ("count", ctypes.c_int64),
+    ]
+
+
+# job kind codes (channels.cpp FX_* enum)
+FX_BOX_SUM, FX_BOX_SQ, FX_BOX_BPSK = 0, 1, 2
+FX_D_SUB, FX_D_COPY = 3, 4
+FX_IDX_SD_AF, FX_IDX_SD_V, FX_IDX_EDGE_B = 5, 6, 7
+FX_IDX_GT, FX_IDX_GE, FX_IDX_LT = 8, 9, 10
+FX_X_GT, FX_X_GE, FX_X_LT = 11, 12, 13
+
+# cond-source selector order (channels.cpp nfclab_feed_ext srcs[])
+FX_SRC = {"value": 0, "envelope": 1, "filtered": 2, "mod_depth": 3,
+          "average": 4}
+
+
+def vaddr(x) -> int:
+    """Virtual base address of an ndarray or StreamView (absolute-clock
+    addressing for native kernels)."""
+    from ..core.streamview import StreamView
+
+    if isinstance(x, StreamView):
+        return x.data.ctypes.data - x.base * x.data.itemsize
+    return x.ctypes.data
+
+
+def feed_ext_native(cond, n: int, k: int, jobs) -> None:
+    """Run the fused per-feed extension over `jobs` (NfcFeedJob array)."""
+    lib = _load()
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def vp(x):
+        return ctypes.cast(ctypes.c_void_p(vaddr(x)), f32p)
+
+    lib.nfclab_feed_ext(
+        vp(cond.value),
+        vp(cond.filtered),
+        vp(cond.envelope),
+        vp(cond.mod_depth),
+        vp(cond.average),
+        ctypes.c_int64(n),
+        ctypes.c_int32(k),
+        jobs,
+    )
+
+
 _lib = None
 _load_error: Exception | None = None
 
@@ -198,6 +265,12 @@ def _load():
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.nfclab_detect_stats.argtypes = [i64p, i64p]
         lib.nfclab_detect_stats.restype = None
+        lib.nfclab_feed_ext.argtypes = [
+            f32p, f32p, f32p, f32p, f32p,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(NfcFeedJob),
+        ]
+        lib.nfclab_feed_ext.restype = None
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e

@@ -345,4 +345,152 @@ int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
     return nfclab_collect_lt_ext(x, n, 0, thr, idx_out);
 }
 
+// ---- fused per-feed extension ---------------------------------------------
+//
+// One call extends EVERY registered channel entry over the newly conditioned
+// samples: box running sums first (interleaved single pass over value/
+// filtered), then derived elementwise channels (reading the just-written
+// boxes), then index scans.  Per-channel math is expression-identical to the
+// single-channel kernels above, so the arrays/index sets stay bit-identical
+// to the lazy per-channel extension path (and to a fresh full-stream pass).
+//
+// This replaces ~20 per-feed ctypes calls (each with pointer marshaling)
+// with one, and keeps the feed tail of the source arrays cache-hot across
+// the whole channel chain — the dominant fixed cost of streaming decode
+// below ~1 MS blocks.
+
+struct NfcFeedJob {
+    int32_t kind;
+    int32_t width;   // box width
+    int32_t lag;     // box bpsk lag
+    int32_t oa;      // derived offset a / idx d
+    int32_t p1;      // idx p1
+    int32_t ob;      // derived offset b / idx p2
+    int32_t src;     // cond source selector (0 value, 1 env, 2 filt, 3 mdepth, 4 avg)
+    int32_t pad;
+    int64_t start;   // absolute clock to extend from (exclusive of history)
+    int64_t lo;      // derived: zero below this clock
+    float f0, f1;    // thresholds (corr/thr, power/min_deep)
+    const float *in;
+    float *out;
+    double *acc;
+    int64_t *idx_out;
+    int64_t count;
+};
+
+enum {
+    FX_BOX_SUM = 0, FX_BOX_SQ = 1, FX_BOX_BPSK = 2,
+    FX_D_SUB = 3, FX_D_COPY = 4,
+    FX_IDX_SD_AF = 5, FX_IDX_SD_V = 6, FX_IDX_EDGE_B = 7,
+    FX_IDX_GT = 8, FX_IDX_GE = 9, FX_IDX_LT = 10,
+    FX_X_GT = 11, FX_X_GE = 12, FX_X_LT = 13,
+};
+
+void nfclab_feed_ext(const float *value, const float *filt, const float *env,
+                     const float *mdepth, const float *avg,
+                     int64_t n, int32_t njobs, NfcFeedJob *jobs)
+{
+    const float *srcs[5] = {value, env, filt, mdepth, avg};
+
+    // phase 1: box running sums — one dedicated tight loop per channel (the
+    // per-feed span is L2-resident, so per-channel loops beat an interleaved
+    // pass; the interleaved variant only wins on cold multi-MB catch-ups)
+    for (int32_t j = 0; j < njobs; j++) {
+        NfcFeedJob &job = jobs[j];
+        if (job.kind > FX_BOX_BPSK || job.start >= n)
+            continue;
+        switch (job.kind) {
+        case FX_BOX_SUM:
+            nfclab_box_sum_ext(value, n, job.start, job.width, job.acc,
+                               job.out);
+            break;
+        case FX_BOX_SQ:
+            nfclab_box_sq_ext(filt, n, job.start, job.width, job.acc,
+                              job.out);
+            break;
+        default:
+            nfclab_box_bpsk_ext(filt, n, job.start, job.lag, job.width,
+                                job.acc, job.out);
+        }
+    }
+
+    // phase 2: derived elementwise channels (read the boxes just written)
+    for (int32_t j = 0; j < njobs; j++) {
+        NfcFeedJob &job = jobs[j];
+        if ((job.kind != FX_D_SUB && job.kind != FX_D_COPY) || job.start >= n)
+            continue;
+        const float *__restrict in = job.in;
+        float *__restrict out = job.out;
+        const int64_t s = job.start;
+        int64_t z = job.lo > s ? job.lo : s;
+        if (z > n)
+            z = n;
+        for (int64_t t = s; t < z; t++)
+            out[t] = 0.0f;
+        if (job.kind == FX_D_SUB) {
+            const int64_t oa = job.oa, ob = job.ob;
+            for (int64_t t = z; t < n; t++)
+                out[t] = in[t - oa] - in[t - ob];
+        } else {
+            const int64_t oa = job.oa;
+            for (int64_t t = z; t < n; t++)
+                out[t] = in[t - oa];
+        }
+    }
+
+    // phase 3: index scans (same bodies as the *_ext collectors above)
+    for (int32_t j = 0; j < njobs; j++) {
+        NfcFeedJob &job = jobs[j];
+        if (job.kind < FX_IDX_SD_AF || job.start >= n) {
+            if (job.kind >= FX_IDX_SD_AF)
+                job.count = 0;
+            continue;
+        }
+        const int64_t start = job.start;
+        int64_t *idx_out = job.idx_out;
+        int64_t count = 0;
+        switch (job.kind) {
+        case FX_IDX_SD_AF:
+            count = nfclab_detect_sd_af_ext(job.in, env, n, start, job.oa,
+                                            job.p1, job.ob, job.f0, job.f1,
+                                            nullptr, idx_out);
+            break;
+        case FX_IDX_SD_V:
+            count = nfclab_detect_sd_v_ext(job.in, env, n, start, job.oa,
+                                           job.p1, job.ob, job.f0, job.f1,
+                                           nullptr, idx_out);
+            break;
+        case FX_IDX_EDGE_B:
+            count = nfclab_edge_mask_b_ext(filt, env, n, start, job.oa,
+                                           job.f0, job.f1, idx_out);
+            break;
+        case FX_IDX_GT:
+            count = nfclab_collect_gt_ext(srcs[job.src], n, start, job.f0,
+                                          idx_out);
+            break;
+        case FX_IDX_GE:
+            count = nfclab_collect_ge_ext(srcs[job.src], n, start, job.f0,
+                                          idx_out);
+            break;
+        case FX_IDX_LT:
+            count = nfclab_collect_lt_ext(srcs[job.src], n, start, job.f0,
+                                          idx_out);
+            break;
+        case FX_X_GT:
+            count = nfclab_collect_cross_gt_ext(srcs[job.src], n, start,
+                                                job.f0, idx_out);
+            break;
+        case FX_X_GE:
+            count = nfclab_collect_cross_ge_ext(srcs[job.src], n, start,
+                                                job.f0, idx_out);
+            break;
+        case FX_X_LT:
+            count = nfclab_collect_cross_lt_ext(srcs[job.src], n, start,
+                                                job.f0, idx_out);
+            break;
+        }
+        job.count = count;
+    }
+}
+
 } // extern "C"

@@ -52,15 +52,19 @@ class StreamingNfcDecoder:
     10 MS/s), so the default when enabled should be >= 2**20."""
 
     def __init__(self, sample_rate: int, window: int | None = None,
-                 **decoder_kwargs):
+                 slack: int = 4, **decoder_kwargs):
         if window is not None and window < (1 << 16):
             raise ValueError(
                 "window must be >= 65536 samples (and must exceed the "
                 "protocol frame-waiting lookback, ~370k at 10 MS/s, for "
                 "correct decode)"
             )
+        if slack < 2:
+            raise ValueError("slack must be >= 2 (compaction keeps a full "
+                             "window of history behind the stream end)")
         self.sample_rate = sample_rate
         self.window = window
+        self.slack = slack
         self.params = SignalParams(
             sample_rate,
             power_level_threshold=decoder_kwargs.get(
@@ -92,9 +96,14 @@ class StreamingNfcDecoder:
 
     def _compact(self):
         """Advance the window base, keeping `window` samples behind both the
-        stream end and the walker clock (absolute clocks never change)."""
+        stream end and the walker clock (absolute clocks never change).
+        Buffers hold up to `slack` windows before compacting (default 4):
+        each compaction copies ~window samples across every dense array
+        (~100 B/sample of memmove traffic if triggered every window), so
+        extra slack cuts that steady-state cost proportionally for a modest
+        memory bump."""
         W = self.window
-        if not W or (self._n - self._base) <= 2 * W:
+        if not W or (self._n - self._base) <= self.slack * W:
             return
         new_base = min(self._n - W, self._t - W)
         if new_base <= self._base:
@@ -149,10 +158,10 @@ class StreamingNfcDecoder:
     def _ensure_capacity(self, m: int):
         need = self._n + m - self._base
         if len(self._bufs["value"]) < need:
-            steady = 2 * (self.window or 0) + (1 << 17)
+            steady = self.slack * (self.window or 0) + (1 << 17)
             if self.window and need <= steady:
                 # windowed steady state: one right-sized allocation
-                # (compaction keeps the filled span under 2*window + a feed)
+                # (compaction keeps the filled span under slack*window + feed)
                 cap = steady
             else:
                 # unbounded, or the walker stalled past the window: grow
@@ -213,9 +222,12 @@ class StreamingNfcDecoder:
             )
             self._ctx = ctx
             if self.window:
-                # channel buffers reach 2*window + one feed at steady state;
-                # allocating that up front avoids doubling-growth copies
-                ctx.channels.capacity_hint = 2 * self.window + (1 << 17)
+                # channel buffers reach slack*window + one feed at steady
+                # state; allocating that up front avoids doubling-growth
+                # copies
+                ctx.channels.capacity_hint = (
+                    self.slack * self.window + (1 << 17)
+                )
             self._carrier = CarrierDetector(ctx)
             self._techs = self._proto._make_techs(ctx)
             for tech in self._techs:
@@ -228,6 +240,10 @@ class StreamingNfcDecoder:
             # channel cache extends over only the new tail (O(block)) and
             # shifts its windows when the base advanced
             ctx.channels.rebind(full, self._base)
+            # one fused native pass brings every channel current (box sums,
+            # derived channels, index scans) — the per-getter lazy extends
+            # below then cost nothing
+            ctx.channels.extend_all()
             self._carrier.bind(ctx)
             for tech in self._techs:
                 tech.bind_channels()

@@ -25,8 +25,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _stream(samples, rate, window, block=65536):
-    dec = StreamingNfcDecoder(rate, window=window)
+def _stream(samples, rate, window, block=65536, slack=2):
+    # slack=2 forces compactions on the short golden fixtures (the
+    # production default of 4 keeps more history to amortize memmoves)
+    dec = StreamingNfcDecoder(rate, window=window, slack=slack)
     frames = []
     for off in range(0, len(samples), block):
         frames.extend(dec.feed(samples[off : off + block]))
@@ -52,10 +54,11 @@ def test_windowed_matches_golden(fixture_dir, name, window):
 
 def test_windowed_bpsk_across_compactions(fixture_dir):
     """BPSK listen decode (running product integrators) stays exact across
-    window shifts — tiled 424 kbps capture, windowed vs unbounded."""
+    window shifts — tiled 424 kbps capture, windowed vs unbounded.  Runs at
+    the production default slack to cover that compaction cadence too."""
     samples, info = read_wav(str(fixture_dir / "test_NFC-A_424kbps_001.wav"))
     big = np.tile(samples, 8)
-    dec_w, frames_w = _stream(big, info.sample_rate, 1 << 17)
+    dec_w, frames_w = _stream(big, info.sample_rate, 1 << 17, slack=4)
     dec_u, frames_u = _stream(big, info.sample_rate, None)
     assert dec_w.base > 0
     got_w = [f for f in frames_w if f.frame_type in GOLDEN_TYPES]
