@@ -1,14 +1,19 @@
 """Throughput benchmark: magnitude samples/s through the dense decode frontend.
 
-Measures the full TPU hot path (Pallas conditioning scan + correlator
-channels + detect masks — everything the host symbol walk consumes) on one
-chip, batched over overlap-save blocks.
+Measures the full TPU hot path (fused Pallas conditioning scan + every
+correlator channel + all-tech detect masks — everything the host symbol walk
+consumes) on one chip, in the production carried-state streaming mode:
+one jit dispatch runs a lax.scan over K consecutive 2048-stream x 65536-sample
+chunks, threading the kernel's ring/carry state between chunks exactly as
+`fused_frontend_stream` does (outputs are bit-identical to one monolithic
+pass; validated by tools/validate_fused).  Four distinct input buffers are
+cycled across the scan so every chunk's HBM input read is real.
 
 Measurement notes: on the axon platform `block_until_ready` does not force
 remote completion, so each repetition is synchronized by fetching a scalar
-device-side reduction over every output; the per-call dispatch floor
-(~30 ms through the tunnel) is INCLUDED — the figure is honest end-to-end
-throughput for one dispatched batch.
+device-side reduction over every output of every chunk; the per-dispatch
+tunnel floor (~30 ms) is INCLUDED and amortized over the K-chunk scan — the
+figure is honest end-to-end throughput for one dispatched stream batch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -29,6 +34,11 @@ PER_CHIP_BASELINE = 62.5e6  # 1 GS/s / 16 chips (BASELINE.md)
 # first compile of the Pallas kernels
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 
+BATCH = 2048       # streams per chunk (sub=16 tile path)
+CHUNK = 65536      # samples per stream per chunk
+K = 16             # chained chunks per dispatch
+DISTINCT = 4       # distinct input buffers cycled across the scan
+
 
 def main():
     import jax
@@ -39,17 +49,43 @@ def main():
     import jax.numpy as jnp
 
     from nfclab.core.params import SignalParams
-    from nfclab.dsp.frontend import make_fused_frontend
+    from nfclab.dsp.frontend import _params_tuple
+    from nfclab.dsp.pallas.fused_frontend import NSTATE, fused_frontend
 
-    frontend = make_fused_frontend(SignalParams(10_000_000))
-    # one scalar per output forces full execution before the host timestamp
-    red = jax.jit(
-        lambda x: sum(jnp.sum(v[:, -1]) for v in frontend(x).values())
+    params = SignalParams(10_000_000)
+    pt = _params_tuple(params)
+    mp = (
+        float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50,
     )
 
+    def scan_stream(x_all):  # [DISTINCT, BATCH, CHUNK]
+        g, sub = BATCH // 2048, 16
+        state0 = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
+
+        def step(carry, i):
+            state, total = carry
+            x = jax.lax.dynamic_index_in_dim(
+                x_all, jax.lax.rem(i, DISTINCT), keepdims=False
+            )
+            res, state = fused_frontend(
+                x, pt, native_layout=True, mask_params=mp,
+                state=state, base=i * CHUNK, return_state=True,
+            )
+            # one scalar per output forces full execution of every chunk
+            total = total + sum(jnp.sum(v[:, -1]) for v in res.values())
+            return (state, total), 0
+
+        (_, total), _ = jax.lax.scan(
+            step, (state0, jnp.float32(0.0)), jnp.arange(K, dtype=jnp.int32)
+        )
+        return total
+
+    red = jax.jit(scan_stream)
+
     rng = np.random.default_rng(0)
-    batch, span = 2048, 65536 + 16384
-    blocks = (rng.random((batch, span), dtype=np.float32) * 0.4).astype(np.float32)
+    blocks = (
+        rng.random((DISTINCT, BATCH, CHUNK), dtype=np.float32) * 0.4
+    ).astype(np.float32)
     dev = jax.device_put(blocks)
 
     float(red(dev))  # warmup / compile
@@ -60,9 +96,7 @@ def main():
         float(red(dev))
     dt = (time.perf_counter() - t0) / reps
 
-    # throughput counts kept samples only (the halo is overlap-save overhead)
-    kept = batch * 65536
-    rate = kept / dt
+    rate = K * BATCH * CHUNK / dt
 
     print(
         json.dumps(

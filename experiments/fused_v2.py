@@ -1,0 +1,481 @@
+"""Fused Pallas frontend: conditioning + every correlator channel, one pass.
+
+The hot decode path needs, per sample: the conditioning states and a family
+of boxcar sums (raw-value boxes for the ASK correlators, squared-filtered
+boxes for the listen channels, lagged-product boxes for the BPSK
+integrators).  Computing these as separate XLA passes costs one HBM round
+trip each; this kernel produces all of them in a single sweep:
+
+- 1024 streams/instance as one (8, 128) tile per step (VPU-native);
+- sequential time grid, carry + ring buffers resident in VMEM:
+  value ring (128), filtered ring (128), squared ring (256), product rings
+  (8/16/32) — sized for the largest window (189 for the NFC-V listen box);
+- running box sums maintained incrementally exactly like the reference's
+  own float32 integrators (NfcA.cpp:246-250 et al.), with identical
+  roundoff family; zero-filled rings reproduce the reference's warm-up.
+
+Outputs (15 x f32): env, filt, mdev, avg, mod_depth,
+  bv12, bv24, bv47, bv94        raw-value boxes (A rates p2 + V p2)
+  q47, q189                     squared-filtered boxes (A/V listen)
+  p24x6, p47x12, p94x24         BPSK product boxes (A424/A212+B212/B106)
+  detect_mask                   ALL-tech detect trigger bits packed into one
+                                f32 integer (0..255): bits 0-2 NFC-A rates
+                                (|SD| above corr threshold at power-ok
+                                samples, NfcA.cpp:224-291), bits 3-4 NFC-B
+                                falling-edge triggers at delays 0/94
+                                (NfcB.cpp:283), bits 5-6 NFC-F correlation
+                                (NfcF.cpp detect), bit 7 NFC-V signed SD
+                                (NfcV.cpp:236-435).  SD values are read from
+                                VMEM rings of box values at each rate's
+                                delay cascade — one packed output instead of
+                                per-tech mask arrays keeps HBM write traffic
+                                flat while covering every technology.
+
+Layout: the kernel's native tiling is [g, t, 8, 128] (1024 streams per grid
+row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
+that directly — the production path derives SD/masks in the same layout and
+never pays the 14-output HBM transpose back to [B, T].
+
+Window constants are for 10 MS/s capture rate (the reference's recommended
+rate); other rates fall back to the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+LANES = 1024
+TILE = 64
+UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
+
+# 10 MS/s window set
+BV_WIDTHS = (12, 24, 47, 94)
+Q_WIDTHS = (47, 189)
+PB = ((24, 6), (47, 12), (94, 24))  # (lag, box)
+
+RV_RING = 96   # max lookback 94 (bv94)
+RF_RING = 96   # max lookback 94 (p94 lag / B delay)
+RQ_RING = 192  # max lookback 189 (q189)
+RP_RINGS = (8, 16, 32)
+
+# NFC-A detect per rate: (delay cascade d, gap = p1-p2, p2, index of p2 in
+# BV_WIDTHS); per-rate ring sized to that rate's own max lookback (the slot
+# index is a scalar rem on the scalar core, so non-power-of-2 sizes cost
+# nothing; smaller rings buy VMEM for wider sub tiles)
+A_RATES = ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
+RB_RINGS = (64, 128, 160)  # >= max lookback+1 per rate (48 / 118 / 154)
+RB_OFFS = (0, 64, 192)
+RB_TOTAL = 352
+
+# NFC-B falling-edge trigger delays (filtered-signal lookbacks, < RF_RING)
+B_DELAYS = (0, 94)
+# NFC-F detect per rate: (d, gap, p2, A_RATES ring index holding that box) —
+# F's SD reads the same bv24/bv12 box values A rates 1/2 already ring-buffer
+F_RATES = ((0, 23, 24, 1), (0, 12, 12, 2))
+# NFC-V signed SD: (d, gap, p2, BV_WIDTHS index); lookback d+gap+1 = 474
+V_RATE = (378, 95, 94, 3)
+RBV_RING = 474  # max lookback 473; scalar rem, no power-of-2 need
+
+# detect_mask bit weights (f32-exact integers)
+MASK_BITS_A = (1.0, 2.0, 4.0)
+MASK_BITS_B = (8.0, 16.0)
+MASK_BITS_F = (32.0, 64.0)
+MASK_BIT_V = 128.0
+
+N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
+
+
+# ring-state layout inside the carried state array [NSTATE, sub, 128]:
+# every VMEM ring plus the conditioning carry and running sums, so a stream
+# can be fed through the kernel in time chunks (state_out of chunk k is
+# state_in of chunk k+1) with outputs bit-identical to one monolithic pass.
+S_CARRY = 0
+S_RV = S_CARRY + 10
+S_RF = S_RV + RV_RING
+S_RQ = S_RF + RF_RING
+S_RP0 = S_RQ + RQ_RING
+S_RP1 = S_RP0 + RP_RINGS[0]
+S_RP2 = S_RP1 + RP_RINGS[1]
+S_RB = S_RP2 + RP_RINGS[2]
+S_RBV = S_RB + RB_TOTAL
+S_SUMS = S_RBV + RBV_RING
+N_SUMS = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
+NSTATE = S_SUMS + N_SUMS
+
+
+def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
+                  state_in, out_refs, state_out,
+                  carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    (enve_w0, enve_w1, mdev_w0, mdev_w1, mean_w0, mean_w1, iir_a, etu) = params
+    (power_thr, a_thr, b_min_deep, f_thr, v_thr) = mask_params
+
+    t_idx = pl.program_id(1)
+    rps = (rp0, rp1, rp2)
+    # absolute clock of this chunk's first sample (0 for a fresh stream; the
+    # ring slot phases and the envelope seeding window depend on it)
+    base = base_ref[0]
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry[...] = state_in[0, S_CARRY:S_RV]
+        rv[...] = state_in[0, S_RV:S_RF]
+        rf[...] = state_in[0, S_RF:S_RQ]
+        rq[...] = state_in[0, S_RQ:S_RP0]
+        rp0[...] = state_in[0, S_RP0:S_RP1]
+        rp1[...] = state_in[0, S_RP1:S_RP2]
+        rp2[...] = state_in[0, S_RP2:S_RB]
+        rb[...] = state_in[0, S_RB:S_RBV]
+        rbv[...] = state_in[0, S_RBV:S_SUMS]
+        sums[...] = state_in[0, S_SUMS:NSTATE]
+
+    def body(j, _):
+        t = base + t_idx * TILE + j
+        v = value_ref[j]
+        env = carry[0]
+        w1 = carry[1]
+        mdev = carry[2]
+        avg = carry[3]
+
+        # conditioning (NfcTech.cpp:39-68); envelope silence timeout handled
+        # by the pulse counter packed into the sign-free integer range of f32
+        diff = jnp.abs(v - env) / env
+        # the silence counter is carried as integer-valued f32 (exact up to
+        # 2^24, and it resets on every update)
+        pcount = carry[4] + 1.0
+        update = (diff < 0.05) | (pcount > etu * 10.0)
+        seed = (~update) & (t < etu)
+        new_env = jnp.where(update, env * enve_w0 + v * enve_w1,
+                            jnp.where(seed, v, env))
+        pcount = jnp.where(update, 0.0, pcount)
+
+        w0 = v + w1 * iir_a
+        filt = w0 - w1
+        w1 = w0
+        mdev = mdev * mdev_w0 + jnp.abs(filt) * mdev_w1
+        avg = avg * mean_w0 + v * mean_w1
+
+        carry[0] = new_env
+        carry[1] = w1
+        carry[2] = mdev
+        carry[3] = avg
+        carry[4] = pcount
+
+        out_refs[0][j] = new_env
+        out_refs[1][j] = filt
+        out_refs[2][j] = mdev
+        out_refs[3][j] = avg
+        # modulation depth (NfcTech.cpp:71-74), fused to save an XLA pass
+        clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
+        out_refs[4][j] = (new_env - clamped) / new_env
+
+        # raw-value boxes
+        o = 5
+        s = 0
+        slot_v = jax.lax.rem(t, RV_RING)
+        for w in BV_WIDTHS:
+            old = rv[jax.lax.rem(t - w + RV_RING, RV_RING)]
+            sums[s] = sums[s] + v - old
+            out_refs[o][j] = sums[s]
+            o += 1
+            s += 1
+        rv[slot_v] = v
+
+        # squared-filtered boxes
+        q = filt * filt * 10.0
+        slot_q = jax.lax.rem(t, RQ_RING)
+        for w in Q_WIDTHS:
+            old = rq[jax.lax.rem(t - w + RQ_RING, RQ_RING)]
+            sums[s] = sums[s] + q - old
+            out_refs[o][j] = sums[s]
+            o += 1
+            s += 1
+        rq[slot_q] = q
+
+        # BPSK product boxes: prod = filt[t] * filt[t-lag] * 10
+        slot_f = jax.lax.rem(t, RF_RING)
+        for (lag, box), rp, rsize in zip(PB, rps, RP_RINGS):
+            lagged = rf[jax.lax.rem(t - lag + RF_RING, RF_RING)]
+            prod = filt * lagged * 10.0
+            slot_p = jax.lax.rem(t, rsize)
+            old = rp[jax.lax.rem(t - box + rsize, rsize)]
+            sums[s] = sums[s] + prod - old
+            out_refs[o][j] = sums[s]
+            rp[slot_p] = prod
+            o += 1
+            s += 1
+        rf[slot_f] = filt
+
+        # all-tech detect trigger bits, packed into one f32 integer output.
+        # SD formulas read VMEM rings of box values at each rate's delay
+        # cascade (frontend.py SD formula):
+        # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
+        power_ok = new_env >= power_thr
+        mval = jnp.zeros((sub, 128), jnp.float32)
+
+        # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291).
+        # d == 0 rates read the current box value from `sums` and B(t-1)
+        # from the carried previous value — only the gap lookback needs the
+        # ring (each dynamic ring access is a scalar-addressed VMEM op).
+        min_corr_a = a_thr * new_env
+        prev_bv = {47: carry[5], 24: carry[6], 12: carry[7]}
+        # b1 = B(t-d-1) is last step's b0 = B(t-1-d): carried, not re-read
+        prev_b0 = (None, carry[8], carry[9])
+        for r, (d, gap, p2, widx) in enumerate(A_RATES):
+            roff = RB_OFFS[r]
+            ring = RB_RINGS[r]
+            rb[roff + jax.lax.rem(t, ring)] = sums[widx]
+            if d == 0:
+                b0 = sums[widx]
+                b1 = prev_bv[BV_WIDTHS[widx]]
+            else:
+                b0 = rb[roff + jax.lax.rem(t - d + ring, ring)]
+                b1 = prev_b0[r]
+                carry[7 + r] = b0
+            bg = rb[roff + jax.lax.rem(t - d - gap + 2 * ring, ring)]
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr_a)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
+
+        # NFC-F: same SD family over bv24/bv12, which A rates 1/2 already
+        # ring-buffer; d = 0 so b0/b1 come from sums and the carried prevs
+        min_corr_f = f_thr * new_env
+        for r, (d, gap, p2, ridx) in enumerate(F_RATES):
+            roff = RB_OFFS[ridx]
+            ring = RB_RINGS[ridx]
+            widx = A_RATES[ridx][3]
+            b0 = sums[widx]
+            b1 = prev_bv[BV_WIDTHS[widx]]
+            bg = rb[roff + jax.lax.rem(t - gap + ring, ring)]
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr_f)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
+
+        # NFC-B: falling-edge trigger filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
+        edge_b = -(b_min_deep * new_env)
+        for r, d in enumerate(B_DELAYS):
+            fd = filt if d == 0 else rf[jax.lax.rem(t - d + RF_RING, RF_RING)]
+            mask = power_ok & (fd < edge_b)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
+
+        # NFC-V: signed SD = (B(u-gap) - B(u))/p2 > thr*env (NfcV.cpp:236-435)
+        dv, gapv, p2v, widxv = V_RATE
+        slot_bv = jax.lax.rem(t, RBV_RING)
+        rbv[slot_bv] = sums[widxv]
+        u0 = rbv[jax.lax.rem(t - dv + RBV_RING, RBV_RING)]
+        ug = rbv[jax.lax.rem(t - dv - gapv + 2 * RBV_RING, RBV_RING)]
+        sd_v = (ug - u0) / jnp.float32(p2v)
+        mask_v = power_ok & (sd_v > v_thr * new_env)
+        mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
+
+        out_refs[o][j] = mval
+
+        # carry this step's box values as next step's B(t-1)
+        carry[5] = sums[2]  # bv47
+        carry[6] = sums[1]  # bv24
+        carry[7] = sums[0]  # bv12
+        return 0
+
+    if UNROLL:
+        for j in range(TILE):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, TILE, body, 0)
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        state_out[0, S_CARRY:S_RV] = carry[...]
+        state_out[0, S_RV:S_RF] = rv[...]
+        state_out[0, S_RF:S_RQ] = rf[...]
+        state_out[0, S_RQ:S_RP0] = rq[...]
+        state_out[0, S_RP0:S_RP1] = rp0[...]
+        state_out[0, S_RP1:S_RP2] = rp1[...]
+        state_out[0, S_RP2:S_RB] = rp2[...]
+        state_out[0, S_RB:S_RBV] = rb[...]
+        state_out[0, S_RBV:S_SUMS] = rbv[...]
+        state_out[0, S_SUMS:NSTATE] = sums[...]
+
+
+class _View:
+    """Ref view dropping a leading singleton dim."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, j):
+        return self.ref[0, j]
+
+    def __setitem__(self, j, value):
+        self.ref[0, j] = value
+
+    @property
+    def shape(self):
+        return self.ref.shape[1:]
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted(params, mask_params, g: int, t: int, sub: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_t = t // TILE
+
+    tile_spec = pl.BlockSpec(
+        (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    state_spec = pl.BlockSpec(
+        (1, NSTATE, sub, 128), lambda b, i: (b, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(base_ref, value_ref, state_in_ref, *rest):
+        out_refs = [_View(r) for r in rest[:N_OUT]]
+        state_out_ref = rest[N_OUT]
+        carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT + 1:]
+        _fused_kernel(
+            params, mask_params, sub, n_t, base_ref, _View(value_ref),
+            state_in_ref, out_refs, state_out_ref,
+            carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
+        )
+
+    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
+    out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
+
+    def run(base, value, state):
+        return pl.pallas_call(
+            kernel,
+            grid=(g, n_t),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=116 * 1024 * 1024
+            ),
+            in_specs=[base_spec, tile_spec, state_spec],
+            out_specs=[tile_spec] * N_OUT + [state_spec],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((10, sub, 128), jnp.float32),  # carry + prev boxes/b0s
+                pltpu.VMEM((RV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RF_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RQ_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
+                pltpu.VMEM((RB_TOTAL, sub, 128), jnp.float32),
+                pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
+            ],
+        )(base, value, state)
+
+    return jax.jit(run)
+
+
+OUTPUT_NAMES = (
+    ["envelope", "filtered", "deviation", "average", "mod_depth"]
+    + [f"bv{w}" for w in BV_WIDTHS]
+    + [f"q{w}" for w in Q_WIDTHS]
+    + [f"p{lag}x{box}" for lag, box in PB]
+    + ["detect_mask"]
+)
+
+# detect_mask bit layout: (name, weight)
+MASK_LAYOUT = (
+    [(f"mask_a_{r}", int(w)) for r, w in enumerate(MASK_BITS_A)]
+    + [(f"mask_b_{d}", int(w)) for d, w in zip(B_DELAYS, MASK_BITS_B)]
+    + [(f"mask_f_{r}", int(w)) for r, w in zip((1, 2), MASK_BITS_F)]
+    + [("mask_v", int(MASK_BIT_V))]
+)
+
+
+def unpack_detect_mask(mask):
+    """detect_mask f32 bitfield -> dict of per-tech/rate boolean arrays."""
+    import jax.numpy as jnp
+
+    bits = mask.astype(jnp.int32)
+    return {
+        name: (bits & w) != 0
+        for name, w in MASK_LAYOUT
+    }
+
+
+def fused_frontend(value, params, native_layout=False,
+                   mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
+                   state=None, base=0, return_state=False):
+    """value: [B, T], B % 1024 == 0, T % TILE == 0.
+
+    native_layout=False: dict of [B, T] f32 (pays one transpose per output).
+    native_layout=True:  dict of [g, t, sub, 128] f32 (kernel-native tiling;
+    with lanes = sub * 128, stream b lives at
+    [b // lanes, :, (b % lanes) // 128, b % 128]).
+    mask_params: (power_level_threshold, nfca_corr_thr, nfcb_min_deep,
+    nfcf_corr_thr, nfcv_corr_thr).
+
+    Chunked streaming: pass `state` (the previous chunk's carried state, or
+    None at stream start), `base` (this chunk's absolute start clock, int32
+    range) and `return_state=True`; outputs are bit-identical to one
+    monolithic pass over the concatenated chunks."""
+    import jax.numpy as jnp
+
+    b, t = value.shape
+    assert b % LANES == 0 and t % TILE == 0
+    # wider tiles amortize the serial per-step latency over more streams:
+    # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
+    # the bottleneck, not VPU throughput); sub=32 exceeds VMEM (rings scale
+    # with sub) and fails to compile.  sub=8 remains for 1024-stream batches.
+    if b % 4096 == 0:
+        sub = 32
+    elif b % 2048 == 0:
+        sub = 16
+    else:
+        sub = 8
+    lanes = 128 * sub
+    g = b // lanes
+    vt = (
+        jnp.asarray(value, jnp.float32)
+        .reshape(g, sub, 128, t)
+        .transpose(0, 3, 1, 2)
+    )
+    if state is None:
+        state = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
+    base_arr = jnp.asarray([base], jnp.int32)
+    mp = tuple(np.float32(m) for m in mask_params)
+    outs = _jitted(params, mp, g, t, sub)(base_arr, vt, state)
+    state_out = outs[-1]
+    res = {}
+    for name, o in zip(OUTPUT_NAMES, outs[:-1]):
+        res[name] = o if native_layout else o.transpose(0, 2, 3, 1).reshape(b, t)
+    if return_state:
+        return res, state_out
+    return res
+
+
+def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
+                          mask_params=(0.01, 0.75, 0.10, 0.50, 0.50)):
+    """Generator: feed [B, T] through the kernel in `chunk`-sample slices
+    with carried ring state, yielding (offset, outputs) per chunk.  Device
+    memory is bounded by one chunk's outputs; the concatenated outputs are
+    bit-identical to a single monolithic kernel pass (validated on TPU by
+    tools/validate_fused)."""
+    import jax.numpy as jnp
+
+    b, t = value.shape
+    assert chunk % TILE == 0
+    value = jnp.asarray(value, jnp.float32)
+    state = None
+    for off in range(0, t, chunk):
+        end = min(off + chunk, t)
+        if (end - off) % TILE:
+            raise ValueError("stream length must be a multiple of TILE")
+        res, state = fused_frontend(
+            value[:, off:end], params, native_layout=native_layout,
+            mask_params=mask_params, state=state, base=off,
+            return_state=True,
+        )
+        yield off, res
