@@ -25,9 +25,8 @@ def main():
     else:
         mod = importlib.import_module("nfclab.dsp.pallas.fused_frontend")
 
-    for batch in ([4096, 2048] if which == "v2" else [2048]):
-        k = 8 if batch == 4096 else 16
-        chunk = 65536
+    for batch, k, chunk in ([(4096, 16, 16384), (4096, 8, 32768)]
+                            if which == "v2" else [(2048, 16, 65536)]):
         x1 = (rng.random((batch, chunk), dtype=np.float32) * 0.4).astype(np.float32)
         dev1 = jax.device_put(x1)
 

@@ -47,7 +47,7 @@ import functools
 import numpy as np
 
 LANES = 1024
-TILE = 64
+TILE = 32
 UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
 
 # 10 MS/s window set
@@ -355,7 +355,7 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
             kernel,
             grid=(g, n_t),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=116 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024
             ),
             in_specs=[base_spec, tile_spec, state_spec],
             out_specs=[tile_spec] * N_OUT + [state_spec],

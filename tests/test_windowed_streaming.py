@@ -109,3 +109,57 @@ def test_windowed_stale_channel_restart(fixture_dir):
     # both halves decoded (2x the fixture's golden frame count)
     want = read_golden_frames(str(fixture_dir / "test_NFC-A_106kbps_001.json"))
     assert len(got_w) == 2 * len(want)
+
+
+def test_fused_extend_matches_lazy(fixture_dir, monkeypatch):
+    """The fused per-feed extension (extend_all -> one nfclab_feed_ext call)
+    must leave every channel entry bit-identical to the lazy per-entry
+    extenders, across irregular feed sizes and window compactions."""
+    from nfclab.dsp.channels import LazyChannels
+
+    samples, info = read_wav(str(fixture_dir / "test_POLL_AB_001.wav"))
+    big = np.tile(samples, 3)
+    W = 1 << 18
+    rng = np.random.default_rng(7)
+    cuts = np.sort(rng.choice(np.arange(1, len(big)), 40, replace=False))
+    blocks = np.split(big, cuts)
+
+    def run(fused):
+        if not fused:
+            # force the no-native fallback branch of extend_all (per-entry
+            # lazy extenders), keeping everything else identical
+            monkeypatch.setattr(
+                LazyChannels,
+                "extend_all",
+                lambda self: [
+                    ent["extend"]()
+                    for ent in list(self._cache.values())
+                    if isinstance(ent, dict) and ent.get("extend") is not None
+                ],
+            )
+        dec = StreamingNfcDecoder(info.sample_rate, window=W, slack=2)
+        frames = []
+        for blk in blocks:
+            frames.extend(dec.feed(blk))
+        frames.extend(dec.finish())
+        if not fused:
+            monkeypatch.undo()
+        chans = {}
+        ch = dec._ctx.channels
+        for key, ent in ch._cache.items():
+            if not isinstance(ent, dict) or ent.get("extend") is None:
+                continue
+            if ent.get("kind") == "idx":
+                chans[key] = ent["idx"][: ent["idx_n"]].copy()
+            else:
+                chans[key] = ent["arr"][: ent["n"] - ch.base].copy()
+        return frames, chans, dec.base
+
+    frames_f, chans_f, base_f = run(fused=True)
+    frames_l, chans_l, base_l = run(fused=False)
+
+    assert base_f == base_l and base_f > 0  # compactions happened
+    assert frames_f == frames_l
+    assert set(chans_f) == set(chans_l)
+    for key in chans_f:
+        assert np.array_equal(chans_f[key], chans_l[key]), key
