@@ -57,11 +57,34 @@ def main(argv=None) -> int:
     ap.add_argument("--no-carrier", action="store_true")
     ap.add_argument("--json", action="store_true", help="JSON export")
     ap.add_argument("--tree", action="store_true", help="include detail trees")
+    ap.add_argument(
+        "--html",
+        metavar="PATH",
+        help="write a standalone HTML report (frame table + protocol "
+        "trees + wave strips from TRZ render streams)",
+    )
     args = ap.parse_args(argv)
 
-    frames = _load_frames(args.path)
+    signals = []
+    if args.path and args.path.endswith(".trz"):
+        from ..io.trz import read_trace
+
+        frames, signals = read_trace(args.path)
+    else:
+        frames = _load_frames(args.path)
     if args.no_carrier:
         frames = [f for f in frames if f.frame_type not in _CARRIER_TYPES]
+
+    if args.html:
+        from .html_report import render_html
+
+        page = render_html(
+            frames, signals, title=args.path or "nfclab trace"
+        )
+        with open(args.html, "w", encoding="utf-8") as fh:
+            fh.write(page)
+        print(f"wrote {args.html}")
+        return 0
 
     if args.json:
         out = annotate_frames(frames)
