@@ -3,7 +3,7 @@
 Measures the full TPU hot path (fused Pallas conditioning scan + every
 correlator channel + all-tech detect masks — everything the host symbol walk
 consumes) on one chip, in the production carried-state streaming mode:
-one jit dispatch runs a lax.scan over K consecutive 2048-stream x 65536-sample
+one jit dispatch chains K consecutive 2048-stream x 65536-sample
 chunks, threading the kernel's ring/carry state between chunks exactly as
 `fused_frontend_stream` does (outputs are bit-identical to one monolithic
 pass; validated by tools/validate_fused).  Four distinct input buffers are
@@ -50,7 +50,7 @@ def main():
 
     from nfclab.core.params import SignalParams
     from nfclab.dsp.frontend import _params_tuple
-    from nfclab.dsp.pallas.fused_frontend import NSTATE, fused_frontend
+    from nfclab.dsp.pallas.fused_frontend import fused_frontend
 
     params = SignalParams(10_000_000)
     pt = _params_tuple(params)
@@ -58,42 +58,40 @@ def main():
         float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50,
     )
 
-    def scan_stream(x_all):  # [DISTINCT, BATCH, CHUNK]
-        g, sub = BATCH // 2048, 16
-        state0 = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
-
-        def step(carry, i):
-            state, total = carry
-            x = jax.lax.dynamic_index_in_dim(
-                x_all, jax.lax.rem(i, DISTINCT), keepdims=False
-            )
+    # unrolled chunk chain with STATIC input selection: a lax.scan over a
+    # stacked input would pay a 512 MB dynamic-slice copy per chunk (~20%
+    # of wall time); passing the distinct buffers as separate args lets
+    # XLA feed the kernel in place
+    def chain_stream(*bufs):
+        state = None
+        total = jnp.float32(0.0)
+        for i in range(K):
             res, state = fused_frontend(
-                x, pt, native_layout=True, mask_params=mp,
+                bufs[i % DISTINCT], pt, native_layout=True, mask_params=mp,
                 state=state, base=i * CHUNK, return_state=True,
             )
             # one scalar per output forces full execution of every chunk
             total = total + sum(jnp.sum(v[:, -1]) for v in res.values())
-            return (state, total), 0
-
-        (_, total), _ = jax.lax.scan(
-            step, (state0, jnp.float32(0.0)), jnp.arange(K, dtype=jnp.int32)
-        )
         return total
 
-    red = jax.jit(scan_stream)
+    red = jax.jit(chain_stream)
 
     rng = np.random.default_rng(0)
-    blocks = (
-        rng.random((DISTINCT, BATCH, CHUNK), dtype=np.float32) * 0.4
-    ).astype(np.float32)
-    dev = jax.device_put(blocks)
+    devs = [
+        jax.device_put(
+            (rng.random((BATCH, CHUNK), dtype=np.float32) * 0.4).astype(
+                np.float32
+            )
+        )
+        for _ in range(DISTINCT)
+    ]
 
-    float(red(dev))  # warmup / compile
+    float(red(*devs))  # warmup / compile
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        float(red(dev))
+        float(red(*devs))
     dt = (time.perf_counter() - t0) / reps
 
     rate = K * BATCH * CHUNK / dt
