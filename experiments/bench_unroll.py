@@ -16,7 +16,7 @@ def main():
 
     pt = _params_tuple(SignalParams(10_000_000))
     mp = (0.01, 0.75, 0.10, 0.50, 0.50)
-    BATCH, CHUNK, K, DISTINCT = 2048, 65536, 16, 4
+    BATCH, CHUNK, K, DISTINCT = 2048, 65536, 32, 4
     rng = np.random.default_rng(0)
     xs = [
         jax.device_put((rng.random((BATCH, CHUNK), dtype=np.float32) * 0.4)

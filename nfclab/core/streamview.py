@@ -70,3 +70,51 @@ def as_f32_ptr(x):
 def stream_len(x) -> int:
     """Absolute stream length for ndarray or StreamView."""
     return len(x)
+
+
+class DerivedView:
+    """On-the-fly derived listen channel over a box channel — the dense
+    equivalents (s0q_t / pb4_t / vq_t) materialized one f32 op per read
+    instead of one array per feed:
+
+        view[t] = src[t - oa] - src[t - ob]   (ob is not None)
+        view[t] = src[t - oa]                 (ob is None; delayed copy)
+        view[t] = 0.0                         (t < lo: warm-up window)
+
+    Bit-exact with the dense builders (same single f32 subtract on the same
+    f32 box values).  `src` is an ndarray (batch path) or StreamView
+    (windowed path); native FSMs receive the raw box pointer plus
+    (oa, ob, lo) and inline the same expression (fsm_common.h)."""
+
+    __slots__ = ("src", "oa", "ob", "lo")
+
+    def __init__(self, src, oa: int, ob: int | None, lo: int):
+        self.src = src
+        self.oa = oa
+        self.ob = ob
+        self.lo = lo
+
+    def __len__(self) -> int:
+        return stream_len(self.src)
+
+    def __getitem__(self, i):
+        src, oa, ob, lo = self.src, self.oa, self.ob, self.lo
+        if isinstance(i, slice):
+            t0 = 0 if i.start is None else i.start
+            t1 = len(self) if i.stop is None else i.stop
+            if i.step not in (None, 1):
+                raise IndexError("DerivedView slices must be contiguous")
+            t1 = max(t0, t1)
+            z = min(max(t0, lo), t1)
+            out = np.zeros(t1 - t0, np.float32)
+            if z < t1:
+                a = src[z - oa : t1 - oa]
+                out[z - t0 :] = a if ob is None else a - src[z - ob : t1 - ob]
+            return out
+        if i < lo:
+            return _F32_ZERO
+        a = src[i - oa]
+        return a if ob is None else a - src[i - ob]
+
+
+_F32_ZERO = np.float32(0.0)

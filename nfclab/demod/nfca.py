@@ -491,11 +491,12 @@ class NfcATech:
         have_start = 1 if self.frame.frame_start else 0
 
         if br.rate_type == nfc.R106K:
-            s0q = ctx.channels.corr_s0_dense(br)
-            bq = ctx.channels.box_sq(br.period2)
+            s0q = ctx.channels.corr_s0_dense(br)  # DerivedView over bq
             code = lib.nfclab_a_listen_ask_frame(
-                nw._ptr_f32(s0q),
-                nw._ptr_f32(bq),
+                nw._ptr_f32(s0q.src),
+                ctypes.c_int64(s0q.oa),
+                ctypes.c_int64(s0q.ob),
+                ctypes.c_int64(s0q.lo),
                 nw._ptr_f32(ctx.cond.mod_depth),
                 nw._ptr_f32(ctx.cond.deviation),
                 ctypes.c_int64(ctx.n),
@@ -514,10 +515,11 @@ class NfcATech:
             )
             bpsk = False
         else:
-            pb4 = ctx.channels.bpsk_dense(br)
+            pb4 = ctx.channels.bpsk_dense(br)  # DerivedView over bp
             c_io = np.array([float(self._bpsk_c)], np.float64)
             code = lib.nfclab_a_listen_bpsk_frame(
-                nw._ptr_f32(pb4),
+                nw._ptr_f32(pb4.src),
+                ctypes.c_int64(pb4.oa),
                 nw._ptr_f32(ctx.cond.mod_depth),
                 nw._ptr_f32(ctx.cond.deviation),
                 ctypes.c_int64(ctx.n),

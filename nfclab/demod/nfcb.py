@@ -450,10 +450,11 @@ class NfcBTech:
             ],
             np.int32,
         )
-        pb4 = ctx.channels.bpsk_dense(br)
+        pb4 = ctx.channels.bpsk_dense(br)  # DerivedView: bp box + delay
 
         code = lib.nfclab_b_listen_frame(
-            nw._ptr_f32(pb4),
+            nw._ptr_f32(pb4.src),
+            ctypes.c_int64(pb4.oa),
             nw._ptr_f32(ctx.cond.mod_depth),
             nw._ptr_f32(ctx.cond.deviation),
             ctypes.c_int64(ctx.n),

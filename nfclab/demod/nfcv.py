@@ -467,10 +467,13 @@ class NfcVTech:
             [self.sof_s1_min, self.sof_s1_max, self.sof_s2_min, self.sof_s2_max],
             np.int32,
         )
-        s0q = ctx.channels.nfcv_listen_dense(self.bitrate)
+        s0q = ctx.channels.nfcv_listen_dense(self.bitrate)  # DerivedView
 
         code = lib.nfclab_v_listen_frame(
-            nw._ptr_f32(s0q),
+            nw._ptr_f32(s0q.src),
+            ctypes.c_int64(s0q.oa),
+            ctypes.c_int64(s0q.ob),
+            ctypes.c_int64(s0q.lo),
             nw._ptr_f32(ctx.cond.mod_depth),
             nw._ptr_f32(ctx.cond.deviation),
             ctypes.c_int64(ctx.n),

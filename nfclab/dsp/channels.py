@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.streamview import DerivedView
+
 # reference ring size; detect event masks start at this clock
 # (NfcA.cpp:220-221 and equivalents; mirrors demod.common.BUFFER_SIZE)
 _WARMUP = 1024
@@ -217,13 +219,6 @@ class LazyChannels:
                     self._plan = None
                     return self.extend_all()
                 s = ent["n"]
-                if cls == "derived" and base and s < base + 4096:
-                    # stale across window shifts: restart from the new base
-                    # (same rule as _derived)
-                    h = min(base + 4096, n)
-                    if s < h:
-                        ent["arr"][: h - base] = 0.0
-                        ent["n"] = s = h
             jobs[i].start = s
             jobs[i].count = 0
             if s < n:
@@ -255,16 +250,13 @@ class LazyChannels:
         base = self.base
         n = self.n
 
-        boxes, derived, idxs, py = [], [], [], []
+        boxes, idxs, py = [], [], []
         for key, ent in list(self._cache.items()):
             if not isinstance(ent, dict) or ent.get("extend") is None:
                 continue
             kind = ent.get("kind")
             if kind == "box":
                 boxes.append(key)
-            elif kind == "derived" and ent.get("fx") is not None \
-                    and self._cache.get(ent["fx"][1]) is not None:
-                derived.append(key)
             elif kind == "idx" and ent.get("fx") is not None:
                 fx = ent["fx"]
                 if fx[0] == "sd" and self._cache.get(fx[1]) is None:
@@ -276,10 +268,10 @@ class LazyChannels:
 
         # ensure output capacities BEFORE capturing any pointer (growth
         # reallocates)
-        for key in boxes + derived:
+        for key in boxes:
             self._entry(key)
 
-        k = len(boxes) + len(derived) + len(idxs)
+        k = len(boxes) + len(idxs)
         jobs = (NfcFeedJob * k)()
         metas, caps, offs = [], [], []
 
@@ -299,21 +291,6 @@ class LazyChannels:
             j.out = vp_f32(ent["arr"])
             j.acc = ent["acc"].ctypes.data_as(f64p)
             metas.append(("box", ent))
-            caps.append(0)
-            offs.append(0)
-            i += 1
-        for key in derived:
-            ent = self._cache[key]
-            op, src_key, oa, ob, lo = ent["fx"]
-            src = self._cache[src_key]
-            j = jobs[i]
-            j.kind = nb.FX_D_SUB if op == "sub" else nb.FX_D_COPY
-            j.oa = oa
-            j.ob = ob
-            j.lo = lo
-            j.in_ = vp_f32(src["arr"])
-            j.out = vp_f32(ent["arr"])
-            metas.append(("derived", ent))
             caps.append(0)
             offs.append(0)
             i += 1
@@ -489,93 +466,38 @@ class LazyChannels:
         return self._box_chan(("bp", p1, p4), "bpsk", p4, lag=p1)
 
     # ------------------------------------------------------- derived channels
+    #
+    # The listen channels (s0q/pb4/vq) are pure per-clock expressions over a
+    # box channel; they used to be materialized as dense per-feed arrays
+    # (~32 B/sample of extra write traffic and page-fault footprint).  They
+    # are now DerivedViews computing the same single f32 op on read — the
+    # native FSMs receive the raw box pointer plus (oa, ob, lo) and inline
+    # the identical expression (fsm_common.h fsm_derived_*).
 
-    def _derived(self, key, build_tail, fx=None):
-        """Dense channel derived elementwise from box channels; build_tail
-        (arr, start, n) fills absolute clocks [start, n) through a
-        StreamView (values are position-pure, so tail recompute equals full
-        recompute).  build_tail must re-fetch its source channels itself so
-        the stored extender never sees stale views.  fx = ("sub"|"copy",
-        src_key, oa, ob, lo) describes the same computation declaratively for
-        the fused per-feed extender (extend_all)."""
-        from ..core.streamview import StreamView
-
-        ent = self._entry(key)
-        if ent["extend"] is None:
-            ent["kind"] = "derived"
-            ent["fx"] = fx
-            ent["extend"] = lambda: self._derived(key, build_tail, fx)
-        n = self.n
-        if self.base and ent["n"] < self.base + 4096:
-            # entry went stale across window shifts (not accessed while the
-            # base advanced): restart from the new base — the tail would
-            # otherwise read its source channels below the window (shifts up
-            # to d+gap < 4096 behind the fill start).  Values are
-            # position-pure; the zeroed head below base+margin is never read
-            # (decode reads stay within the walker's window).
-            head = min(self.base + 4096, n)
-            if ent["n"] < head:
-                ent["arr"][: head - self.base] = 0.0
-                ent["n"] = head
-        if ent["n"] < n:
-            build_tail(StreamView(ent["arr"], self.base), ent["n"], n)
-            ent["n"] = n
-        return self._ret(ent)
-
-    def corr_s0_dense(self, br) -> np.ndarray:
-        """Dense listen-ASK S0(t) by decoder clock: S0 = Bq(t-d) - Bq(t-d-(p1-p2))
-        with Bq the squared-filtered box channel (NfcA.cpp:963-973).  Zero below
-        the first clock with a full window history."""
+    def corr_s0_dense(self, br):
+        """Listen-ASK S0(t) by decoder clock: S0 = Bq(t-d) - Bq(t-d-(p1-p2))
+        with Bq the squared-filtered box channel (NfcA.cpp:963-973); zero
+        below the first clock with a full window history.  Returned as an
+        on-the-fly DerivedView over the box channel (one f32 subtract per
+        read — same op, same operands as the former dense array)."""
         d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
-        lo = d + p1
         gap = p1 - p2
+        return DerivedView(self.box_sq(p2), d, d + gap, d + p1)
 
-        def tail(arr, start, n):
-            bq = self.box_sq(p2)
-            s = max(start, lo)
-            arr[start:s] = 0.0
-            arr[s:n] = bq[s - d : n - d] - bq[s - d - gap : n - d - gap]
-
-        key = ("s0q_t", br.tech_type, br.rate_type)
-        if key not in self._cache:
-            self.box_sq(p2)  # fused-plan source must exist first
-        return self._derived(key, tail, fx=("sub", ("bq", p2), d, d + gap, lo))
-
-    def bpsk_dense(self, br) -> np.ndarray:
-        """Dense BPSK phase window PB4 by decoder clock: PB4(t) indexed so that
-        phaseIntegrate(t) = PB4[t] - PB4[guardEnd-1] (NfcA.cpp:1243-1266)."""
+    def bpsk_dense(self, br):
+        """BPSK phase window PB4 by decoder clock: PB4(t) indexed so that
+        phaseIntegrate(t) = PB4[t] - PB4[guardEnd-1] (NfcA.cpp:1243-1266) —
+        a delayed view of the product box channel."""
         d = br.symbol_delay_detect
-        p1, p4 = br.period1, br.period4
+        return DerivedView(self.box_bpsk(br.period1, br.period4), d, None, d)
 
-        def tail(arr, start, n):
-            pb = self.box_bpsk(p1, p4)
-            s = max(start, d)
-            arr[start:s] = 0.0
-            arr[s:n] = pb[s - d : n - d]
-
-        key = ("pb4_t", br.tech_type, br.rate_type)
-        if key not in self._cache:
-            self.box_bpsk(p1, p4)
-        return self._derived(key, tail, fx=("copy", ("bp", p1, p4), d, 0, d))
-
-    def nfcv_listen_dense(self, br) -> np.ndarray:
+    def nfcv_listen_dense(self, br):
         """NFC-V listen channel by decoder clock (NfcV.cpp:825-835): the
         squared-filtered signal box-summed over a FULL symbol (p1) in a
         p0-cycle ring, so S0(t) = B1q(t-d-(p0-p1)) - B1q(t-d)."""
         d, p0, p1 = br.symbol_delay_detect, br.period0, br.period1
-        lo = d + p0
         gap = p0 - p1
-
-        def tail(arr, start, n):
-            b1q = self.box_sq(p1)
-            s = max(start, lo)
-            arr[start:s] = 0.0
-            arr[s:n] = b1q[s - d - gap : n - d - gap] - b1q[s - d : n - d]
-
-        key = ("vq_t", br.rate_type)
-        if key not in self._cache:
-            self.box_sq(p1)
-        return self._derived(key, tail, fx=("sub", ("bq", p1), d + gap, d, lo))
+        return DerivedView(self.box_sq(p1), d + gap, d, d + p0)
 
     # --------------------------------------------- fused detect SD + indices
 

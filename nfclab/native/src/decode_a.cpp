@@ -33,9 +33,10 @@ enum {
 
 struct ADecode {
     const float *box;      // poll box-value channel (sample-time indexed)
-    const float *s0q;      // listen ASK SoF channel (clock indexed)
     const float *bq;       // listen ASK squared box channel (sample indexed)
-    const float *pb4;      // BPSK phase channel (clock indexed)
+    const float *bp;       // BPSK product box channel (sample indexed)
+    int64_t s_oa, s_ob, s_lo;  // s0q[t] = bq[t-s_oa] - bq[t-s_ob], 0 < s_lo
+    int64_t p_d;               // pb4[t] = bp[t-p_d], 0 below p_d
     const float *mdepth;
     const float *deviation;
     int64_t n;
@@ -146,7 +147,7 @@ int listen_start_ask(ADecode &D, int64_t &t)
         if (D.mdepth[t] > D.min_deep)
             return A_NOPATTERN;
 
-        const float s0 = D.s0q[t];
+        const float s0 = fsm_derived_sub(D.bq, t, D.s_oa, D.s_ob, D.s_lo);
         if (m[M_SYM_START] == 0.0) {
             if (s0 > (float)m[M_VALUE_THR] && s0 > (float)m[M_CORR_PEAK_V]) {
                 m[M_CORR_PEAK_V] = s0;
@@ -299,14 +300,14 @@ int listen_start_bpsk(ADecode &D, int64_t &t)
         if (t == D.guard_end) {
             m[M_VALUE_THR] = (double)D.deviation[t - d];
             // phase integration telescopes to PB4(t) - PB4(guardEnd-1)
-            D.bpsk_c = (double)D.pb4[t - 1];
+            D.bpsk_c = (double)fsm_derived_at(D.bp, t - 1, D.p_d);
         }
         if (t > D.waiting_end)
             return A_NOPATTERN;
         if (D.mdepth[t] > D.min_deep)
             return A_NOPATTERN;
 
-        const float phase = D.pb4[t] - (float)D.bpsk_c;
+        const float phase = fsm_derived_at(D.bp, t, D.p_d) - (float)D.bpsk_c;
 
         if (phase > (float)m[M_VALUE_THR]) {
             if (m[M_SYM_START] == 0.0)
@@ -356,7 +357,7 @@ int listen_symbol_bpsk(ADecode &D, int64_t &t)
 
     while (t + 1 < D.n) {
         t += 1;
-        const float phase = D.pb4[t] - (float)D.bpsk_c;
+        const float phase = fsm_derived_at(D.bp, t, D.p_d) - (float)D.bpsk_c;
 
         if (m[M_DET_PEAK_T] == 0.0) {
             if ((phase > 0.0f && (float)m[M_LAST_PHASE] < 0.0f) ||
@@ -409,7 +410,7 @@ int32_t nfclab_a_poll_frame(
     int64_t max_frame_size,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    ADecode D {box, nullptr, nullptr, nullptr, nullptr, nullptr,
+    ADecode D {box, nullptr, nullptr, 0, 0, 0, 0, nullptr, nullptr,
                n, par, mod, sym, 0, 0, 0.0f, 0, 0.0};
     int64_t t = *t_io;
 
@@ -475,14 +476,15 @@ int32_t nfclab_a_poll_frame(
 // then resets modulation), R_FRAME_SEARCH (spurious SoF; caller applies
 // reset_frame_search), R_NO_PATTERN, R_RESET, or R_END_OF_SIGNAL.
 int32_t nfclab_a_listen_ask_frame(
-    const float *s0q, const float *bq, const float *mdepth,
+    const float *bq, int64_t s_oa, int64_t s_ob, int64_t s_lo,
+    const float *mdepth,
     const float *deviation, int64_t n,
     const int32_t *par, double *mod, double *sym,
     int64_t guard_end, int64_t waiting_end,
     float min_deep, int64_t max_frame_size, int32_t have_start,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    ADecode D {nullptr, s0q, bq, nullptr, mdepth, deviation,
+    ADecode D {nullptr, bq, nullptr, s_oa, s_ob, s_lo, 0, mdepth, deviation,
                n, par, mod, sym, guard_end, waiting_end, min_deep, 0, 0.0};
     int64_t t = *t_io;
 
@@ -548,14 +550,15 @@ int32_t nfclab_a_listen_ask_frame(
 // Returns R_FRAME, R_RESET (both: caller resets modulation), R_NO_PATTERN,
 // or R_END_OF_SIGNAL.
 int32_t nfclab_a_listen_bpsk_frame(
-    const float *pb4, const float *mdepth, const float *deviation, int64_t n,
+    const float *bp, int64_t p_d,
+    const float *mdepth, const float *deviation, int64_t n,
     const int32_t *par, double *mod, double *sym,
     int64_t guard_end, int64_t waiting_end,
     float min_deep, int32_t etu, int64_t max_frame_size, int32_t have_start,
     double *bpsk_c_io,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    ADecode D {nullptr, nullptr, nullptr, pb4, mdepth, deviation,
+    ADecode D {nullptr, nullptr, bp, 0, 0, 0, p_d, mdepth, deviation,
                n, par, mod, sym, guard_end, waiting_end, min_deep, etu,
                *bpsk_c_io};
     int64_t t = *t_io;

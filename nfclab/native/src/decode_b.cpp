@@ -31,7 +31,8 @@ enum { B_MODE_TR1 = 0, B_MODE_SOS_S1 = 1, B_MODE_SOS_S2 = 2 };
 
 struct BDecode {
     const float *filt;     // DC-removed signal (sample-time indexed)
-    const float *pb4;      // BPSK phase channel (clock indexed, no constant)
+    const float *bp;       // BPSK product box channel (sample indexed)
+    int64_t p_d;           // pb4[t] = bp[t-p_d], 0 below p_d (clock indexed)
     const float *mdepth;
     const float *deviation;
     int64_t n;
@@ -147,7 +148,7 @@ int listen_start_bpsk(BDecode &D, int64_t &t)
             continue;
         }
 
-        const float phase = D.pb4[t];
+        const float phase = fsm_derived_at(D.bp, t, D.p_d);
 
         if (phase > (float)m[M_VALUE_THR]) {
             if (m[M_SYM_START] == 0.0)
@@ -160,7 +161,7 @@ int listen_start_bpsk(BDecode &D, int64_t &t)
                 limit = D.n;
             int64_t nt = -1;
             for (int64_t k = t + 1; k < limit; k++) {
-                if (D.pb4[k] > (float)m[M_VALUE_THR] ||
+                if (fsm_derived_at(D.bp, k, D.p_d) > (float)m[M_VALUE_THR] ||
                     D.mdepth[k] > D.max_deep) {
                     nt = k;
                     break;
@@ -247,7 +248,7 @@ int listen_symbol_bpsk(BDecode &D, int64_t &t)
 
     while (t + 1 < D.n) {
         t += 1;
-        const float phase = D.pb4[t];
+        const float phase = fsm_derived_at(D.bp, t, D.p_d);
 
         if (m[M_DET_PEAK_T] == 0.0) {
             if ((phase > 0.0f && (float)m[M_LAST_PHASE] < 0.0f) ||
@@ -300,7 +301,7 @@ int32_t nfclab_b_poll_frame(
     float min_deep, int64_t max_frame_size,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    BDecode D {filt, nullptr, mdepth, nullptr, n, par, mod, sym,
+    BDecode D {filt, nullptr, 0, mdepth, nullptr, n, par, mod, sym,
                0, 0, min_deep, 0.0f, nullptr};
     int64_t t = *t_io;
 
@@ -363,14 +364,15 @@ int32_t nfclab_b_poll_frame(
 // Returns R_FRAME / R_RESET (caller resets modulation), R_NO_PATTERN,
 // or R_END_OF_SIGNAL.
 int32_t nfclab_b_listen_frame(
-    const float *pb4, const float *mdepth, const float *deviation, int64_t n,
+    const float *bp, int64_t p_d,
+    const float *mdepth, const float *deviation, int64_t n,
     const int32_t *par, double *mod, double *sym,
     const int32_t *sos_bounds,
     int64_t guard_end, int64_t waiting_end,
     float max_deep, int64_t max_frame_size, int32_t have_start,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    BDecode D {nullptr, pb4, mdepth, deviation, n, par, mod, sym,
+    BDecode D {nullptr, bp, p_d, mdepth, deviation, n, par, mod, sym,
                guard_end, waiting_end, 0.0f, max_deep, sos_bounds};
     int64_t t = *t_io;
 

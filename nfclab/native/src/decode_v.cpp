@@ -28,7 +28,8 @@ enum {
 
 struct VDecode {
     const float *box;      // box_value(p2); poll SD computed on the fly
-    const float *s0q;      // listen channel
+    const float *bq;       // box_sq(p1); listen s0 computed on the fly
+    int64_t s_oa, s_ob, s_lo;  // s0q[t] = bq[t-s_oa] - bq[t-s_ob], 0 < s_lo
     const float *mdepth;
     const float *deviation;
     int64_t n;
@@ -144,7 +145,7 @@ int listen_start_ask(VDecode &D, int64_t &t)
             continue;
         }
 
-        const float s0 = D.s0q[t];
+        const float s0 = fsm_derived_sub(D.bq, t, D.s_oa, D.s_ob, D.s_lo);
         const float thr = (float)m[M_VALUE_THR];
 
         if (s0 < -thr && s0 < (float)m[M_CORR_PEAK_V]) {
@@ -234,7 +235,7 @@ int listen_symbol_ask(VDecode &D, int64_t &t)
             t = (int64_t)m[M_SEARCH_START] - 1;
             continue;
         }
-        const float s0 = D.s0q[t];
+        const float s0 = fsm_derived_sub(D.bq, t, D.s_oa, D.s_ob, D.s_lo);
         const float sd_val = std::fabs(s0);
 
         if (sd_val > (float)m[M_VALUE_THR] &&
@@ -314,7 +315,7 @@ int32_t nfclab_v_poll_frame(
     const int32_t *slot_end, int64_t max_frame_size,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    VDecode D {box_arr, nullptr, nullptr, nullptr, n, par, mod, sym,
+    VDecode D {box_arr, nullptr, 0, 0, 0, nullptr, nullptr, n, par, mod, sym,
                pulse_bits, pulse_length, periods, slot_end,
                0, 0, nullptr, 0.0f};
     int64_t t = *t_io;
@@ -339,14 +340,16 @@ int32_t nfclab_v_poll_frame(
 // aux out: [0] = truncated, [1] = frame_end, [2] = frame_start,
 //          [3] = 1 if SOF was found this call.
 int32_t nfclab_v_listen_frame(
-    const float *s0q, const float *mdepth, const float *deviation, int64_t n,
+    const float *bq, int64_t s_oa, int64_t s_ob, int64_t s_lo,
+    const float *mdepth, const float *deviation, int64_t n,
     const int32_t *par, double *mod, double *sym,
     const int32_t *sof_bounds,
     int64_t guard_end, int64_t waiting_end,
     float max_deep, int64_t max_frame_size, int32_t have_start,
     int64_t *t_io, int64_t *stream, uint8_t *buf, int64_t *aux)
 {
-    VDecode D {nullptr, s0q, mdepth, deviation, n, par, mod, sym,
+    VDecode D {nullptr, bq, s_oa, s_ob, s_lo, mdepth, deviation,
+               n, par, mod, sym,
                0, 0, 0, nullptr,
                guard_end, waiting_end, sof_bounds, max_deep};
     int64_t t = *t_io;

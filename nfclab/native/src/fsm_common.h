@@ -113,4 +113,22 @@ inline bool fsm_check_parity(uint64_t value, uint64_t parity)
     return parity != 0;
 }
 
+// On-the-fly derived listen channels (mirror core/streamview.DerivedView):
+// the dense s0q_t/pb4_t/vq_t arrays are pure per-clock expressions over a
+// box channel, so FSMs compute them inline — one f32 op, bit-identical to
+// the former dense builders (same operands, same single subtract).
+
+// sub: out[t] = bq[t - oa] - bq[t - ob], zero below lo
+inline float fsm_derived_sub(const float *bq, int64_t t, int64_t oa,
+                             int64_t ob, int64_t lo)
+{
+    return (t < lo) ? 0.0f : bq[t - oa] - bq[t - ob];
+}
+
+// delayed copy: out[t] = bp[t - d], zero below d
+inline float fsm_derived_at(const float *bp, int64_t t, int64_t d)
+{
+    return (t < d) ? 0.0f : bp[t - d];
+}
+
 #endif
