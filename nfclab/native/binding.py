@@ -75,10 +75,9 @@ class NfcFeedJob(ctypes.Structure):
 
 # job kind codes (channels.cpp FX_* enum)
 FX_BOX_SUM, FX_BOX_SQ, FX_BOX_BPSK = 0, 1, 2
-FX_D_SUB, FX_D_COPY = 3, 4
-FX_IDX_SD_AF, FX_IDX_SD_V, FX_IDX_EDGE_B = 5, 6, 7
-FX_IDX_GT, FX_IDX_GE, FX_IDX_LT = 8, 9, 10
-FX_X_GT, FX_X_GE, FX_X_LT = 11, 12, 13
+FX_IDX_SD_AF, FX_IDX_SD_V, FX_IDX_EDGE_B = 3, 4, 5
+FX_IDX_GT, FX_IDX_GE, FX_IDX_LT = 6, 7, 8
+FX_X_GT, FX_X_GE, FX_X_LT = 9, 10, 11
 
 # cond-source selector order (channels.cpp nfclab_feed_ext srcs[])
 FX_SRC = {"value": 0, "envelope": 1, "filtered": 2, "mod_depth": 3,

@@ -348,9 +348,8 @@ int64_t nfclab_collect_lt(const float *x, int64_t n, float thr,
 // ---- fused per-feed extension ---------------------------------------------
 //
 // One call extends EVERY registered channel entry over the newly conditioned
-// samples: box running sums first (interleaved single pass over value/
-// filtered), then derived elementwise channels (reading the just-written
-// boxes), then index scans.  Per-channel math is expression-identical to the
+// samples: box running sums first, then index scans (the former derived
+// channels are now computed on the fly by the FSMs — fsm_common.h).  Per-channel math is expression-identical to the
 // single-channel kernels above, so the arrays/index sets stay bit-identical
 // to the lazy per-channel extension path (and to a fresh full-stream pass).
 //
@@ -380,10 +379,9 @@ struct NfcFeedJob {
 
 enum {
     FX_BOX_SUM = 0, FX_BOX_SQ = 1, FX_BOX_BPSK = 2,
-    FX_D_SUB = 3, FX_D_COPY = 4,
-    FX_IDX_SD_AF = 5, FX_IDX_SD_V = 6, FX_IDX_EDGE_B = 7,
-    FX_IDX_GT = 8, FX_IDX_GE = 9, FX_IDX_LT = 10,
-    FX_X_GT = 11, FX_X_GE = 12, FX_X_LT = 13,
+    FX_IDX_SD_AF = 3, FX_IDX_SD_V = 4, FX_IDX_EDGE_B = 5,
+    FX_IDX_GT = 6, FX_IDX_GE = 7, FX_IDX_LT = 8,
+    FX_X_GT = 9, FX_X_GE = 10, FX_X_LT = 11,
 };
 
 void nfclab_feed_ext(const float *value, const float *filt, const float *env,
@@ -414,31 +412,7 @@ void nfclab_feed_ext(const float *value, const float *filt, const float *env,
         }
     }
 
-    // phase 2: derived elementwise channels (read the boxes just written)
-    for (int32_t j = 0; j < njobs; j++) {
-        NfcFeedJob &job = jobs[j];
-        if ((job.kind != FX_D_SUB && job.kind != FX_D_COPY) || job.start >= n)
-            continue;
-        const float *__restrict in = job.in;
-        float *__restrict out = job.out;
-        const int64_t s = job.start;
-        int64_t z = job.lo > s ? job.lo : s;
-        if (z > n)
-            z = n;
-        for (int64_t t = s; t < z; t++)
-            out[t] = 0.0f;
-        if (job.kind == FX_D_SUB) {
-            const int64_t oa = job.oa, ob = job.ob;
-            for (int64_t t = z; t < n; t++)
-                out[t] = in[t - oa] - in[t - ob];
-        } else {
-            const int64_t oa = job.oa;
-            for (int64_t t = z; t < n; t++)
-                out[t] = in[t - oa];
-        }
-    }
-
-    // phase 3: index scans (same bodies as the *_ext collectors above)
+    // phase 2: index scans (same bodies as the *_ext collectors above)
     for (int32_t j = 0; j < njobs; j++) {
         NfcFeedJob &job = jobs[j];
         if (job.kind < FX_IDX_SD_AF || job.start >= n) {
