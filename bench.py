@@ -36,7 +36,7 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 
 BATCH = 2048       # streams per chunk (sub=16 tile path)
 CHUNK = 65536      # samples per stream per chunk
-K = 16             # chained chunks per dispatch
+K = 32             # chained chunks per dispatch
 DISTINCT = 4       # distinct input buffers cycled across the scan
 
 
