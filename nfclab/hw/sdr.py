@@ -7,10 +7,12 @@ RadioDevice.h:33-78) as a ``SignalDevice``: the native reader thread pushes
 float blocks through a ctypes callback into a bounded queue that ``read``
 drains.
 
-Drivers: ``loopback`` (synthetic CI stand-in) and ``rtltcp``
-(rtl_tcp network client — 8-bit IQ over TCP, the standard remote RTL-SDR
-transport).  libusb vendor drivers slot into the same table when their
-libraries are present.
+Drivers: ``loopback`` (synthetic CI stand-in), ``rtltcp`` (rtl_tcp network
+client — 8-bit IQ over TCP, the standard remote RTL-SDR transport) and
+``spyserver`` (Airspy SpyServer protocol client — u8/i16/f32 IQ over TCP,
+the standard remote transport for the AirSpy family the reference drives
+locally over USB, AirspyDevice.cpp:42-309).  libusb vendor drivers slot
+into the same table when their libraries are present.
 """
 
 from __future__ import annotations
@@ -188,7 +190,10 @@ def _enumerate_loopback():
 DeviceFactory.register_device(
     "loopback", _enumerate_loopback, lambda ident: NativeSdrDevice(ident)
 )
-# network device: nothing to scan locally; opened explicitly by ident
+# network devices: nothing to scan locally; opened explicitly by ident
 DeviceFactory.register_device(
     "rtltcp", lambda: [], lambda ident: NativeSdrDevice(ident)
+)
+DeviceFactory.register_device(
+    "spyserver", lambda: [], lambda ident: NativeSdrDevice(ident)
 )

@@ -327,11 +327,342 @@ static void rtltcp_close(void *dev)
     delete d;
 }
 
+// --------------------------------------------------------------- spyserver
+//
+// Network client for Airspy's SpyServer protocol (the standard remote
+// transport for AirSpy / AirSpy HF+ / RTL-SDR devices behind an Airspy
+// SpyServer instance; the reference's AirspyDevice covers the same hardware
+// locally over USB, AirspyDevice.cpp:42-309).  Wire format (little-endian
+// throughout; the protocol is defined by the Windows-native SDR# client):
+//
+//   client -> server: CommandHeader { u32 command; u32 body_size; } + body
+//     CMD_HELLO (0): u32 protocol_version + client-name bytes
+//     CMD_SET_SETTING (2): u32 setting + u32 value
+//   server -> client: MessageHeader { u32 protocol_id; u32 message_type;
+//     u32 stream_type; u32 sequence; u32 body_size; } + body
+//     MSG_DEVICE_INFO (0): 12 x u32 (device type/serial/max rate/...)
+//     MSG_CLIENT_SYNC (1): 9 x u32 (can_control/gain/frequencies)
+//     MSG_UINT8_IQ (100) / MSG_INT16_IQ (101) / MSG_FLOAT_IQ (103):
+//       interleaved IQ payload in that sample format
+//
+// The client requests INT16 IQ (SpyServer's full-precision network format
+// for non-premium streams); conversions to float match the reference's
+// integer scaling (RecordDevice.cpp:282-299 family):
+//   u8: (x - 128) / 128, i16: x / 32768, f32: as-is.
+// Sample rate is selected via the decimation-stage setting:
+// rate = max_rate >> stage.
+
+enum {
+    SPY_CMD_HELLO = 0,
+    SPY_CMD_SET_SETTING = 2,
+    SPY_SETTING_STREAMING_MODE = 0,
+    SPY_SETTING_STREAMING_ENABLED = 1,
+    SPY_SETTING_GAIN = 2,
+    SPY_SETTING_IQ_FORMAT = 100,
+    SPY_SETTING_IQ_FREQUENCY = 101,
+    SPY_SETTING_IQ_DECIMATION = 102,
+    SPY_SETTING_IQ_DIGITAL_GAIN = 103,
+    SPY_STREAM_MODE_IQ_ONLY = 1,
+    SPY_FORMAT_UINT8 = 1,
+    SPY_FORMAT_INT16 = 2,
+    SPY_FORMAT_FLOAT = 4,
+    SPY_MSG_DEVICE_INFO = 0,
+    SPY_MSG_CLIENT_SYNC = 1,
+    SPY_MSG_UINT8_IQ = 100,
+    SPY_MSG_INT16_IQ = 101,
+    SPY_MSG_FLOAT_IQ = 103,
+};
+
+static const uint32_t SPY_PROTOCOL_VERSION =
+    (2u << 24) | (0u << 16) | 1700u;  // SpyServer protocol 2.0.1700
+static const uint32_t SPY_MAX_BODY = 1u << 20;
+
+struct SpyServerDevice {
+    int fd = -1;
+    // DeviceInfo
+    uint32_t device_type = 0;
+    uint32_t device_serial = 0;
+    uint32_t max_sample_rate = 0;
+    uint32_t decimation_stages = 0;
+    uint32_t max_gain_index = 0;
+    uint32_t min_iq_decimation = 0;
+    // ClientSync
+    uint32_t can_control = 0;
+    uint32_t initial_gain = 0;
+    // settings
+    double sample_rate = 0;
+    double frequency = 0;
+    double gain = 0;
+    uint32_t decimation = 0;
+    std::atomic<bool> running {false};
+    std::thread worker;
+    int64_t offset = 0;
+};
+
+static int net_connect(const char *ident)
+{
+    // ident: <scheme>://host:port
+    const char *p = strstr(ident, "://");
+    if (!p)
+        return -1;
+    std::string hostport(p + 3);
+    const size_t colon = hostport.rfind(':');
+    if (colon == std::string::npos)
+        return -1;
+    const std::string host = hostport.substr(0, colon);
+    const int port = atoi(hostport.c_str() + colon + 1);
+
+    struct addrinfo hints {};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    struct addrinfo *res = nullptr;
+    char portstr[16];
+    snprintf(portstr, sizeof portstr, "%d", port);
+    if (getaddrinfo(host.c_str(), portstr, &hints, &res) != 0 || !res)
+        return -1;
+    int fd = socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+    if (fd < 0 || connect(fd, res->ai_addr, res->ai_addrlen) != 0) {
+        if (fd >= 0)
+            ::close(fd);
+        freeaddrinfo(res);
+        return -1;
+    }
+    freeaddrinfo(res);
+    struct timeval tv {5, 0};
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+    return fd;
+}
+
+static bool recv_exact(int fd, void *buf, size_t len,
+                       const std::atomic<bool> *alive = nullptr)
+{
+    uint8_t *p = static_cast<uint8_t *>(buf);
+    size_t got = 0;
+    while (got < len) {
+        const ssize_t r = recv(fd, p + got, len - got, 0);
+        if (r == 0)
+            return false;
+        if (r < 0) {
+            if (alive && alive->load())
+                continue;  // timeout while streaming: poll the flag
+            return false;
+        }
+        got += static_cast<size_t>(r);
+    }
+    return true;
+}
+
+static int spy_set_setting(SpyServerDevice *d, uint32_t setting, uint32_t value)
+{
+    uint32_t pkt[4] = {SPY_CMD_SET_SETTING, 8, setting, value};
+    return send(d->fd, pkt, sizeof pkt, 0) == (ssize_t)sizeof pkt ? 0 : -1;
+}
+
+static int spyserver_enumerate(char *out, int out_len)
+{
+    if (out_len > 0)
+        out[0] = '\0';  // network device: opened explicitly by ident
+    return 0;
+}
+
+static void *spyserver_open(const char *ident)
+{
+    const int fd = net_connect(ident);
+    if (fd < 0)
+        return nullptr;
+
+    // HELLO: protocol version + client name
+    static const char name[] = "nfclab";
+    uint32_t hdr[3] = {SPY_CMD_HELLO,
+                       (uint32_t)(4 + sizeof name - 1),
+                       SPY_PROTOCOL_VERSION};
+    if (send(fd, hdr, sizeof hdr, 0) != (ssize_t)sizeof hdr ||
+        send(fd, name, sizeof name - 1, 0) != (ssize_t)(sizeof name - 1)) {
+        ::close(fd);
+        return nullptr;
+    }
+
+    auto *d = new SpyServerDevice();
+    d->fd = fd;
+
+    // the server answers with DEVICE_INFO and CLIENT_SYNC (order not
+    // guaranteed); collect both before returning
+    bool have_info = false, have_sync = false;
+    std::vector<uint8_t> body;
+    for (int i = 0; i < 16 && !(have_info && have_sync); i++) {
+        uint32_t mh[5];
+        if (!recv_exact(fd, mh, sizeof mh))
+            break;
+        const uint32_t mtype = mh[1] & 0xFFFF, blen = mh[4];
+        if (blen > SPY_MAX_BODY)
+            break;
+        body.resize(blen);
+        if (blen && !recv_exact(fd, body.data(), blen))
+            break;
+        if (mtype == SPY_MSG_DEVICE_INFO && blen >= 48) {
+            const uint32_t *v = reinterpret_cast<const uint32_t *>(body.data());
+            d->device_type = v[0];
+            d->device_serial = v[1];
+            d->max_sample_rate = v[2];
+            d->decimation_stages = v[4];
+            d->max_gain_index = v[6];
+            d->min_iq_decimation = v[10];
+            have_info = true;
+        } else if (mtype == SPY_MSG_CLIENT_SYNC && blen >= 8) {
+            const uint32_t *v = reinterpret_cast<const uint32_t *>(body.data());
+            d->can_control = v[0];
+            d->initial_gain = v[1];
+            have_sync = true;
+        }
+        // IQ/FFT messages can't arrive yet (streaming is off); skip others
+    }
+    if (!have_info) {
+        ::close(fd);
+        delete d;
+        return nullptr;
+    }
+    d->sample_rate = d->max_sample_rate;
+    return d;
+}
+
+static int spyserver_set(void *dev, int param, double value)
+{
+    auto *d = static_cast<SpyServerDevice *>(dev);
+    switch (param) {
+        case 100: {  // PARAM_SAMPLE_RATE -> decimation stage
+            if (value <= 0 || d->max_sample_rate == 0)
+                return -1;
+            uint32_t stage = 0;
+            while ((d->max_sample_rate >> stage) > value &&
+                   stage + 1 < (d->decimation_stages ? d->decimation_stages : 32))
+                stage++;
+            if (stage < d->min_iq_decimation)
+                stage = d->min_iq_decimation;
+            d->decimation = stage;
+            d->sample_rate = (double)(d->max_sample_rate >> stage);
+            return spy_set_setting(d, SPY_SETTING_IQ_DECIMATION, stage);
+        }
+        case 1001:  // PARAM_TUNE_FREQUENCY
+            d->frequency = value;
+            return spy_set_setting(d, SPY_SETTING_IQ_FREQUENCY,
+                                   (uint32_t)value);
+        case 1003:  // PARAM_GAIN_VALUE (gain index)
+            d->gain = value;
+            return spy_set_setting(d, SPY_SETTING_GAIN, (uint32_t)value);
+        case 1004:  // PARAM_DIGITAL_GAIN (IQ digital gain)
+            return spy_set_setting(d, SPY_SETTING_IQ_DIGITAL_GAIN,
+                                   (uint32_t)value);
+    }
+    return -1;
+}
+
+static double spyserver_get(void *dev, int param)
+{
+    auto *d = static_cast<SpyServerDevice *>(dev);
+    switch (param) {
+        case 100: return d->sample_rate;
+        case 1001: return d->frequency;
+        case 1003: return d->gain;
+        case 2001: return d->device_type;      // driver-specific info
+        case 2002: return d->device_serial;
+        case 2003: return d->max_sample_rate;
+        case 2004: return d->can_control;
+        case 2005: return d->decimation;
+    }
+    return -1;
+}
+
+static int spyserver_start(void *dev, nfclab_stream_cb cb, void *user)
+{
+    auto *d = static_cast<SpyServerDevice *>(dev);
+    if (d->running.exchange(true))
+        return -1;
+    if (spy_set_setting(d, SPY_SETTING_IQ_FORMAT, SPY_FORMAT_INT16) != 0 ||
+        spy_set_setting(d, SPY_SETTING_STREAMING_MODE,
+                        SPY_STREAM_MODE_IQ_ONLY) != 0 ||
+        spy_set_setting(d, SPY_SETTING_STREAMING_ENABLED, 1) != 0) {
+        d->running.store(false);
+        return -1;
+    }
+    d->worker = std::thread([d, cb, user] {
+        std::vector<uint8_t> body;
+        std::vector<float> block;
+        while (d->running.load()) {
+            uint32_t mh[5];
+            if (!recv_exact(d->fd, mh, sizeof mh, &d->running)) {
+                if (d->running.load())
+                    cb(nullptr, 0, d->offset, user);  // in-band EOF
+                break;
+            }
+            const uint32_t mtype = mh[1] & 0xFFFF, blen = mh[4];
+            if (blen > SPY_MAX_BODY) {
+                if (d->running.load())
+                    cb(nullptr, 0, d->offset, user);  // protocol violation
+                break;
+            }
+            body.resize(blen);
+            if (blen && !recv_exact(d->fd, body.data(), blen, &d->running)) {
+                if (d->running.load())
+                    cb(nullptr, 0, d->offset, user);
+                break;
+            }
+            size_t n = 0;
+            if (mtype == SPY_MSG_INT16_IQ) {
+                n = blen / 2;
+                block.resize(n);
+                const int16_t *s = reinterpret_cast<const int16_t *>(body.data());
+                for (size_t i = 0; i < n; i++)
+                    block[i] = s[i] / 32768.0f;
+            } else if (mtype == SPY_MSG_UINT8_IQ) {
+                n = blen;
+                block.resize(n);
+                for (size_t i = 0; i < n; i++)
+                    block[i] = (body[i] - 128.0f) / 128.0f;
+            } else if (mtype == SPY_MSG_FLOAT_IQ) {
+                n = blen / 4;
+                block.resize(n);
+                memcpy(block.data(), body.data(), n * 4);
+            } else {
+                continue;  // CLIENT_SYNC updates etc.
+            }
+            if (n) {
+                cb(block.data(), (int64_t)n, d->offset, user);
+                d->offset += (int64_t)n;
+            }
+        }
+    });
+    return 0;
+}
+
+static int spyserver_stop(void *dev)
+{
+    auto *d = static_cast<SpyServerDevice *>(dev);
+    if (!d->running.exchange(false))
+        return -1;
+    spy_set_setting(d, SPY_SETTING_STREAMING_ENABLED, 0);
+    shutdown(d->fd, SHUT_RDWR);
+    if (d->worker.joinable())
+        d->worker.join();
+    return 0;
+}
+
+static void spyserver_close(void *dev)
+{
+    auto *d = static_cast<SpyServerDevice *>(dev);
+    if (d->running.load())
+        spyserver_stop(dev);
+    if (d->fd >= 0)
+        ::close(d->fd);
+    delete d;
+}
+
 static NfclabSdrDriver g_drivers[] = {
     {"loopback", loopback_enumerate, loopback_open, loopback_set,
      loopback_get, loopback_start, loopback_stop, loopback_close},
     {"rtltcp", rtltcp_enumerate, rtltcp_open, rtltcp_set,
      rtltcp_get, rtltcp_start, rtltcp_stop, rtltcp_close},
+    {"spyserver", spyserver_enumerate, spyserver_open, spyserver_set,
+     spyserver_get, spyserver_start, spyserver_stop, spyserver_close},
     // libusb vendor drivers (airspy/hydrasdr/mirisdr/dslogic) register here
     // when their libraries are linked; absent in this build environment
 };

@@ -150,6 +150,164 @@ def test_rtltcp_client_against_mock_server():
     assert cmds[0x04] == 496
 
 
+class MockSpyServer:
+    """Minimal Airspy SpyServer: HELLO handshake -> DEVICE_INFO +
+    CLIENT_SYNC, then INT16 IQ messages once streaming is enabled.
+    All little-endian, per the protocol (see sdr_bridge.cpp spyserver)."""
+
+    MSG_DEVICE_INFO = 0
+    MSG_CLIENT_SYNC = 1
+    MSG_INT16_IQ = 101
+
+    def __init__(self, payload_i16: np.ndarray, max_rate: int = 10_000_000,
+                 chunk: int = 8192):
+        self.payload = payload_i16.astype(np.int16)
+        self.max_rate = max_rate
+        self.chunk = chunk
+        self.settings = []
+        self.hello = None
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _msg(self, mtype: int, body: bytes) -> bytes:
+        return struct.pack("<5I", 0x02000000 | 1700, mtype, 0, 0,
+                           len(body)) + body
+
+    def _serve(self):
+        conn, _ = self.sock.accept()
+        conn.settimeout(10.0)
+        # CMD_HELLO: header + version + client name
+        cmd, blen = struct.unpack("<2I", self._recv(conn, 8))
+        body = self._recv(conn, blen)
+        assert cmd == 0
+        self.hello = (struct.unpack("<I", body[:4])[0], body[4:].decode())
+        info = struct.pack(
+            "<12I",
+            1,            # DeviceType = AIRSPY_ONE
+            0xA1B2C3D4,   # serial
+            self.max_rate,
+            self.max_rate,
+            8,            # decimation stages
+            1,            # gain stages
+            21,           # max gain index
+            24_000_000, 1_800_000_000,  # frequency range
+            12,           # resolution bits
+            0,            # minimum IQ decimation
+            0,            # forced IQ format
+        )
+        conn.sendall(self._msg(self.MSG_DEVICE_INFO, info))
+        sync = struct.pack("<9I", 1, 10, 27_120_000, 27_120_000, 0, 0, 0, 0, 0)
+        conn.sendall(self._msg(self.MSG_CLIENT_SYNC, sync))
+
+        # settings until STREAMING_ENABLED=1
+        streaming = False
+        deadline = time.time() + 20
+        while not streaming and time.time() < deadline:
+            cmd, blen = struct.unpack("<2I", self._recv(conn, 8))
+            body = self._recv(conn, blen)
+            if cmd == 2 and blen == 8:
+                setting, value = struct.unpack("<2I", body)
+                self.settings.append((setting, value))
+                if setting == 1 and value == 1:
+                    streaming = True
+        # stream the payload as INT16 IQ messages
+        raw = self.payload.tobytes()
+        for off in range(0, len(raw), self.chunk * 2):
+            conn.sendall(
+                self._msg(self.MSG_INT16_IQ, raw[off : off + self.chunk * 2])
+            )
+        time.sleep(0.5)  # let the client drain before the close
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    @staticmethod
+    def _recv(conn, n):
+        buf = b""
+        while len(buf) < n:
+            part = conn.recv(n - len(buf))
+            if not part:
+                raise ConnectionError("client closed")
+            buf += part
+        return buf
+
+
+def test_spyserver_client_against_mock_server():
+    rng = np.random.default_rng(7)
+    payload = rng.integers(-32768, 32768, size=4 * 8192, dtype=np.int64)
+    server = MockSpyServer(payload.astype(np.int16))
+
+    dev = NativeSdrDevice(f"spyserver://127.0.0.1:{server.port}")
+    assert dev.open()
+    # device info parsed from the handshake
+    assert dev.get(2001) == 1            # AIRSPY_ONE
+    assert dev.get(2002) == 0xA1B2C3D4   # serial
+    assert dev.get(2003) == 10_000_000   # max sample rate
+    assert dev.get(2004) == 1            # can_control
+    assert server.hello[0] == (2 << 24) | 1700
+    assert server.hello[1] == "nfclab"
+
+    # sample rate -> decimation stage: 2.5 MS/s = max >> 2
+    assert dev.set(PARAM_SAMPLE_RATE, 2_500_000)
+    assert dev.get(PARAM_SAMPLE_RATE) == 2_500_000
+    assert dev.get(2005) == 2
+    assert dev.set(PARAM_TUNE_FREQUENCY, 40_680_000)
+    assert dev.set(PARAM_GAIN_VALUE, 12)
+
+    assert dev.start()
+    got = []
+    n_expect = len(payload)
+    deadline = time.time() + 8
+    while sum(len(b) for b in got) < n_expect and time.time() < deadline:
+        block = dev.read(timeout=2.0)
+        if block is not None and len(block):
+            got.append(block)
+    assert dev.stop()
+    dev.close()
+    server.thread.join(timeout=15)
+
+    samples = np.concatenate(got)[:n_expect]
+    assert len(samples) == n_expect
+    # INT16 -> float conversion: x / 32768
+    expect = payload.astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(samples, expect)
+
+    # settings arrived: decimation 2, frequency, gain, format INT16,
+    # mode IQ_ONLY, streaming on
+    st = dict(server.settings)
+    assert st[102] == 2
+    assert st[101] == 40_680_000
+    assert st[2] == 12
+    assert st[100] == 2   # STREAM_FORMAT_INT16
+    assert st[0] == 1     # STREAM_MODE_IQ_ONLY
+    assert st[1] == 1     # STREAMING_ENABLED
+
+
+def test_spyserver_eof_on_server_close():
+    """An orderly server shutdown surfaces as the zero-length EOF block
+    (the in-band EOF convention, RadioDeviceTask.cpp:229-233)."""
+    server = MockSpyServer(np.zeros(1024, np.int16))
+    dev = NativeSdrDevice(f"spyserver://127.0.0.1:{server.port}")
+    assert dev.open()
+    assert dev.set(PARAM_SAMPLE_RATE, 10_000_000)
+    assert dev.start()
+    saw_eof = False
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        block = dev.read(timeout=2.0)
+        if block is not None and len(block) == 0:
+            saw_eof = True
+            break
+    assert saw_eof
+    dev.stop()
+    dev.close()
+
+
 def test_live_pipeline_loopback():
     """Loopback capture flows through the live source task into the stream
     bus (carrier-only signal; decoder sees a steady field)."""
