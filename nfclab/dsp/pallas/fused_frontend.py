@@ -101,9 +101,29 @@ N_SUMS = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
 NSTATE = S_SUMS + N_SUMS
 
 
+# (section offset, length) pairs covering the carried state, in scratch
+# order: carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums
+STATE_SECTIONS = (
+    (S_CARRY, 8),
+    (S_RV, RV_RING),
+    (S_RF, RF_RING),
+    (S_RQ, RQ_RING),
+    (S_RP0, RP_RINGS[0]),
+    (S_RP1, RP_RINGS[1]),
+    (S_RP2, RP_RINGS[2]),
+    (S_RB, len(A_RATES) * RB_RING),
+    (S_RBV, RBV_RING),
+    (S_SUMS, N_SUMS),
+)
+
+
 def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
-                  state_in, out_refs, state_out,
+                  load_state, out_refs, save_state,
                   carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
+    """Compute body: conditioning + channels over one [TILE, sub, 128] time
+    block.  State residency is the caller's concern — `load_state()` fills
+    the scratch rings at the first time block, `save_state()` persists them
+    after the last (VMEM block copy or HBM DMA, see _jitted/_jitted_dma)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -119,16 +139,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
     @pl.when(t_idx == 0)
     def _():
-        carry[...] = state_in[0, S_CARRY:S_RV]
-        rv[...] = state_in[0, S_RV:S_RF]
-        rf[...] = state_in[0, S_RF:S_RQ]
-        rq[...] = state_in[0, S_RQ:S_RP0]
-        rp0[...] = state_in[0, S_RP0:S_RP1]
-        rp1[...] = state_in[0, S_RP1:S_RP2]
-        rp2[...] = state_in[0, S_RP2:S_RB]
-        rb[...] = state_in[0, S_RB:S_RBV]
-        rbv[...] = state_in[0, S_RBV:S_SUMS]
-        sums[...] = state_in[0, S_SUMS:NSTATE]
+        load_state()
 
     def body(j, _):
         t = base + t_idx * TILE + j
@@ -281,16 +292,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
     @pl.when(t_idx == n_t - 1)
     def _():
-        state_out[0, S_CARRY:S_RV] = carry[...]
-        state_out[0, S_RV:S_RF] = rv[...]
-        state_out[0, S_RF:S_RQ] = rf[...]
-        state_out[0, S_RQ:S_RP0] = rq[...]
-        state_out[0, S_RP0:S_RP1] = rp0[...]
-        state_out[0, S_RP1:S_RP2] = rp1[...]
-        state_out[0, S_RP2:S_RB] = rp2[...]
-        state_out[0, S_RB:S_RBV] = rb[...]
-        state_out[0, S_RBV:S_SUMS] = rbv[...]
-        state_out[0, S_SUMS:NSTATE] = sums[...]
+        save_state()
 
 
 class _View:
@@ -332,11 +334,19 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
     def kernel(base_ref, value_ref, state_in_ref, *rest):
         out_refs = [_View(r) for r in rest[:N_OUT]]
         state_out_ref = rest[N_OUT]
-        carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums = rest[N_OUT + 1:]
+        scratch = rest[N_OUT + 1:]
+
+        def load_state():
+            for (off, ln), buf in zip(STATE_SECTIONS, scratch):
+                buf[...] = state_in_ref[0, off : off + ln]
+
+        def save_state():
+            for (off, ln), buf in zip(STATE_SECTIONS, scratch):
+                state_out_ref[0, off : off + ln] = buf[...]
+
         _fused_kernel(
             params, mask_params, sub, n_t, base_ref, _View(value_ref),
-            state_in_ref, out_refs, state_out_ref,
-            carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums,
+            load_state, out_refs, save_state, *scratch,
         )
 
     out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
@@ -363,6 +373,101 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
                 pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
                 pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
+            ],
+        )(base, value, state)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
+    """DMA-state variant: the carried state lives in HBM (memory space ANY)
+    and is copied section-by-section into the VMEM scratch rings at the
+    first time block (and back at the last) with explicit async DMAs.
+
+    Keeping the (NSTATE, sub, 128) state blocks out of VMEM residency frees
+    ~2x state bytes of VMEM, which is what makes sub=32 tiles fit — wider
+    tiles amortize the serial per-step loop latency over more streams."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_t = t // TILE
+    n_sec = len(STATE_SECTIONS)
+
+    tile_spec = pl.BlockSpec(
+        (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(base_ref, value_ref, state_in_ref, *rest):
+        out_refs = [_View(r) for r in rest[:N_OUT]]
+        state_out_ref = rest[N_OUT]
+        scratch = rest[N_OUT + 1 : N_OUT + 1 + n_sec]
+        sems = rest[N_OUT + 1 + n_sec]
+        b = pl.program_id(0)
+
+        def load_state():
+            dmas = [
+                pltpu.make_async_copy(
+                    state_in_ref.at[b, pl.ds(off, ln)], buf, sems.at[i]
+                )
+                for i, ((off, ln), buf) in enumerate(
+                    zip(STATE_SECTIONS, scratch)
+                )
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+        def save_state():
+            dmas = [
+                pltpu.make_async_copy(
+                    buf, state_out_ref.at[b, pl.ds(off, ln)], sems.at[i]
+                )
+                for i, ((off, ln), buf) in enumerate(
+                    zip(STATE_SECTIONS, scratch)
+                )
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+        _fused_kernel(
+            params, mask_params, sub, n_t, base_ref, _View(value_ref),
+            load_state, out_refs, save_state, *scratch,
+        )
+
+    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
+    out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
+
+    def run(base, value, state):
+        return pl.pallas_call(
+            kernel,
+            grid=(g, n_t),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            in_specs=[base_spec, tile_spec, any_spec],
+            out_specs=[tile_spec] * N_OUT + [any_spec],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
+                pltpu.VMEM((RV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RF_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RQ_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
+                pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
+                pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((len(STATE_SECTIONS),)),
             ],
         )(base, value, state)
 
@@ -399,7 +504,7 @@ def unpack_detect_mask(mask):
 
 def fused_frontend(value, params, native_layout=False,
                    mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
-                   state=None, base=0, return_state=False):
+                   state=None, base=0, return_state=False, sub=None):
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
@@ -419,9 +524,13 @@ def fused_frontend(value, params, native_layout=False,
     assert b % LANES == 0 and t % TILE == 0
     # wider tiles amortize the serial per-step latency over more streams:
     # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
-    # the bottleneck, not VPU throughput); sub=32 exceeds VMEM (rings scale
-    # with sub) and fails to compile.  sub=8 remains for 1024-stream batches.
-    sub = 16 if b % 2048 == 0 else 8
+    # the bottleneck, not VPU throughput).  sub=32 only fits in VMEM with
+    # the DMA-state variant (_jitted_dma), which keeps the (NSTATE, sub,
+    # 128) carried-state blocks in HBM.  sub=8 remains for 1024-stream
+    # batches.
+    if sub is None:
+        sub = 32 if b % 4096 == 0 else 16 if b % 2048 == 0 else 8
+    assert b % (128 * sub) == 0
     lanes = 128 * sub
     g = b // lanes
     vt = (
@@ -433,7 +542,8 @@ def fused_frontend(value, params, native_layout=False,
         state = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
     base_arr = jnp.asarray([base], jnp.int32)
     mp = tuple(np.float32(m) for m in mask_params)
-    outs = _jitted(params, mp, g, t, sub)(base_arr, vt, state)
+    impl = _jitted_dma if sub >= 32 else _jitted
+    outs = impl(params, mp, g, t, sub)(base_arr, vt, state)
     state_out = outs[-1]
     res = {}
     for name, o in zip(OUTPUT_NAMES, outs[:-1]):
