@@ -384,32 +384,176 @@ enum {
     FX_X_GT = 9, FX_X_GE = 10, FX_X_LT = 11,
 };
 
+} // extern "C" (templates below have C++ linkage)
+
+// K-way interleaved box extensions: each box channel is a serial f64
+// running-sum chain (two dependent f64 adds per sample, ~8 cycles of pure
+// latency); running channels one-at-a-time serializes those chains, while
+// interleaving K independent channels in one loop lets the out-of-order core
+// overlap them (~K-fold on the latency-bound part).  The per-channel op
+// order (add new, then subtract old) is unchanged, so outputs stay
+// bit-identical to the single-channel kernels.
+
+template <int K>
+static void box_sum_ext_k(const float *x, int64_t n, int64_t start,
+                          const int32_t *w, double *const *accs,
+                          float *const *outs)
+{
+    double acc[K];
+    for (int c = 0; c < K; c++)
+        acc[c] = *accs[c];
+    for (int64_t i = start; i < n; i++) {
+        const float xi = x[i];
+        for (int c = 0; c < K; c++) {
+            acc[c] += xi;
+            if (i >= w[c])
+                acc[c] -= x[i - w[c]];
+            outs[c][i] = static_cast<float>(acc[c]);
+        }
+    }
+    for (int c = 0; c < K; c++)
+        *accs[c] = acc[c];
+}
+
+template <int K>
+static void box_sq_ext_k(const float *filt, int64_t n, int64_t start,
+                         const int32_t *w, double *const *accs,
+                         float *const *outs)
+{
+    double acc[K];
+    for (int c = 0; c < K; c++)
+        acc[c] = *accs[c];
+    for (int64_t i = start; i < n; i++) {
+        const float q = filt[i] * filt[i] * 10.0f;
+        for (int c = 0; c < K; c++) {
+            acc[c] += q;
+            if (i >= w[c]) {
+                const float fo = filt[i - w[c]];
+                acc[c] -= fo * fo * 10.0f;
+            }
+            outs[c][i] = static_cast<float>(acc[c]);
+        }
+    }
+    for (int c = 0; c < K; c++)
+        *accs[c] = acc[c];
+}
+
+template <int K>
+static void box_bpsk_ext_k(const float *filt, int64_t n, int64_t start,
+                           const int32_t *lag, const int32_t *w,
+                           double *const *accs, float *const *outs)
+{
+    double acc[K];
+    for (int c = 0; c < K; c++)
+        acc[c] = *accs[c];
+    for (int64_t i = start; i < n; i++) {
+        for (int c = 0; c < K; c++) {
+            const float p =
+                (i >= lag[c]) ? filt[i] * filt[i - lag[c]] * 10.0f : 0.0f;
+            acc[c] += p;
+            if (i >= w[c]) {
+                const int64_t j = i - w[c];
+                const float po =
+                    (j >= lag[c]) ? filt[j] * filt[j - lag[c]] * 10.0f : 0.0f;
+                acc[c] -= po;
+            }
+            outs[c][i] = static_cast<float>(acc[c]);
+        }
+    }
+    for (int c = 0; c < K; c++)
+        *accs[c] = acc[c];
+}
+
+// Run every job of `kind` that shares start `s0` as interleaved groups of
+// up to 4 chains.
+static void run_box_group(int kind, const float *src, int64_t n, int64_t s0,
+                          NfcFeedJob **grp, int m)
+{
+    int o = 0;
+    while (m - o > 0) {
+        int32_t w[4], lag[4];
+        double *accs[4];
+        float *outs[4];
+        const int k = (m - o) >= 4 ? 4 : (m - o) >= 2 ? 2 : 1;
+        for (int c = 0; c < k; c++) {
+            w[c] = grp[o + c]->width;
+            lag[c] = grp[o + c]->lag;
+            accs[c] = grp[o + c]->acc;
+            outs[c] = grp[o + c]->out;
+        }
+        switch (kind) {
+        case FX_BOX_SUM:
+            if (k == 4)
+                box_sum_ext_k<4>(src, n, s0, w, accs, outs);
+            else if (k == 2)
+                box_sum_ext_k<2>(src, n, s0, w, accs, outs);
+            else
+                box_sum_ext_k<1>(src, n, s0, w, accs, outs);
+            break;
+        case FX_BOX_SQ:
+            if (k == 4)
+                box_sq_ext_k<4>(src, n, s0, w, accs, outs);
+            else if (k == 2)
+                box_sq_ext_k<2>(src, n, s0, w, accs, outs);
+            else
+                box_sq_ext_k<1>(src, n, s0, w, accs, outs);
+            break;
+        default:
+            if (k == 4)
+                box_bpsk_ext_k<4>(src, n, s0, lag, w, accs, outs);
+            else if (k == 2)
+                box_bpsk_ext_k<2>(src, n, s0, lag, w, accs, outs);
+            else
+                box_bpsk_ext_k<1>(src, n, s0, lag, w, accs, outs);
+        }
+        o += k;
+    }
+}
+
+extern "C" {
+
 void nfclab_feed_ext(const float *value, const float *filt, const float *env,
                      const float *mdepth, const float *avg,
                      int64_t n, int32_t njobs, NfcFeedJob *jobs)
 {
     const float *srcs[5] = {value, env, filt, mdepth, avg};
 
-    // phase 1: box running sums — one dedicated tight loop per channel (the
-    // per-feed span is L2-resident, so per-channel loops beat an interleaved
-    // pass; the interleaved variant only wins on cold multi-MB catch-ups)
-    for (int32_t j = 0; j < njobs; j++) {
-        NfcFeedJob &job = jobs[j];
-        if (job.kind > FX_BOX_BPSK || job.start >= n)
-            continue;
-        switch (job.kind) {
-        case FX_BOX_SUM:
-            nfclab_box_sum_ext(value, n, job.start, job.width, job.acc,
-                               job.out);
-            break;
-        case FX_BOX_SQ:
-            nfclab_box_sq_ext(filt, n, job.start, job.width, job.acc,
-                              job.out);
-            break;
-        default:
-            nfclab_box_bpsk_ext(filt, n, job.start, job.lag, job.width,
-                                job.acc, job.out);
+    // phase 1: box running sums — same-kind channels sharing a start clock
+    // run as interleaved chain groups (see box_*_ext_k); stragglers with a
+    // different start (a channel created mid-stream) fall back to their
+    // single-channel kernels
+    enum { MAXJ = 64 };
+    for (int kind = FX_BOX_SUM; kind <= FX_BOX_BPSK; kind++) {
+        NfcFeedJob *grp[MAXJ];
+        int m = 0;
+        int64_t s0 = -1;
+        for (int32_t j = 0; j < njobs; j++) {
+            NfcFeedJob &job = jobs[j];
+            if (job.kind != kind || job.start >= n)
+                continue;
+            if (s0 == -1)
+                s0 = job.start;
+            if (job.start == s0 && m < MAXJ) {
+                grp[m++] = &job;
+            } else {
+                switch (kind) {
+                case FX_BOX_SUM:
+                    nfclab_box_sum_ext(value, n, job.start, job.width,
+                                       job.acc, job.out);
+                    break;
+                case FX_BOX_SQ:
+                    nfclab_box_sq_ext(filt, n, job.start, job.width,
+                                      job.acc, job.out);
+                    break;
+                default:
+                    nfclab_box_bpsk_ext(filt, n, job.start, job.lag,
+                                        job.width, job.acc, job.out);
+                }
+            }
         }
+        if (m)
+            run_box_group(kind, kind == FX_BOX_SUM ? value : filt, n, s0,
+                          grp, m);
     }
 
     // phase 2: index scans (same bodies as the *_ext collectors above)
