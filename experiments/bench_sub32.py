@@ -30,6 +30,9 @@ def main():
     B, T = 4096, 4096
     x = (rng.random((B, T), dtype=np.float32) * 0.4).astype(np.float32)
 
+    if os.environ.get("SKIP_EQ"):
+        run_timing(jax, jnp, fused_frontend, pt, mp, rng)
+        return
     print("== equality check (B=4096, T=4096) ==", flush=True)
     r16 = fused_frontend(x, pt, mask_params=mp, sub=16)
     r32 = fused_frontend(x, pt, mask_params=mp, sub=32)
@@ -60,9 +63,14 @@ def main():
 
     if os.environ.get("SKIP_TIMING"):
         return
+    run_timing(jax, jnp, fused_frontend, pt, mp, rng)
+
+
+def run_timing(jax, jnp, fused_frontend, pt, mp, rng):
     # timing: carried-chunk chain like bench.py
     print("== timing ==", flush=True)
-    BATCH, CHUNK, K, DISTINCT = 4096, 32768, 64, 4
+    K = int(os.environ.get("BK", 16))
+    BATCH, CHUNK, DISTINCT = 4096, 32768, 4
 
     def chain(sub):
         def f(*bufs):

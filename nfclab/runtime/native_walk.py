@@ -82,10 +82,14 @@ def _ptr_u8(a):
 
 def _pack(mods) -> np.ndarray:
     out = np.zeros((len(mods), _NF), np.float64)
+    _pack_into(out, mods)
+    return out
+
+
+def _pack_into(out: np.ndarray, mods):
     for i, m in enumerate(mods):
         for j, f in enumerate(_FIELDS):
             out[i, j] = float(getattr(m, f))
-    return out
 
 
 def _unpack(arr: np.ndarray, mods):
@@ -183,6 +187,170 @@ _EMPTY_F64 = np.zeros(1, np.float64)
 _EMPTY_I32 = np.zeros(1, np.int32)
 
 
+def _vaddr(x) -> int:
+    """Virtual address of an ndarray / StreamView (what the kernel sees)."""
+    from ..core.streamview import StreamView
+
+    if isinstance(x, StreamView):
+        return x.data.ctypes.data - x.base * x.data.itemsize
+    return x.ctypes.data
+
+
+def _build_detect_args(ctx, carrier, techs):
+    """Prepared argument list + per-call mutation hooks for
+    nfclab_detect_all.  Everything except (t0, t1, carrier on/off clocks,
+    per-tech modulation state) is constant for a given channel binding, so
+    the ~40 ctypes conversions and the params-array allocations happen once
+    per bind instead of per call (~200 us/call saved on the walk hot path).
+    The cache key is the tuple of kernel-visible pointers; any rebind
+    (feed growth, window shift, buffer reallocation) changes it."""
+    by_name = {type(te).__name__: te for te in techs}
+    a = by_name.get("NfcATech")
+    b = by_name.get("NfcBTech")
+    f = by_name.get("NfcFTech")
+    v = by_name.get("NfcVTech")
+    cond = ctx.cond
+
+    t0_c = ctypes.c_int64(0)
+    t1_c = ctypes.c_int64(0)
+    on_c = ctypes.c_int(0)
+    off_c = ctypes.c_int(0)
+
+    args = [
+        t0_c,
+        t1_c,
+        _ptr_f32(cond.envelope),
+        _ptr_f32(cond.filtered),
+        _ptr_f32(cond.mod_depth),
+        _ptr_f32(cond.value),
+        _ptr_f32(cond.average),
+        ctypes.c_float(float(ctx.power_level_threshold)),
+        on_c,
+        off_c,
+        ctypes.c_float(float(ctx.params.signal_low_threshold)),
+        ctypes.c_float(float(ctx.params.signal_high_threshold)),
+    ]
+
+    packs = []  # (st_array, mods, tech_or_None)
+
+    if a is not None:
+        a_par = _params(a.bitrates)
+        a_st = _pack(a.mod)
+        a_box = a._box
+        packs.append((a_st, a.mod, a))
+        args += [
+            ctypes.c_int(1),
+            _ptr_i32(a_par),
+            _ptr_f64(a_st),
+            _ptr_f32(a_box[0]),
+            _ptr_f32(a_box[1]),
+            _ptr_f32(a_box[2]),
+            ctypes.c_float(float(a.correlation_threshold)),
+            ctypes.c_float(float(a.minimum_modulation_deep)),
+        ]
+        a_keep = (a_par,)
+    else:
+        args += [
+            ctypes.c_int(0), _ptr_i32(_EMPTY_I32), _ptr_f64(_EMPTY_F64),
+            _ptr_f32(_EMPTY_F32), _ptr_f32(_EMPTY_F32), _ptr_f32(_EMPTY_F32),
+            ctypes.c_float(0.0), ctypes.c_float(0.0),
+        ]
+        a_keep = ()
+
+    if b is not None:
+        b_mods = b.mod[: nfc.R212K + 1]
+        b_par = _params(b.bitrates[: nfc.R212K + 1])
+        b_st = _pack(b_mods)
+        packs.append((b_st, b_mods, None))
+        args += [
+            ctypes.c_int(1),
+            _ptr_i32(b_par),
+            _ptr_f64(b_st),
+            ctypes.c_int(len(b_mods)),
+            ctypes.c_float(float(b.minimum_modulation_deep)),
+            ctypes.c_float(float(b.maximum_modulation_deep)),
+        ]
+        b_keep = (b_par,)
+    else:
+        args += [
+            ctypes.c_int(0), _ptr_i32(_EMPTY_I32), _ptr_f64(_EMPTY_F64),
+            ctypes.c_int(0), ctypes.c_float(0.0), ctypes.c_float(0.0),
+        ]
+        b_keep = ()
+
+    if f is not None:
+        f_par = _params(f.bitrates, with_pre1=True)
+        f_st = _pack(f.mod)
+        f_box = f._box
+        packs.append((f_st, f.mod, None))
+        args += [
+            ctypes.c_int(1),
+            _ptr_i32(f_par),
+            _ptr_f64(f_st),
+            ctypes.c_int(len(f.mod)),
+            _ptr_f32(f_box[0]),
+            _ptr_f32(f_box[1] if len(f_box) > 1 else _EMPTY_F32),
+            ctypes.c_float(float(f.correlation_threshold)),
+            ctypes.c_float(float(f.maximum_modulation_deep)),
+        ]
+        f_keep = (f_par,)
+    else:
+        args += [
+            ctypes.c_int(0), _ptr_i32(_EMPTY_I32), _ptr_f64(_EMPTY_F64),
+            ctypes.c_int(0), _ptr_f32(_EMPTY_F32), _ptr_f32(_EMPTY_F32),
+            ctypes.c_float(0.0), ctypes.c_float(0.0),
+        ]
+        f_keep = ()
+
+    if v is not None:
+        v_par = _params([v.bitrate])
+        v_st = _pack([v.mod])
+        packs.append((v_st, [v.mod], None))
+        args += [
+            ctypes.c_int(1),
+            _ptr_i32(v_par),
+            _ptr_f64(v_st),
+            _ptr_f32(v._box),
+            ctypes.c_float(float(v.correlation_threshold)),
+            ctypes.c_float(float(v.minimum_modulation_deep)),
+        ]
+        v_keep = (v_par,)
+    else:
+        args += [
+            ctypes.c_int(0), _ptr_i32(_EMPTY_I32), _ptr_f64(_EMPTY_F64),
+            _ptr_f32(_EMPTY_F32), ctypes.c_float(0.0), ctypes.c_float(0.0),
+        ]
+        v_keep = ()
+
+    return {
+        "key": _detect_key(ctx, techs),
+        "args": args,
+        "scalars": (t0_c, t1_c, on_c, off_c),
+        "packs": packs,
+        "keep": (a_keep, b_keep, f_keep, v_keep),  # param arrays stay alive
+    }
+
+
+def _detect_key(ctx, techs):
+    cond = ctx.cond
+    key = [id(techs)]
+    for arr in (cond.envelope, cond.filtered, cond.mod_depth, cond.value,
+                cond.average):
+        key.append(_vaddr(arr))
+    for te in techs:
+        name = type(te).__name__
+        if name == "NfcATech":
+            key += [_vaddr(te._box[0]), _vaddr(te._box[1]),
+                    _vaddr(te._box[2])]
+        elif name == "NfcFTech":
+            key.append(_vaddr(te._box[0]))
+            if len(te._box) > 1:
+                key.append(_vaddr(te._box[1]))
+        elif name == "NfcVTech":
+            key.append(_vaddr(te._box))
+    return tuple(key)
+
+
 def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
     """Step carrier + every enabled tech natively over [t0, t1); returns the
     first sample needing Python handling (carrier crossing or tech lock,
@@ -193,84 +361,27 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
     if lib is None:
         return t0
 
-    by_name = {type(te).__name__: te for te in techs}
-    a = by_name.get("NfcATech")
-    b = by_name.get("NfcBTech")
-    f = by_name.get("NfcFTech")
-    v = by_name.get("NfcVTech")
-    cond = ctx.cond
+    cache = getattr(ctx, "_nw_detect", None)
+    if cache is None or cache["key"] != _detect_key(ctx, techs):
+        cache = _build_detect_args(ctx, carrier, techs)
+        ctx._nw_detect = cache
+    else:
+        for st, mods, _ in cache["packs"]:
+            _pack_into(st, mods)
 
-    if a is not None:
-        a_par = _params(a.bitrates)
-        a_st = _pack(a.mod)
-        a_box = a._box
-    if b is not None:
-        b_mods = b.mod[: nfc.R212K + 1]
-        b_par = _params(b.bitrates[: nfc.R212K + 1])
-        b_st = _pack(b_mods)
-    if f is not None:
-        f_par = _params(f.bitrates, with_pre1=True)
-        f_st = _pack(f.mod)
-        f_box = f._box
-    if v is not None:
-        v_par = _params([v.bitrate])
-        v_st = _pack([v.mod])
+    t0_c, t1_c, on_c, off_c = cache["scalars"]
+    t0_c.value = t0
+    t1_c.value = t1
+    on_c.value = int(carrier.carrier_on_time)
+    off_c.value = int(carrier.carrier_off_time)
 
-    res = lib.nfclab_detect_all(
-        ctypes.c_int64(t0),
-        ctypes.c_int64(t1),
-        _ptr_f32(cond.envelope),
-        _ptr_f32(cond.filtered),
-        _ptr_f32(cond.mod_depth),
-        _ptr_f32(cond.value),
-        _ptr_f32(cond.average),
-        ctypes.c_float(float(ctx.power_level_threshold)),
-        ctypes.c_int(int(carrier.carrier_on_time)),
-        ctypes.c_int(int(carrier.carrier_off_time)),
-        ctypes.c_float(float(ctx.params.signal_low_threshold)),
-        ctypes.c_float(float(ctx.params.signal_high_threshold)),
-        ctypes.c_int(1 if a is not None else 0),
-        _ptr_i32(a_par if a is not None else _EMPTY_I32),
-        _ptr_f64(a_st if a is not None else _EMPTY_F64),
-        _ptr_f32(a_box[0] if a is not None else _EMPTY_F32),
-        _ptr_f32(a_box[1] if a is not None else _EMPTY_F32),
-        _ptr_f32(a_box[2] if a is not None else _EMPTY_F32),
-        ctypes.c_float(float(a.correlation_threshold) if a is not None else 0.0),
-        ctypes.c_float(
-            float(a.minimum_modulation_deep) if a is not None else 0.0
-        ),
-        ctypes.c_int(1 if b is not None else 0),
-        _ptr_i32(b_par if b is not None else _EMPTY_I32),
-        _ptr_f64(b_st if b is not None else _EMPTY_F64),
-        ctypes.c_int(len(b_mods) if b is not None else 0),
-        ctypes.c_float(float(b.minimum_modulation_deep) if b is not None else 0.0),
-        ctypes.c_float(float(b.maximum_modulation_deep) if b is not None else 0.0),
-        ctypes.c_int(1 if f is not None else 0),
-        _ptr_i32(f_par if f is not None else _EMPTY_I32),
-        _ptr_f64(f_st if f is not None else _EMPTY_F64),
-        ctypes.c_int(len(f.mod) if f is not None else 0),
-        _ptr_f32(f_box[0] if f is not None else _EMPTY_F32),
-        _ptr_f32(f_box[1] if f is not None and len(f_box) > 1 else _EMPTY_F32),
-        ctypes.c_float(float(f.correlation_threshold) if f is not None else 0.0),
-        ctypes.c_float(float(f.maximum_modulation_deep) if f is not None else 0.0),
-        ctypes.c_int(1 if v is not None else 0),
-        _ptr_i32(v_par if v is not None else _EMPTY_I32),
-        _ptr_f64(v_st if v is not None else _EMPTY_F64),
-        _ptr_f32(v._box if v is not None else _EMPTY_F32),
-        ctypes.c_float(float(v.correlation_threshold) if v is not None else 0.0),
-        ctypes.c_float(float(v.minimum_modulation_deep) if v is not None else 0.0),
-    )
+    res = lib.nfclab_detect_all(*cache["args"])
 
-    if a is not None:
-        _unpack(a_st, a.mod)
-        a._version += 1
-        a._ni_cache = None
-    if b is not None:
-        _unpack(b_st, b_mods)
-    if f is not None:
-        _unpack(f_st, f.mod)
-    if v is not None:
-        _unpack(v_st, [v.mod])
+    for st, mods, a in cache["packs"]:
+        _unpack(st, mods)
+        if a is not None:
+            a._version += 1
+            a._ni_cache = None
 
     return int(res) if res >= 0 else t1
 
