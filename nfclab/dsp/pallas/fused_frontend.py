@@ -524,12 +524,12 @@ def fused_frontend(value, params, native_layout=False,
     assert b % LANES == 0 and t % TILE == 0
     # wider tiles amortize the serial per-step latency over more streams:
     # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
-    # the bottleneck, not VPU throughput).  sub=32 only fits in VMEM with
-    # the DMA-state variant (_jitted_dma), which keeps the (NSTATE, sub,
-    # 128) carried-state blocks in HBM.  sub=8 remains for 1024-stream
-    # batches.
+    # the bottleneck at sub=8).  sub=32 only fits in VMEM with the DMA-state
+    # variant (_jitted_dma, bit-exact) but measures speed-neutral vs sub=16
+    # on v5e — at 16 the kernel is already output-bandwidth-bound — so 16
+    # stays the default; sub=8 remains for 1024-stream batches.
     if sub is None:
-        sub = 32 if b % 4096 == 0 else 16 if b % 2048 == 0 else 8
+        sub = 16 if b % 2048 == 0 else 8
     assert b % (128 * sub) == 0
     lanes = 128 * sub
     g = b // lanes
