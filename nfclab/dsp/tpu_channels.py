@@ -1,0 +1,204 @@
+"""TPU-computed correlator channels feeding the host symbol walk.
+
+The fused Pallas frontend (dsp/pallas/fused_frontend.py) produces every box
+channel and all-tech detect triggers at ~10 GS/s/chip.  This module maps one
+capture onto that batched kernel with temporal overlap-save blocks and
+preloads the results into a decode context's ``LazyChannels`` cache, so the
+event walker (and the native detect/decode FSMs) consume device-computed
+channels instead of recomputing them on the host — the TPU-native analog of
+moving the reference's per-sample integrators (NfcA.cpp:236-255 et al.) off
+the CPU.
+
+Block scheme: the capture is cut into ``L``-sample bodies, each preceded by
+an ``H``-sample halo; every (halo + body) window runs as an independent
+stream from zero kernel state.  Conditioning memory is short (envelope
+w0 = 0.95, IIR a = 0.9 at 10 MS/s; silence window 10*ETU ~ 944 samples) and
+box lookbacks are <= 474 samples + 1024 ring warm-up, so an 8k halo makes
+every body sample's channel value converge to the continuous-stream value
+within f32 roundoff.  Block 0 needs no halo (zero state IS the stream
+start).  The box sums carry the kernel's f32 running-sum roundoff family —
+the same family as the reference's own integrators (NfcA.cpp:246-250) — so
+frames are validated by golden equality (tools/validate_tpu_decode), while
+the bit-exact contract path remains the host f64 channels.
+
+Detect-trigger indices come from the kernel's packed ``detect_mask`` bits,
+gated at clock >= 1024 exactly like the host index channels
+(channels.py _WARMUP).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.params import SignalParams, nfca_bitrates
+
+# body / halo sizes; H + L must be a multiple of the kernel TILE (64)
+DEFAULT_L = 24576
+DEFAULT_H = 8192
+
+_WARMUP = 1024  # detect indices start here (channels.py / NfcA.cpp:220-221)
+
+# kernel box outputs -> LazyChannels cache keys (see channels.py getters)
+_BOX_KEYS = {
+    "bv12": (("bv", 12), 0, 12, 0),
+    "bv24": (("bv", 24), 0, 24, 0),
+    "bv47": (("bv", 47), 0, 47, 0),
+    "bv94": (("bv", 94), 0, 94, 0),
+    "q47": (("bq", 47), 1, 47, 0),
+    "q189": (("bq", 189), 1, 189, 0),
+    "p24x6": (("bp", 24, 6), 2, 6, 24),
+    "p47x12": (("bp", 47, 12), 2, 12, 47),
+    "p94x24": (("bp", 94, 24), 2, 24, 94),
+}
+
+_FETCH = list(_BOX_KEYS) + ["detect_mask"]
+
+
+def fused_capture_channels(
+    samples: np.ndarray,
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+) -> dict[str, np.ndarray]:
+    """Run one capture through the fused TPU frontend as overlap-save blocks;
+    returns host f32 arrays (len(samples)) for every box channel plus the
+    packed ``detect_mask`` bitfield."""
+    from .frontend import _params_tuple
+    from .pallas.fused_frontend import LANES, TILE, fused_frontend
+
+    samples = np.ascontiguousarray(samples, np.float32)
+    n = len(samples)
+    T = H + L
+    assert T % TILE == 0
+    nb = max(1, -(-n // L))
+    B = -(-nb // LANES) * LANES
+
+    x = np.zeros((B, T), np.float32)
+    for i in range(nb):
+        if i == 0:
+            seg = samples[: T]
+            x[0, : len(seg)] = seg
+        else:
+            s = i * L - H
+            seg = samples[s : i * L + L]
+            x[i, : len(seg)] = seg
+
+    mask_params = (
+        float(power_level_threshold),
+        0.75,  # NfcA correlationThreshold (NfcA.cpp defaults)
+        0.10,  # NfcB minimumModulationDeep (NfcB.cpp:283 trigger)
+        0.50,  # NfcF correlationThreshold
+        0.50,  # NfcV correlationThreshold
+    )
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    res = fused_frontend(
+        x, _params_tuple(params), native_layout=False, mask_params=mask_params
+    )
+
+    out: dict[str, np.ndarray] = {}
+    for name in _FETCH:
+        dev = np.asarray(res[name][:nb])  # fetch only the live blocks
+        arr = np.empty(n, np.float32)
+        for i in range(nb):
+            body_off = 0 if i == 0 else H
+            lo = i * L
+            hi = min(lo + L, n)
+            arr[lo:hi] = dev[i, body_off : body_off + (hi - lo)]
+        out[name] = arr
+    return out
+
+
+def preload_channels(
+    channels,
+    arrs: dict[str, np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float,
+) -> None:
+    """Stuff device-computed channels into a LazyChannels cache so the tech
+    FSMs' ``bind_channels`` finds every box channel and detect-index set
+    already current (anything not preloaded — carrier crossings, mod-depth
+    gates — still computes lazily on the host from the exact conditioning).
+
+    Must run before the techs are created (entries are keyed exactly as the
+    techs' getters build them; thresholds are the tech defaults, matching
+    the mask_params the kernel ran with)."""
+    from .pallas.fused_frontend import MASK_LAYOUT
+
+    n = len(arrs["bv12"])
+    assert channels.base == 0, "TPU preload is for whole-capture decode"
+
+    for name, (key, kind_code, width, lag) in _BOX_KEYS.items():
+        channels._cache[key] = {
+            "arr": arrs[name],
+            "n": n,
+            # extension never runs (n is final); a fresh f64 carry would
+            # only matter if the stream grew
+            "acc": np.zeros(1, np.float64),
+            "idx": None,
+            "scanned": 0,
+            "extend": None,
+            "kind": "box",
+            "meta": (kind_code, width, lag),
+        }
+
+    # detect_mask bits -> index channels, gated at the 1024-sample warm-up
+    bits = arrs["detect_mask"].astype(np.int32)
+    bits[:_WARMUP] = 0
+    masks = {name: w for name, w in MASK_LAYOUT}
+    pw = float(power_level_threshold)
+
+    def put_idx(key, fx, weight):
+        idx = np.flatnonzero(bits & weight).astype(np.int64)
+        channels._cache[key] = {
+            "arr": None,
+            "n": 0,
+            "acc": None,
+            "idx": idx,
+            "idx_n": len(idx),
+            "scanned": n,
+            "extend": None,
+            "kind": "idx",
+            "fx": fx,
+        }
+
+    # NFC-A: ("sdidx", d, p1, p2, corr, power, signed) per rate
+    a_thr = float(np.float32(0.75))
+    for r, br in enumerate(nfca_bitrates(sample_rate)):
+        d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
+        key = ("sdidx", d, p1, p2, a_thr, pw, False)
+        put_idx(key, ("sd", ("bv", p2), d, p1, p2, a_thr, pw, False),
+                masks[f"mask_a_{r}"])
+
+    # NFC-B: ("eidxb", d, min_deep, power) for r106/r212 delays 0 / 94
+    b_deep = float(np.float32(0.10))
+    for br, mname in zip(
+        nfca_bitrates(sample_rate)[:2], ("mask_b_0", "mask_b_94")
+    ):
+        d = br.symbol_delay_detect
+        key = ("eidxb", d, b_deep, pw)
+        put_idx(key, ("edgeb", d, b_deep, pw), masks[mname])
+
+    # NFC-F: d = 0 over the same half-symbol boxes, rates 212/424
+    f_thr = float(np.float32(0.50))
+    for br, mname in zip(
+        nfca_bitrates(sample_rate)[1:], ("mask_f_1", "mask_f_2")
+    ):
+        p1, p2 = br.period1, br.period2
+        key = ("sdidx", 0, p1, p2, f_thr, pw, False)
+        put_idx(key, ("sd", ("bv", p2), 0, p1, p2, f_thr, pw, False),
+                masks[mname])
+
+    # NFC-V: signed SD over bv94
+    from ..demod.nfcv import nfcv_bitrate
+
+    v_thr = float(np.float32(0.50))
+    brv = nfcv_bitrate(sample_rate)
+    dv, p1v, p2v = brv.symbol_delay_detect, brv.period1, brv.period2
+    key = ("sdidx", dv, p1v, p2v, v_thr, pw, True)
+    put_idx(key, ("sd", ("bv", p2v), dv, p1v, p2v, v_thr, pw, True),
+            masks["mask_v"])
+
+    channels._plan = None

@@ -24,22 +24,30 @@ from .decoder import NfcDecoder
 def _walk_one(args) -> list[Frame]:
     """Host-side walk over precomputed conditioning (runs in a worker
     process; imports stay local so workers never touch the TPU)."""
-    samples, sample_rate, cond_arrays, kwargs = args
+    samples, sample_rate, cond_arrays, tpu_channels, kwargs = args
     from ..native.binding import Conditioned
 
     cond = Conditioned(*cond_arrays)
     dec = NfcDecoder(**kwargs)
-    return dec.decode(samples, sample_rate, cond=cond)
+    return dec.decode(
+        samples, sample_rate, cond=cond, tpu_channels=tpu_channels
+    )
 
 
 def decode_batch(
     paths: list[str],
     workers: int | None = None,
     conditioner: str = "jax",
+    frontend: str = "host",
     **decoder_kwargs,
 ) -> dict[str, list[Frame]]:
     """Decode many wav captures: conditioning on the accelerator (in the
-    parent process), event walks across a process pool."""
+    parent process), event walks across a process pool.
+
+    frontend="fused" additionally computes every correlator channel and the
+    detect-trigger indices on the device with the fused Pallas kernel
+    (dsp.tpu_channels) and preloads them into each walk — the full TPU hot
+    path feeding the host FSMs."""
     from ..dsp.conditioner import condition_jax
     from ..native import condition_exact
 
@@ -66,7 +74,19 @@ def decode_batch(
             cond.edge_peak,
             cond.edge_time,
         )
-        jobs.append((samples, info.sample_rate, cond_arrays, decoder_kwargs))
+        tpu_channels = None
+        if frontend == "fused":
+            from ..dsp.tpu_channels import fused_capture_channels
+
+            tpu_channels = fused_capture_channels(
+                samples,
+                info.sample_rate,
+                decoder_kwargs.get("power_level_threshold", 0.01),
+            )
+        jobs.append(
+            (samples, info.sample_rate, cond_arrays, tpu_channels,
+             decoder_kwargs)
+        )
 
     workers = workers or min(len(paths), os.cpu_count() or 1)
     results: dict[str, list[Frame]] = {}

@@ -221,18 +221,30 @@ class NfcDecoder:
         return techs
 
     def decode(
-        self, samples: np.ndarray, sample_rate: int, cond=None
+        self, samples: np.ndarray, sample_rate: int, cond=None,
+        tpu_channels=None,
     ) -> list[Frame]:
         """Decode a full capture; returns frames in emission order
         (carrier + poll + listen; filter by type for golden comparison).
         `cond` may carry precomputed conditioning (the batch API runs the
-        TPU pass once for many captures, then walks each on host)."""
+        TPU pass once for many captures, then walks each on host).
+        `tpu_channels` may carry device-computed correlator channels from
+        the fused Pallas frontend (dsp.tpu_channels.fused_capture_channels);
+        they are preloaded into the channel cache so the walk consumes them
+        instead of recomputing on the host."""
         params = SignalParams(
             sample_rate, power_level_threshold=self.power_level_threshold
         )
         if cond is None:
             cond = self._condition(samples, params)
         ctx = DecoderContext(cond, sample_rate, params, self.stream_time)
+        if tpu_channels is not None:
+            from ..dsp.tpu_channels import preload_channels
+
+            preload_channels(
+                ctx.channels, tpu_channels, sample_rate,
+                self.power_level_threshold,
+            )
         carrier = CarrierDetector(ctx)
         techs = self._make_techs(ctx)
         for tech in techs:
