@@ -108,6 +108,17 @@ def _decode(path: str, args) -> list[Frame]:
         power_level_threshold=args.power_threshold,
         conditioner=args.conditioner,
     )
+    if getattr(args, "frontend", "host") == "fused":
+        # correlator channels + detect triggers from the fused TPU kernel
+        from ..io.wav import read_wav
+
+        samples, info = read_wav(path)
+        from ..dsp.tpu_channels import fused_capture_channels
+
+        chans = fused_capture_channels(
+            samples, info.sample_rate, args.power_threshold
+        )
+        return dec.decode(samples, info.sample_rate, tpu_channels=chans)
     return dec.decode_wav(path)
 
 
@@ -220,6 +231,11 @@ def main(argv=None) -> int:
         p.add_argument("--power-threshold", type=float, default=0.01)
         p.add_argument(
             "--conditioner", choices=("native", "jax"), default="native"
+        )
+        p.add_argument(
+            "--frontend", choices=("host", "fused"), default="host",
+            help="fused = correlator channels + detect triggers computed "
+            "by the fused TPU Pallas kernel (dsp.tpu_channels)",
         )
         p.set_defaults(fn=fn)
     p = sub.add_parser("live", help="live SDR capture + decode")
