@@ -47,7 +47,10 @@ import functools
 import numpy as np
 
 LANES = 1024
-TILE = 64
+# per-grid-step time block: 128 measures ~10% over 64 on v5e (the per-step
+# grid/DMA bookkeeping amortizes over twice the samples); 256 exceeds VMEM
+# with the resident-state variant.  Streams must be multiples of TILE.
+TILE = 128
 UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
 
 # 10 MS/s window set

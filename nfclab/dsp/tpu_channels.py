@@ -67,6 +67,14 @@ def fused_capture_channels(
     from .frontend import _params_tuple
     from .pallas.fused_frontend import LANES, TILE, fused_frontend
 
+    if sample_rate != 10_000_000:
+        # the kernel's box widths / delay cascades are compiled for the
+        # reference's recommended 10 MS/s capture rate (fused_frontend.py
+        # window constants); other rates use the host channel path
+        raise ValueError(
+            f"fused TPU channels require a 10 MS/s capture (got "
+            f"{sample_rate}); decode without frontend='fused' instead"
+        )
     samples = np.ascontiguousarray(samples, np.float32)
     n = len(samples)
     T = H + L
