@@ -119,6 +119,52 @@ def fused_capture_channels(
     return out
 
 
+def idx_key_map(sample_rate: int, power_level_threshold: float):
+    """(mask bit name, cache key, fx descriptor) for every detect-trigger
+    index channel the kernel's detect_mask covers, keyed exactly as the
+    tech FSMs' bind_channels request them (thresholds are the tech
+    defaults, matching the kernel mask_params)."""
+    from ..demod.nfcv import nfcv_bitrate
+
+    pw = float(power_level_threshold)
+    out = []
+    a_thr = float(np.float32(0.75))
+    for r, br in enumerate(nfca_bitrates(sample_rate)):
+        d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
+        out.append((
+            f"mask_a_{r}",
+            ("sdidx", d, p1, p2, a_thr, pw, False),
+            ("sd", ("bv", p2), d, p1, p2, a_thr, pw, False),
+        ))
+    b_deep = float(np.float32(0.10))
+    for br, mname in zip(
+        nfca_bitrates(sample_rate)[:2], ("mask_b_0", "mask_b_94")
+    ):
+        d = br.symbol_delay_detect
+        out.append((
+            mname, ("eidxb", d, b_deep, pw), ("edgeb", d, b_deep, pw)
+        ))
+    f_thr = float(np.float32(0.50))
+    for br, mname in zip(
+        nfca_bitrates(sample_rate)[1:], ("mask_f_1", "mask_f_2")
+    ):
+        p1, p2 = br.period1, br.period2
+        out.append((
+            mname,
+            ("sdidx", 0, p1, p2, f_thr, pw, False),
+            ("sd", ("bv", p2), 0, p1, p2, f_thr, pw, False),
+        ))
+    v_thr = float(np.float32(0.50))
+    brv = nfcv_bitrate(sample_rate)
+    dv, p1v, p2v = brv.symbol_delay_detect, brv.period1, brv.period2
+    out.append((
+        "mask_v",
+        ("sdidx", dv, p1v, p2v, v_thr, pw, True),
+        ("sd", ("bv", p2v), dv, p1v, p2v, v_thr, pw, True),
+    ))
+    return out
+
+
 def preload_channels(
     channels,
     arrs: dict[str, np.ndarray],
@@ -156,10 +202,9 @@ def preload_channels(
     bits = arrs["detect_mask"].astype(np.int32)
     bits[:_WARMUP] = 0
     masks = {name: w for name, w in MASK_LAYOUT}
-    pw = float(power_level_threshold)
 
-    def put_idx(key, fx, weight):
-        idx = np.flatnonzero(bits & weight).astype(np.int64)
+    for mname, key, fx in idx_key_map(sample_rate, power_level_threshold):
+        idx = np.flatnonzero(bits & masks[mname]).astype(np.int64)
         channels._cache[key] = {
             "arr": None,
             "n": 0,
@@ -171,42 +216,5 @@ def preload_channels(
             "kind": "idx",
             "fx": fx,
         }
-
-    # NFC-A: ("sdidx", d, p1, p2, corr, power, signed) per rate
-    a_thr = float(np.float32(0.75))
-    for r, br in enumerate(nfca_bitrates(sample_rate)):
-        d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
-        key = ("sdidx", d, p1, p2, a_thr, pw, False)
-        put_idx(key, ("sd", ("bv", p2), d, p1, p2, a_thr, pw, False),
-                masks[f"mask_a_{r}"])
-
-    # NFC-B: ("eidxb", d, min_deep, power) for r106/r212 delays 0 / 94
-    b_deep = float(np.float32(0.10))
-    for br, mname in zip(
-        nfca_bitrates(sample_rate)[:2], ("mask_b_0", "mask_b_94")
-    ):
-        d = br.symbol_delay_detect
-        key = ("eidxb", d, b_deep, pw)
-        put_idx(key, ("edgeb", d, b_deep, pw), masks[mname])
-
-    # NFC-F: d = 0 over the same half-symbol boxes, rates 212/424
-    f_thr = float(np.float32(0.50))
-    for br, mname in zip(
-        nfca_bitrates(sample_rate)[1:], ("mask_f_1", "mask_f_2")
-    ):
-        p1, p2 = br.period1, br.period2
-        key = ("sdidx", 0, p1, p2, f_thr, pw, False)
-        put_idx(key, ("sd", ("bv", p2), 0, p1, p2, f_thr, pw, False),
-                masks[mname])
-
-    # NFC-V: signed SD over bv94
-    from ..demod.nfcv import nfcv_bitrate
-
-    v_thr = float(np.float32(0.50))
-    brv = nfcv_bitrate(sample_rate)
-    dv, p1v, p2v = brv.symbol_delay_detect, brv.period1, brv.period2
-    key = ("sdidx", dv, p1v, p2v, v_thr, pw, True)
-    put_idx(key, ("sd", ("bv", p2v), dv, p1v, p2v, v_thr, pw, True),
-            masks["mask_v"])
 
     channels._plan = None

@@ -173,6 +173,17 @@ def _load():
             u32p,
         ]
         lib.nfclab_condition_stream.restype = None
+        lib.nfclab_edge_track_ext.argtypes = [
+            f32p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_float,
+            f64p,
+            f32p,
+            u32p,
+        ]
+        lib.nfclab_edge_track_ext.restype = None
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.nfclab_detect_span.argtypes = [
             ctypes.c_int64,
@@ -342,6 +353,37 @@ def condition_stream_into(
         at("edge_time", u32p),
     )
     return n
+
+
+def edge_track_into(
+    params, state: np.ndarray, bufs: dict, lo: int, n: int
+) -> None:
+    """Run the carrier-edge peak tracker (NfcTech.cpp:77-92) over
+    ``bufs['filtered'][lo : lo + n]``, writing edge_peak / edge_time in
+    place — the TPU farm fetches the other conditioned channels from the
+    fused device kernel, which does not emit the edge tracker.  `state` is
+    a 2-element f64 carry [edge_peak, edge_time]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def at(name, ptype):
+        arr = bufs[name]
+        addr = arr.ctypes.data
+        return ctypes.cast(ctypes.c_void_p(addr), ptype)
+
+    lib.nfclab_edge_track_ext(
+        at("filtered", f32p),
+        ctypes.c_int64(lo),
+        ctypes.c_int64(lo + n),
+        ctypes.c_float(params.signal_low_threshold),
+        ctypes.c_float(params.signal_high_threshold),
+        state.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        at("edge_peak", f32p),
+        at("edge_time", u32p),
+    )
 
 
 def condition_stream(value: np.ndarray, params, state: np.ndarray) -> Conditioned:

@@ -101,6 +101,36 @@ void nfclab_condition_stream(
     state[7] = static_cast<double>(clock_base + n);
 }
 
+// Standalone carrier-edge peak tracker (NfcTech.cpp:77-92) over an
+// externally conditioned `filtered` stream — the TPU farm path fetches
+// envelope/filtered/etc. from the fused device kernel (which does not emit
+// the edge channels) and runs only this scan on the host.  Clocks are
+// absolute; pointers are virtual (window base pre-subtracted) like the
+// other _ext kernels.  state: [0]=edge_peak [1]=edge_time(u32 bits).
+void nfclab_edge_track_ext(
+    const float *filt, int64_t start, int64_t n,
+    float low_thr, float high_thr, double *state,
+    float *edge_peak_out, uint32_t *edge_time_out)
+{
+    float edge_peak = static_cast<float>(state[0]);
+    uint32_t edge_time = static_cast<uint32_t>(state[1]);
+    for (int64_t clock = start; clock < n; clock++) {
+        const float rectified = std::fabs(filt[clock]);
+        if (rectified > high_thr) {
+            if (rectified > edge_peak) {
+                edge_peak = rectified;
+                edge_time = static_cast<uint32_t>(clock);
+            }
+        } else if (rectified < low_thr) {
+            edge_peak = 0.0f;
+        }
+        edge_peak_out[clock] = edge_peak;
+        edge_time_out[clock] = edge_time;
+    }
+    state[0] = edge_peak;
+    state[1] = edge_time;
+}
+
 void nfclab_condition(
     const float *value, int64_t n,
     float enve_w0, float enve_w1,
