@@ -1,0 +1,252 @@
+"""Multi-stream TPU decode farm: N live magnitude streams decoded
+concurrently with the dense phase on the device.
+
+Production-serving configuration (the scale story the reference's desktop
+thread pool cannot reach): the fused Pallas frontend conditions N streams
+and produces every correlator channel plus the all-tech detect triggers
+chunk-by-chunk with carried ring state — bit-identical to per-stream
+monolithic passes (fused_frontend.py) — while the host runs only
+
+- the carrier edge tracker (a 1-channel native scan; the kernel does not
+  emit the edge channels),
+- the lazily computed event channels that read exact conditioning (carrier
+  hysteresis crossings, modulation-depth gates), and
+- the per-stream event walk + protocol FSMs (O(events), not O(samples)).
+
+One chip sustains ~10 GS/s of dense phase (bench.py), i.e. a thousand
+10 MS/s streams; the host walk shards across cores/hosts with the streams
+(they are independent — no collectives).
+
+Kernel base clocks are int32: for unbounded streams the farm folds the
+absolute chunk clock to ``512 + clock % 512`` (every ring size divides 512,
+and the fold keeps ``t >= ETU`` so the stream-head envelope seeding never
+re-triggers), so ring phases stay consistent forever while frame clocks
+remain absolute int64 on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.frame import Frame
+from ..core.params import SignalParams
+from ..dsp.tpu_channels import _BOX_KEYS, _WARMUP, idx_key_map
+from .decoder import CarrierDetector, DecoderContext, walk
+from .streaming import StreamingNfcDecoder
+
+_COND_KEYS = ("envelope", "filtered", "deviation", "average", "mod_depth")
+
+
+class KernelFedStream(StreamingNfcDecoder):
+    """Incremental decoder whose conditioning + correlator channels arrive
+    as externally computed chunks (from the fused TPU kernel); the host
+    runs only the edge tracker, the lazy event channels and the walk."""
+
+    def __init__(self, sample_rate: int, **decoder_kwargs):
+        super().__init__(sample_rate, window=None, **decoder_kwargs)
+        self._edge_state = np.zeros(2, np.float64)
+        self._box_entries: list | None = None
+        self._idx_entries: list | None = None
+
+    def feed(self, block):  # pragma: no cover - guard
+        raise TypeError(
+            "KernelFedStream consumes kernel chunks via feed_external(); "
+            "use StreamingNfcDecoder for host-conditioned feeds"
+        )
+
+    # ----------------------------------------------------------- kernel feed
+
+    def feed_external(
+        self,
+        value: np.ndarray,
+        cond_chunks: dict[str, np.ndarray],
+        box_chunks: dict[str, np.ndarray],
+        mask_chunk: np.ndarray,
+    ) -> list[Frame]:
+        """Ingest one chunk: raw samples, the kernel's five conditioned
+        channels, the nine box channels and the packed detect mask (all of
+        equal length); returns newly completed frames."""
+        assert not self._finished, "stream already finished"
+        m = len(value)
+        self._ensure_capacity(m)
+        lo = self._n - self._base  # base stays 0 (unbounded)
+        self._bufs["value"][lo : lo + m] = value
+        for k in _COND_KEYS:
+            self._bufs[k][lo : lo + m] = cond_chunks[k]
+        from ..native.binding import edge_track_into
+
+        edge_track_into(self.params, self._edge_state, self._bufs, lo, m)
+        self._n += m
+
+        full = self._view()
+        if self._ctx is None:
+            ctx = DecoderContext(
+                full, self.sample_rate, self.params, self._proto.stream_time
+            )
+            self._ctx = ctx
+            self._init_kernel_entries(ctx.channels)
+            self._append_kernel_chunks(
+                ctx.channels, box_chunks, mask_chunk, lo, lo + m
+            )
+            self._carrier = CarrierDetector(ctx)
+            self._techs = self._proto._make_techs(ctx)
+            for tech in self._techs:
+                tech.initialize()
+        else:
+            ctx = self._ctx
+            ctx.cond = full
+            ctx.n = len(full.value)
+            ctx.channels.rebind(full)
+            self._append_kernel_chunks(
+                ctx.channels, box_chunks, mask_chunk, lo, lo + m
+            )
+            # host-lazy entries (carrier crossings, mod-depth gates) extend
+            # over the new tail; kernel-fed entries are already current
+            ctx.channels.extend_all()
+            self._carrier.bind(ctx)
+            for tech in self._techs:
+                tech.bind_channels()
+
+        before = len(ctx.frames)
+        self._t = walk(ctx, self._carrier, self._techs, self._t)
+        return ctx.frames[before:]
+
+    # ------------------------------------------------------- entry plumbing
+
+    def _init_kernel_entries(self, lz):
+        """Create the box/index cache entries the kernel feeds, BEFORE the
+        techs bind (so no getter ever host-computes them)."""
+        from ..dsp.pallas.fused_frontend import MASK_LAYOUT
+        from ..native.binding import alloc_array
+
+        cap = max(len(self._bufs["value"]), 4096)
+        self._box_entries = []
+        for name, (key, kind_code, width, lag) in _BOX_KEYS.items():
+            lz._cache[key] = {
+                "arr": alloc_array(cap, np.float32),
+                "n": 0,
+                "acc": np.zeros(1, np.float64),
+                "idx": None,
+                "scanned": 0,
+                "extend": None,
+                "kind": "box",
+                "meta": (kind_code, width, lag),
+            }
+            self._box_entries.append((name, key))
+        masks = dict(MASK_LAYOUT)
+        self._idx_entries = []
+        for mname, key, fx in idx_key_map(
+            self.sample_rate, self.params.power_level_threshold
+        ):
+            lz._cache[key] = {
+                "arr": None,
+                "n": 0,
+                "acc": None,
+                "idx": None,
+                "idx_n": 0,
+                "scanned": 0,
+                "extend": None,
+                "kind": "idx",
+                "fx": fx,
+            }
+            self._idx_entries.append((masks[mname], key))
+        lz._plan = None
+
+    def _append_kernel_chunks(self, lz, box_chunks, mask_chunk, lo, hi):
+        from ..dsp.channels import LazyChannels
+
+        for name, key in self._box_entries:
+            ent = lz._entry(key)  # grows the buffer with the stream
+            ent["arr"][lo:hi] = box_chunks[name]
+            ent["n"] = hi
+        bits = mask_chunk.astype(np.int32)
+        if lo < _WARMUP:
+            bits[: min(hi, _WARMUP) - lo] = 0
+        for weight, key in self._idx_entries:
+            ent = lz._cache[key]
+            idx = (np.flatnonzero(bits & weight) + lo).astype(np.int64)
+            LazyChannels._append_idx(ent, idx, hi)
+
+
+class TpuStreamFarm:
+    """Decode ``n_streams`` independent 10 MS/s magnitude streams: one
+    device dispatch per chunk covers every stream's dense phase; host
+    walkers emit frames per stream.
+
+    feed(blocks[n_streams, chunk]) -> list of per-stream new frames.
+    Streams that end early can be padded with zeros (silence decodes to
+    carrier events only)."""
+
+    def __init__(
+        self,
+        n_streams: int,
+        sample_rate: int = 10_000_000,
+        power_level_threshold: float = 0.01,
+        **decoder_kwargs,
+    ):
+        if sample_rate != 10_000_000:
+            raise ValueError(
+                "the fused kernel's windows are built for 10 MS/s captures"
+            )
+        self.n_streams = n_streams
+        self.sample_rate = sample_rate
+        self.params = SignalParams(
+            sample_rate, power_level_threshold=power_level_threshold
+        )
+        from ..dsp.frontend import _params_tuple
+
+        self._pt = _params_tuple(self.params)
+        self._mp = (float(power_level_threshold), 0.75, 0.10, 0.50, 0.50)
+        self.streams = [
+            KernelFedStream(
+                sample_rate,
+                power_level_threshold=power_level_threshold,
+                **decoder_kwargs,
+            )
+            for _ in range(n_streams)
+        ]
+        self._state = None
+        self._clock = 0
+
+    def _kernel_base(self) -> int:
+        # int32-safe fold; every ring size divides 512 and the fold keeps
+        # t >= ETU so stream-head envelope seeding happens only at clock 0
+        return self._clock if self._clock == 0 else 512 + (self._clock % 512)
+
+    def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
+        from ..dsp.pallas.fused_frontend import LANES, TILE, fused_frontend
+
+        blocks = np.ascontiguousarray(blocks, np.float32)
+        n_s, chunk = blocks.shape
+        if n_s != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} stream rows")
+        if chunk % TILE:
+            raise ValueError(f"chunk must be a multiple of {TILE}")
+        b = -(-n_s // LANES) * LANES
+        x = blocks
+        if b != n_s:
+            x = np.zeros((b, chunk), np.float32)
+            x[:n_s] = blocks
+
+        res, self._state = fused_frontend(
+            x, self._pt, native_layout=False, mask_params=self._mp,
+            state=self._state, base=self._kernel_base(), return_state=True,
+        )
+        self._clock += chunk
+
+        fetch = {
+            name: np.asarray(res[name][:n_s])
+            for name in (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
+        }
+        out = []
+        for i, st in enumerate(self.streams):
+            cond = {k: fetch[k][i] for k in _COND_KEYS}
+            boxes = {k: fetch[k][i] for k in _BOX_KEYS}
+            out.append(
+                st.feed_external(blocks[i], cond, boxes,
+                                 fetch["detect_mask"][i])
+            )
+        return out
+
+    def finish(self) -> list[list[Frame]]:
+        return [st.finish() for st in self.streams]

@@ -1,0 +1,108 @@
+"""KernelFedStream plumbing (CPU): feeding chunks computed on the host
+through the external-chunk path must reproduce the regular streaming
+decoder's frames exactly (same data in -> same walk).  The real device
+path is validated on TPU by tools/validate_tpu_farm."""
+
+import numpy as np
+import pytest
+
+from nfclab.core.params import SignalParams
+from nfclab.io.golden import GOLDEN_TYPES
+from nfclab.io.wav import read_wav
+from nfclab.runtime.farm import KernelFedStream
+from nfclab.runtime.streaming import StreamingNfcDecoder
+
+
+def _native_ok():
+    from nfclab.native.binding import native_available
+
+    return native_available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_ok(), reason="native library unavailable"
+)
+
+
+def _host_kernel_feed(samples, rate, chunk=16384):
+    """Emulate the device outputs on the host: conditioning via the native
+    carry kernel, boxes/mask from the host channel builders (full-stream,
+    then sliced per chunk — running sums make that equal to carried-chunk
+    computation)."""
+    from tests.test_tpu_channels import _host_channel_arrays
+
+    arrs, cond = _host_channel_arrays(samples, rate, 0.01)
+    n = len(samples)
+    dec = KernelFedStream(rate)
+    frames = []
+    cond_names = ("envelope", "filtered", "deviation", "average", "mod_depth")
+    cond_full = {
+        "envelope": cond.envelope,
+        "filtered": cond.filtered,
+        "deviation": cond.deviation,
+        "average": cond.average,
+        "mod_depth": cond.mod_depth,
+    }
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        frames.extend(
+            dec.feed_external(
+                samples[lo:hi],
+                {k: cond_full[k][lo:hi] for k in cond_names},
+                {k: arrs[k][lo:hi] for k in arrs if k != "detect_mask"},
+                arrs["detect_mask"][lo:hi],
+            )
+        )
+    frames.extend(dec.finish())
+    return frames
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["test_NFC-A_106kbps_002", "test_NFC-B_106kbps_001",
+     "test_POLL_AB_001"],
+)
+def test_kernel_fed_stream_matches_streaming_decoder(name, fixture_dir):
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    rate = info.sample_rate
+
+    ref = StreamingNfcDecoder(rate)
+    want = []
+    for lo in range(0, len(samples), 16384):
+        want.extend(ref.feed(samples[lo : lo + 16384]))
+    want.extend(ref.finish())
+
+    got = _host_kernel_feed(samples, rate)
+
+    want = [f for f in want if f.frame_type in GOLDEN_TYPES]
+    got = [f for f in got if f.frame_type in GOLDEN_TYPES]
+    assert len(got) == len(want)
+    assert all(a == b for a, b in zip(got, want))
+
+
+def test_kernel_fed_stream_edge_tracker_matches_conditioner(fixture_dir):
+    """The standalone edge tracker must reproduce the full conditioner's
+    edge channels bit-exactly (same input, same branches)."""
+    from nfclab.native import condition_exact
+    from nfclab.native.binding import edge_track_into
+
+    samples, info = read_wav(
+        str(fixture_dir / "test_NFC-A_106kbps_002.wav")
+    )
+    params = SignalParams(info.sample_rate, power_level_threshold=0.01)
+    cond = condition_exact(samples, params)
+
+    n = len(samples)
+    bufs = {
+        "filtered": np.ascontiguousarray(cond.filtered),
+        "edge_peak": np.zeros(n, np.float32),
+        "edge_time": np.zeros(n, np.uint32),
+    }
+    state = np.zeros(2, np.float64)
+    # feed in uneven chunks to exercise the carry
+    prev = 0
+    for hi in (1000, 50000, n):
+        edge_track_into(params, state, bufs, prev, hi - prev)
+        prev = hi
+    np.testing.assert_array_equal(bufs["edge_peak"], cond.edge_peak)
+    np.testing.assert_array_equal(bufs["edge_time"], cond.edge_time)

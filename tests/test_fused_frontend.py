@@ -45,6 +45,26 @@ def test_fused_frontend_matches_unfused_on_tpu():
     os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
     reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
 )
+def test_tpu_stream_farm_matches_goldens():
+    """Concurrent multi-stream decode with carried kernel state
+    (tools/validate_tpu_farm)."""
+    if not _tpu_available():
+        pytest.skip("no TPU device")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "nfclab.tools.validate_tpu_farm"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+@pytest.mark.skipif(
+    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
+    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+)
 def test_tpu_fed_decode_matches_goldens():
     """Fused-kernel channels + detect indices feed the host walk; frames
     must stay golden-equal (tools/validate_tpu_decode)."""
