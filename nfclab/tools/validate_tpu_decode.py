@@ -18,7 +18,9 @@ import sys
 
 # small fixtures by default: the axon tunnel fetches device arrays slowly,
 # and these three cover ASK poll/listen (A 106k), BPSK listen (A 424k) and
-# the NFC-B falling-edge path
+# the NFC-B falling-edge path.  ALL 18 reference fixtures have been
+# validated OK through this path (run with explicit fixture names, in
+# batches if the fetch tunnel is slow).
 DEFAULT_FIXTURES = (
     "test_NFC-A_106kbps_002",
     "test_NFC-A_424kbps_001",
