@@ -356,13 +356,15 @@ def condition_stream_into(
 
 
 def edge_track_into(
-    params, state: np.ndarray, bufs: dict, lo: int, n: int
+    params, state: np.ndarray, bufs: dict, lo: int, n: int, base: int = 0
 ) -> None:
-    """Run the carrier-edge peak tracker (NfcTech.cpp:77-92) over
-    ``bufs['filtered'][lo : lo + n]``, writing edge_peak / edge_time in
-    place — the TPU farm fetches the other conditioned channels from the
-    fused device kernel, which does not emit the edge tracker.  `state` is
-    a 2-element f64 carry [edge_peak, edge_time]."""
+    """Run the carrier-edge peak tracker (NfcTech.cpp:77-92) over absolute
+    clocks ``[base + lo, base + lo + n)`` reading/writing the physical
+    buffers at ``[lo, lo + n)`` — the TPU farm fetches the other
+    conditioned channels from the fused device kernel, which does not emit
+    the edge tracker.  `state` is a 2-element f64 carry
+    [edge_peak, edge_time]; edge_time records the absolute clock (u32,
+    wrap-reconstructed by the carrier detector)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
@@ -371,13 +373,13 @@ def edge_track_into(
 
     def at(name, ptype):
         arr = bufs[name]
-        addr = arr.ctypes.data
+        addr = arr.ctypes.data - base * arr.itemsize  # virtual pointer
         return ctypes.cast(ctypes.c_void_p(addr), ptype)
 
     lib.nfclab_edge_track_ext(
         at("filtered", f32p),
-        ctypes.c_int64(lo),
-        ctypes.c_int64(lo + n),
+        ctypes.c_int64(base + lo),
+        ctypes.c_int64(base + lo + n),
         ctypes.c_float(params.signal_low_threshold),
         ctypes.c_float(params.signal_high_threshold),
         state.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -40,10 +40,16 @@ _COND_KEYS = ("envelope", "filtered", "deviation", "average", "mod_depth")
 class KernelFedStream(StreamingNfcDecoder):
     """Incremental decoder whose conditioning + correlator channels arrive
     as externally computed chunks (from the fused TPU kernel); the host
-    runs only the edge tracker, the lazy event channels and the walk."""
+    runs only the edge tracker, the lazy event channels and the walk.
 
-    def __init__(self, sample_rate: int, **decoder_kwargs):
-        super().__init__(sample_rate, window=None, **decoder_kwargs)
+    ``window=N`` bounds memory exactly like the host streaming decoder:
+    only the trailing N..slack*N samples of every dense array stay
+    resident, clocks stay absolute, and the kernel-fed cache entries shift
+    with the window (LazyChannels.rebind handles them generically)."""
+
+    def __init__(self, sample_rate: int, window: int | None = None,
+                 **decoder_kwargs):
+        super().__init__(sample_rate, window=window, **decoder_kwargs)
         self._edge_state = np.zeros(2, np.float64)
         self._box_entries: list | None = None
         self._idx_entries: list | None = None
@@ -67,15 +73,19 @@ class KernelFedStream(StreamingNfcDecoder):
         channels, the nine box channels and the packed detect mask (all of
         equal length); returns newly completed frames."""
         assert not self._finished, "stream already finished"
+        self._compact()
         m = len(value)
         self._ensure_capacity(m)
-        lo = self._n - self._base  # base stays 0 (unbounded)
-        self._bufs["value"][lo : lo + m] = value
+        abs_lo = self._n  # absolute clock of this chunk's first sample
+        plo = abs_lo - self._base  # physical offset in the window buffers
+        self._bufs["value"][plo : plo + m] = value
         for k in _COND_KEYS:
-            self._bufs[k][lo : lo + m] = cond_chunks[k]
+            self._bufs[k][plo : plo + m] = cond_chunks[k]
         from ..native.binding import edge_track_into
 
-        edge_track_into(self.params, self._edge_state, self._bufs, lo, m)
+        edge_track_into(
+            self.params, self._edge_state, self._bufs, plo, m, self._base
+        )
         self._n += m
 
         full = self._view()
@@ -84,9 +94,13 @@ class KernelFedStream(StreamingNfcDecoder):
                 full, self.sample_rate, self.params, self._proto.stream_time
             )
             self._ctx = ctx
+            if self.window:
+                ctx.channels.capacity_hint = (
+                    self.slack * self.window + (1 << 17)
+                )
             self._init_kernel_entries(ctx.channels)
             self._append_kernel_chunks(
-                ctx.channels, box_chunks, mask_chunk, lo, lo + m
+                ctx.channels, box_chunks, mask_chunk, abs_lo, abs_lo + m
             )
             self._carrier = CarrierDetector(ctx)
             self._techs = self._proto._make_techs(ctx)
@@ -96,9 +110,9 @@ class KernelFedStream(StreamingNfcDecoder):
             ctx = self._ctx
             ctx.cond = full
             ctx.n = len(full.value)
-            ctx.channels.rebind(full)
+            ctx.channels.rebind(full, self._base)
             self._append_kernel_chunks(
-                ctx.channels, box_chunks, mask_chunk, lo, lo + m
+                ctx.channels, box_chunks, mask_chunk, abs_lo, abs_lo + m
             )
             # host-lazy entries (carrier crossings, mod-depth gates) extend
             # over the new tail; kernel-fed entries are already current
@@ -119,7 +133,7 @@ class KernelFedStream(StreamingNfcDecoder):
         from ..dsp.pallas.fused_frontend import MASK_LAYOUT
         from ..native.binding import alloc_array
 
-        cap = max(len(self._bufs["value"]), 4096)
+        cap = max(len(self._bufs["value"]), 4096, lz.capacity_hint)
         self._box_entries = []
         for name, (key, kind_code, width, lag) in _BOX_KEYS.items():
             lz._cache[key] = {
@@ -152,20 +166,24 @@ class KernelFedStream(StreamingNfcDecoder):
             self._idx_entries.append((masks[mname], key))
         lz._plan = None
 
-    def _append_kernel_chunks(self, lz, box_chunks, mask_chunk, lo, hi):
+    def _append_kernel_chunks(self, lz, box_chunks, mask_chunk,
+                              abs_lo, abs_hi):
+        """Append one chunk (absolute clocks [abs_lo, abs_hi)) into the
+        kernel-fed entries; physical buffer offsets follow the window."""
         from ..dsp.channels import LazyChannels
 
+        plo, phi = abs_lo - lz.base, abs_hi - lz.base
         for name, key in self._box_entries:
-            ent = lz._entry(key)  # grows the buffer with the stream
-            ent["arr"][lo:hi] = box_chunks[name]
-            ent["n"] = hi
+            ent = lz._entry(key)  # grows the buffer with the window
+            ent["arr"][plo:phi] = box_chunks[name]
+            ent["n"] = abs_hi
         bits = mask_chunk.astype(np.int32)
-        if lo < _WARMUP:
-            bits[: min(hi, _WARMUP) - lo] = 0
+        if abs_lo < _WARMUP:
+            bits[: min(abs_hi, _WARMUP) - abs_lo] = 0
         for weight, key in self._idx_entries:
             ent = lz._cache[key]
-            idx = (np.flatnonzero(bits & weight) + lo).astype(np.int64)
-            LazyChannels._append_idx(ent, idx, hi)
+            idx = (np.flatnonzero(bits & weight) + abs_lo).astype(np.int64)
+            LazyChannels._append_idx(ent, idx, abs_hi)
 
 
 class TpuStreamFarm:
@@ -182,6 +200,7 @@ class TpuStreamFarm:
         n_streams: int,
         sample_rate: int = 10_000_000,
         power_level_threshold: float = 0.01,
+        window: int | None = None,
         **decoder_kwargs,
     ):
         if sample_rate != 10_000_000:
@@ -200,6 +219,7 @@ class TpuStreamFarm:
         self.streams = [
             KernelFedStream(
                 sample_rate,
+                window=window,
                 power_level_threshold=power_level_threshold,
                 **decoder_kwargs,
             )

@@ -45,7 +45,8 @@ def main(argv=None) -> int:
         assert info.sample_rate == 10_000_000
         streams.append(np.asarray(samples, np.float32))
 
-    farm = TpuStreamFarm(len(streams))
+    window = int(os.environ.get("NFCLAB_FARM_WINDOW", "0")) or None
+    farm = TpuStreamFarm(len(streams), window=window)
     frames = [[] for _ in streams]
     longest = max(len(s) for s in streams)
     total = -(-longest // CHUNK) * CHUNK

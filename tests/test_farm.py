@@ -80,6 +80,53 @@ def test_kernel_fed_stream_matches_streaming_decoder(name, fixture_dir):
     assert all(a == b for a, b in zip(got, want))
 
 
+def test_windowed_kernel_fed_stream_matches(fixture_dir):
+    """Windowed (bounded-memory) external feed across multiple compactions
+    == the windowed host streaming decoder on the same tiled stream."""
+    from tests.test_tpu_channels import _host_channel_arrays
+
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    rate = info.sample_rate
+    big = np.tile(samples, 12)  # ~875k samples, > 3 windows at 2^18
+
+    arrs, cond = _host_channel_arrays(big, rate, 0.01)
+    cond_full = {
+        "envelope": cond.envelope,
+        "filtered": cond.filtered,
+        "deviation": cond.deviation,
+        "average": cond.average,
+        "mod_depth": cond.mod_depth,
+    }
+
+    W = 1 << 18
+    ref = StreamingNfcDecoder(rate, window=W, slack=2)
+    want = []
+    for lo in range(0, len(big), 16384):
+        want.extend(ref.feed(big[lo : lo + 16384]))
+    want.extend(ref.finish())
+    assert ref.base > 0, "window never compacted; test is vacuous"
+
+    dec = KernelFedStream(rate, window=W, slack=2)
+    got = []
+    for lo in range(0, len(big), 16384):
+        hi = min(lo + 16384, len(big))
+        got.extend(
+            dec.feed_external(
+                big[lo:hi],
+                {k: cond_full[k][lo:hi] for k in cond_full},
+                {k: arrs[k][lo:hi] for k in arrs if k != "detect_mask"},
+                arrs["detect_mask"][lo:hi],
+            )
+        )
+    got.extend(dec.finish())
+    assert dec.base > 0
+
+    want = [f for f in want if f.frame_type in GOLDEN_TYPES]
+    got = [f for f in got if f.frame_type in GOLDEN_TYPES]
+    assert len(got) == len(want)
+    assert all(a == b for a, b in zip(got, want))
+
+
 def test_kernel_fed_stream_edge_tracker_matches_conditioner(fixture_dir):
     """The standalone edge tracker must reproduce the full conditioner's
     edge channels bit-exactly (same input, same branches)."""
