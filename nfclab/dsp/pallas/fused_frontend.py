@@ -25,11 +25,14 @@ Outputs (15 x f32): env, filt, mdev, avg, mod_depth,
                                 falling-edge triggers at delays 0/94
                                 (NfcB.cpp:283), bits 5-6 NFC-F correlation
                                 (NfcF.cpp detect), bit 7 NFC-V signed SD
-                                (NfcV.cpp:236-435).  SD values are read from
-                                VMEM rings of box values at each rate's
-                                delay cascade — one packed output instead of
-                                per-tech mask arrays keeps HBM write traffic
-                                flat while covering every technology.
+                                (NfcV.cpp:236-435).  The mask is computed
+                                VECTORIZED once per time block from linear
+                                VMEM history buffers of the box/filtered
+                                streams (static-slice lookbacks — zero
+                                scalar-addressed reads in the serial loop);
+                                one packed output instead of per-tech mask
+                                arrays keeps HBM write traffic flat while
+                                covering every technology.
 
 Layout: the kernel's native tiling is [g, t, 8, 128] (1024 streams per grid
 row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
@@ -64,18 +67,28 @@ RQ_RING = 256
 RP_RINGS = (8, 16, 32)
 
 # NFC-A detect per rate: (delay cascade d, gap = p1-p2, p2, index of p2 in
-# BV_WIDTHS); max ring lookback = d + gap + 1 = 154 < RB_RING
+# BV_WIDTHS); max history lookback = d + gap
 A_RATES = ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
-RB_RING = 256  # power of two so lax.rem lowers to a bitwise AND
 
-# NFC-B falling-edge trigger delays (filtered-signal lookbacks, < RF_RING)
+# NFC-B falling-edge trigger delays (filtered-signal lookbacks)
 B_DELAYS = (0, 94)
-# NFC-F detect per rate: (d, gap, p2, A_RATES ring index holding that box) —
-# F's SD reads the same bv24/bv12 box values A rates 1/2 already ring-buffer
+# NFC-F detect per rate: (d, gap, p2, A_RATES index naming the shared box) —
+# F's SD reads the same bv24/bv12 box values as A rates 1/2
 F_RATES = ((0, 23, 24, 1), (0, 12, 12, 2))
-# NFC-V signed SD: (d, gap, p2, BV_WIDTHS index); lookback d+gap+1 = 474
+# NFC-V signed SD: (d, gap, p2, BV_WIDTHS index); lookback d+gap = 473
 V_RATE = (378, 95, 94, 3)
-RBV_RING = 512
+
+# The detect masks are computed VECTORIZED per time block (outside the
+# serial per-sample loop) from linear history buffers: each buffer holds
+# [L, sub, 128] of past values followed by [TILE, sub, 128] of the current
+# block, so every lookback `c` is the static slice [L-c : L-c+TILE].  L is
+# the family's max lookback; histories advance by a TILE shift per block.
+H_BV47 = 47    # A rate 0: lags 1 and 47
+H_BV24 = 117   # A rate 1 (d=94): lags 94/95/117; F rate 1: lags 1/23
+H_BV12 = 153   # A rate 2 (d=141): lags 141/142/153; F rate 2: lags 1/12
+H_BV94 = 473   # V: lags 378 and 473
+H_FILT = 94    # B falling-edge delay 94
+H_SIZES = (H_BV47, H_BV24, H_BV12, H_BV94, H_FILT)
 
 # detect_mask bit weights (f32-exact integers)
 MASK_BITS_A = (1.0, 2.0, 4.0)
@@ -97,15 +110,25 @@ S_RQ = S_RF + RF_RING
 S_RP0 = S_RQ + RQ_RING
 S_RP1 = S_RP0 + RP_RINGS[0]
 S_RP2 = S_RP1 + RP_RINGS[1]
-S_RB = S_RP2 + RP_RINGS[2]
-S_RBV = S_RB + len(A_RATES) * RB_RING
-S_SUMS = S_RBV + RBV_RING
+S_H = S_RP2 + RP_RINGS[2]
+N_HIST = sum(h + TILE for h in H_SIZES)
+S_SUMS = S_H + N_HIST
 N_SUMS = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
 NSTATE = S_SUMS + N_SUMS
 
 
+def _hist_sections():
+    secs = []
+    off = S_H
+    for h in H_SIZES:
+        secs.append((off, h + TILE))
+        off += h + TILE
+    return tuple(secs)
+
+
 # (section offset, length) pairs covering the carried state, in scratch
-# order: carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums
+# order: carry, rv, rf, rq, rp0, rp1, rp2, histories (bv47/bv24/bv12/bv94/
+# filt), sums
 STATE_SECTIONS = (
     (S_CARRY, 8),
     (S_RV, RV_RING),
@@ -114,15 +137,15 @@ STATE_SECTIONS = (
     (S_RP0, RP_RINGS[0]),
     (S_RP1, RP_RINGS[1]),
     (S_RP2, RP_RINGS[2]),
-    (S_RB, len(A_RATES) * RB_RING),
-    (S_RBV, RBV_RING),
+    *_hist_sections(),
     (S_SUMS, N_SUMS),
 )
 
 
 def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
                   load_state, out_refs, save_state,
-                  carry, rv, rf, rq, rp0, rp1, rp2, rb, rbv, sums):
+                  carry, rv, rf, rq, rp0, rp1, rp2,
+                  h47, h24, h12, h94, hfilt, sums):
     """Compute body: conditioning + channels over one [TILE, sub, 128] time
     block.  State residency is the caller's concern — `load_state()` fills
     the scratch rings at the first time block, `save_state()` persists them
@@ -221,70 +244,6 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
             s += 1
         rf[slot_f] = filt
 
-        # all-tech detect trigger bits, packed into one f32 integer output.
-        # SD formulas read VMEM rings of box values at each rate's delay
-        # cascade (frontend.py SD formula):
-        # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
-        slot_b = jax.lax.rem(t, RB_RING)
-        power_ok = new_env >= power_thr
-        mval = jnp.zeros((sub, 128), jnp.float32)
-
-        # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291).
-        # d == 0 rates read the current box value from `sums` and B(t-1)
-        # from the carried previous value — only the gap lookback needs the
-        # ring (each dynamic ring access is a scalar-addressed VMEM op).
-        min_corr_a = a_thr * new_env
-        prev_bv = {47: carry[5], 24: carry[6], 12: carry[7]}
-        for r, (d, gap, p2, widx) in enumerate(A_RATES):
-            roff = r * RB_RING
-            rb[roff + slot_b] = sums[widx]
-            if d == 0:
-                b0 = sums[widx]
-                b1 = prev_bv[BV_WIDTHS[widx]]
-            else:
-                b0 = rb[roff + jax.lax.rem(t - d + RB_RING, RB_RING)]
-                b1 = rb[roff + jax.lax.rem(t - d - 1 + RB_RING, RB_RING)]
-            bg = rb[roff + jax.lax.rem(t - d - gap + 2 * RB_RING, RB_RING)]
-            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
-            mask = power_ok & (jnp.abs(sd) > min_corr_a)
-            mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
-
-        # NFC-F: same SD family over bv24/bv12, which A rates 1/2 already
-        # ring-buffer; d = 0 so b0/b1 come from sums and the carried prevs
-        min_corr_f = f_thr * new_env
-        for r, (d, gap, p2, ridx) in enumerate(F_RATES):
-            roff = ridx * RB_RING
-            widx = A_RATES[ridx][3]
-            b0 = sums[widx]
-            b1 = prev_bv[BV_WIDTHS[widx]]
-            bg = rb[roff + jax.lax.rem(t - gap + RB_RING, RB_RING)]
-            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
-            mask = power_ok & (jnp.abs(sd) > min_corr_f)
-            mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
-
-        # NFC-B: falling-edge trigger filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
-        edge_b = -(b_min_deep * new_env)
-        for r, d in enumerate(B_DELAYS):
-            fd = filt if d == 0 else rf[jax.lax.rem(t - d + RF_RING, RF_RING)]
-            mask = power_ok & (fd < edge_b)
-            mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
-
-        # NFC-V: signed SD = (B(u-gap) - B(u))/p2 > thr*env (NfcV.cpp:236-435)
-        dv, gapv, p2v, widxv = V_RATE
-        slot_bv = jax.lax.rem(t, RBV_RING)
-        rbv[slot_bv] = sums[widxv]
-        u0 = rbv[jax.lax.rem(t - dv + RBV_RING, RBV_RING)]
-        ug = rbv[jax.lax.rem(t - dv - gapv + 2 * RBV_RING, RBV_RING)]
-        sd_v = (ug - u0) / jnp.float32(p2v)
-        mask_v = power_ok & (sd_v > v_thr * new_env)
-        mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
-
-        out_refs[o][j] = mval
-
-        # carry this step's box values as next step's B(t-1)
-        carry[5] = sums[2]  # bv47
-        carry[6] = sums[1]  # bv24
-        carry[7] = sums[0]  # bv12
         return 0
 
     if UNROLL:
@@ -292,6 +251,88 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
             body(j, 0)
     else:
         jax.lax.fori_loop(0, TILE, body, 0)
+
+    # --- vectorized detect-mask phase (whole time block at once) ---
+    # The serial loop above only maintains the running sums; the all-tech
+    # detect triggers are pure functions of the box-sum/filtered streams at
+    # fixed lookbacks, so they are computed here as static-slice shifts of
+    # linear history buffers — no scalar-addressed VMEM reads in the hot
+    # loop.  Values are the very ones the loop just wrote to out_refs, so
+    # the packed mask is bit-identical to the per-sample formulation.
+    # SD formula (frontend.py):
+    # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
+
+    # histories advance by one TILE per block: shift left, append current
+    blk_of = {
+        47: (h47, H_BV47, out_refs[7]),
+        24: (h24, H_BV24, out_refs[6]),
+        12: (h12, H_BV12, out_refs[5]),
+        94: (h94, H_BV94, out_refs[8]),
+        "filt": (hfilt, H_FILT, out_refs[1]),
+    }
+    cur = {}
+    for key, (hist, size, oref) in blk_of.items():
+        # left-to-right TILE-chunk shift: each chunk's source [i+1 .. i+2)
+        # is disjoint from its destination [i .. i+1) and only overwritten
+        # by the following chunk, so the overlap is safe by construction
+        for i in range(0, size - size % TILE, TILE):
+            hist[i : i + TILE] = hist[i + TILE : i + 2 * TILE]
+        rem = size % TILE
+        if rem:
+            lo = size - rem
+            hist[lo:size] = hist[lo + TILE : size + TILE]
+        cur_blk = oref.ref[0]
+        hist[size : size + TILE] = cur_blk
+        cur[key] = cur_blk
+
+    def lagged(key, c):
+        hist, size, _ = blk_of[key]
+        if c == 0:
+            return cur[key]
+        return hist[size - c : size - c + TILE]
+
+    env_b = out_refs[0].ref[0]
+    power_ok = env_b >= power_thr
+    mval = jnp.zeros((TILE, sub, 128), jnp.float32)
+
+    # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291)
+    min_corr_a = a_thr * env_b
+    for r, (d, gap, p2, widx) in enumerate(A_RATES):
+        w = BV_WIDTHS[widx]
+        b0 = lagged(w, d)
+        b1 = lagged(w, d + 1)
+        bg = lagged(w, d + gap)
+        sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+        mask = power_ok & (jnp.abs(sd) > min_corr_a)
+        mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
+
+    # NFC-F: same SD family over the bv24/bv12 boxes A rates 1/2 use
+    min_corr_f = f_thr * env_b
+    for r, (d, gap, p2, ridx) in enumerate(F_RATES):
+        w = BV_WIDTHS[A_RATES[ridx][3]]
+        b0 = lagged(w, 0)
+        b1 = lagged(w, 1)
+        bg = lagged(w, gap)
+        sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+        mask = power_ok & (jnp.abs(sd) > min_corr_f)
+        mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
+
+    # NFC-B: falling-edge trigger filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
+    edge_b = -(b_min_deep * env_b)
+    for r, d in enumerate(B_DELAYS):
+        fd = lagged("filt", d)
+        mask = power_ok & (fd < edge_b)
+        mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
+
+    # NFC-V: signed SD = (B(u-gap) - B(u))/p2 > thr*env (NfcV.cpp:236-435)
+    dv, gapv, p2v, _widxv = V_RATE
+    u0 = lagged(94, dv)
+    ug = lagged(94, dv + gapv)
+    sd_v = (ug - u0) / jnp.float32(p2v)
+    mask_v = power_ok & (sd_v > v_thr * env_b)
+    mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
+
+    out_refs[N_OUT - 1].ref[0] = mval
 
     @pl.when(t_idx == n_t - 1)
     def _():
@@ -373,8 +414,11 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
-                pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV47 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV24 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV12 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV94 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
                 pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
             ],
         )(base, value, state)
@@ -467,8 +511,11 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
                 pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
-                pltpu.VMEM((len(A_RATES) * RB_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RBV_RING, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV47 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV24 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV12 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_BV94 + TILE, sub, 128), jnp.float32),
+                pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
                 pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((len(STATE_SECTIONS),)),
             ],
