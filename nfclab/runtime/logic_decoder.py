@@ -67,13 +67,16 @@ class StreamingIsoDecoder:
     (modulo emission order — both sort by sample position)."""
 
     def __init__(self, sample_rate: int, channels: int = 4,
-                 stream_time: float = 0.0):
+                 stream_time: float = 0.0, frontend: str = "host"):
         from ..demod.iso7816 import Iso7816Decoder
 
         if channels < 4:
             raise ValueError("logic decode expects channels>=4 (IO/CLK/RST/VCC)")
+        if frontend not in ("host", "device"):
+            raise ValueError("frontend must be 'host' or 'device'")
         self.sample_rate = sample_rate
         self.channels = channels
+        self.frontend = frontend
         self._dec = Iso7816Decoder(sample_rate, stream_time)
         cap = 1 << 16
         self._data = np.empty((cap, channels), np.float32)
@@ -83,6 +86,7 @@ class StreamingIsoDecoder:
                      ("io_edges", "io_falls", "line_edges", "clk_falls")}
         self._t = 0
         self._emitted = 0
+        self._mask_carry = None  # device-frontend edge carry across feeds
 
     def feed(self, block: np.ndarray) -> list[Frame]:
         from ..demod.iso7816 import CH_CLK, CH_IO, CH_RST, CH_VCC
@@ -105,15 +109,28 @@ class StreamingIsoDecoder:
         self._edge[e0:need] = self._data[e0:need] - self._data[e0 - 1 : need - 1]
         self._n = need
 
-        tail = self._edge[lo:need]
-        new_line = np.union1d(
-            np.flatnonzero(tail[:, CH_RST] != 0),
-            np.flatnonzero(tail[:, CH_VCC] != 0),
-        ) + lo
-        self._idx["io_edges"].append(np.flatnonzero(tail[:, CH_IO] != 0) + lo)
-        self._idx["io_falls"].append(np.flatnonzero(tail[:, CH_IO] < 0) + lo)
-        self._idx["line_edges"].append(new_line)
-        self._idx["clk_falls"].append(np.flatnonzero(tail[:, CH_CLK] < 0) + lo)
+        if self.frontend == "device":
+            # edge trigger bits computed on the accelerator, packed one int
+            # per sample; the host derives each index set with a single
+            # flatnonzero over the fetched mask (dsp/logic_frontend.py) —
+            # edge math is one f32 subtract, bit-identical to the host scan
+            from ..dsp.logic_frontend import event_indices, logic_event_mask
+
+            mask, self._mask_carry = logic_event_mask(block, self._mask_carry)
+            idx = event_indices(np.asarray(mask), base=lo)
+            new_line = idx["line_edges"]
+            for name in ("io_edges", "io_falls", "line_edges", "clk_falls"):
+                self._idx[name].append(idx[name])
+        else:
+            tail = self._edge[lo:need]
+            new_line = np.union1d(
+                np.flatnonzero(tail[:, CH_RST] != 0),
+                np.flatnonzero(tail[:, CH_VCC] != 0),
+            ) + lo
+            self._idx["io_edges"].append(np.flatnonzero(tail[:, CH_IO] != 0) + lo)
+            self._idx["io_falls"].append(np.flatnonzero(tail[:, CH_IO] < 0) + lo)
+            self._idx["line_edges"].append(new_line)
+            self._idx["clk_falls"].append(np.flatnonzero(tail[:, CH_CLK] < 0) + lo)
 
         dec = self._dec
         dec.bind(

@@ -79,3 +79,23 @@ def test_tpu_fed_decode_matches_goldens():
         cwd=repo,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+@pytest.mark.skipif(
+    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
+    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+)
+def test_tpu_logic_frontend_matches_host():
+    """Device logic event-mask frontend: index sets + frames equal the host
+    path (tools/validate_tpu_logic)."""
+    if not _tpu_available():
+        pytest.skip("no TPU device")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "nfclab.tools.validate_tpu_logic"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr

@@ -202,3 +202,59 @@ def test_streaming_iso_matches_batch(block):
     assert sorted(got, key=key) == sorted(want, key=key)
     # frames appeared before the final feed (incremental emission)
     assert len(got) == len(want) and len(want) > 0
+
+
+def test_streaming_device_frontend_matches_host():
+    """The device logic frontend (packed event-mask bits, dsp/logic_frontend)
+    yields exactly the host scans' index sets and identical frames."""
+    from tests.conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    from nfclab.runtime.logic_decoder import IsoDecoder, StreamingIsoDecoder
+
+    capture = make_session(
+        atr=(0x3B, 0x00), tpdu=[0x00, 0xA4, 0x04, 0x00, 0x00, 0x90, 0x00]
+    )
+    want = IsoDecoder().decode(capture, SAMPLE_RATE)
+
+    host = StreamingIsoDecoder(SAMPLE_RATE, channels=4, frontend="host")
+    dev = StreamingIsoDecoder(SAMPLE_RATE, channels=4, frontend="device")
+    got = []
+    block = 50_001  # uneven blocks cross character/event boundaries
+    for off in range(0, len(capture), block):
+        host.feed(capture[off : off + block])
+        got.extend(dev.feed(capture[off : off + block]))
+    got.extend(dev.finish())
+
+    # event index sets identical to the host scans (bit-exact edge math)
+    for name in ("io_edges", "io_falls", "line_edges", "clk_falls"):
+        assert np.array_equal(
+            host._idx[name].view(), dev._idx[name].view()
+        ), name
+    key = lambda f: (f.sample_start, f.sample_end, f.frame_type)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(want) > 0
+
+
+def test_logic_event_mask_chunk_carry():
+    """Chunked masks with carried state equal one monolithic pass."""
+    from tests.conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    from nfclab.dsp.logic_frontend import event_indices, logic_event_mask
+
+    rng = np.random.default_rng(7)
+    wave = (rng.random((4096, 4)) > 0.7).astype(np.float32)
+    whole, _ = logic_event_mask(wave)
+    whole = np.asarray(whole)
+
+    carry = None
+    pieces = []
+    for off in range(0, len(wave), 1000):
+        m, carry = logic_event_mask(wave[off : off + 1000], carry)
+        pieces.append(np.asarray(m))
+    assert np.array_equal(np.concatenate(pieces), whole)
+
+    idx = event_indices(whole, base=5)
+    assert set(idx) == {"io_edges", "io_falls", "line_edges", "clk_falls"}
+    assert all((v >= 5).all() for v in idx.values())
