@@ -270,3 +270,53 @@ class TpuStreamFarm:
 
     def finish(self) -> list[list[Frame]]:
         return [st.finish() for st in self.streams]
+
+
+class TpuLogicFarm:
+    """Decode ``n_streams`` independent logic-analyzer streams (ISO7816):
+    one batched device dispatch per chunk computes every stream's packed
+    event mask (dsp/logic_frontend, per-stream carried edge state); the host
+    walkers consume only the sparse event indices.
+
+    feed(blocks[n_streams, chunk, channels]) -> per-stream new frames.
+    The logic analog of TpuStreamFarm; a deployment serving both subsystems
+    runs one of each (streams are independent — no collectives)."""
+
+    def __init__(
+        self,
+        n_streams: int,
+        sample_rate: int,
+        channels: int = 4,
+        stream_time: float = 0.0,
+    ):
+        from .logic_decoder import StreamingIsoDecoder
+
+        self.n_streams = n_streams
+        self.channels = channels
+        self.streams = [
+            StreamingIsoDecoder(
+                sample_rate, channels=channels, stream_time=stream_time
+            )
+            for _ in range(n_streams)
+        ]
+        self._carry = None
+
+    def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
+        from ..dsp.logic_frontend import logic_event_mask
+
+        blocks = np.ascontiguousarray(blocks, np.float32)
+        if blocks.ndim != 3 or blocks.shape[0] != self.n_streams or (
+            blocks.shape[2] != self.channels
+        ):
+            raise ValueError(
+                f"expected [{self.n_streams}, chunk, {self.channels}] blocks"
+            )
+        mask, self._carry = logic_event_mask(blocks, self._carry)
+        mask = np.asarray(mask)
+        return [
+            st.feed(blocks[i], mask=mask[i])
+            for i, st in enumerate(self.streams)
+        ]
+
+    def finish(self) -> list[list[Frame]]:
+        return [st.finish() for st in self.streams]

@@ -88,7 +88,14 @@ class StreamingIsoDecoder:
         self._emitted = 0
         self._mask_carry = None  # device-frontend edge carry across feeds
 
-    def feed(self, block: np.ndarray) -> list[Frame]:
+    def feed(self, block: np.ndarray, mask: np.ndarray | None = None
+             ) -> list[Frame]:
+        """Ingest one [M, channels] block; returns newly completed frames.
+
+        ``mask``: optionally, this block's packed event mask as already
+        computed on the device (dsp/logic_frontend.logic_event_mask) — the
+        TPU logic farm batches all streams into one dispatch and passes the
+        per-stream row here."""
         from ..demod.iso7816 import CH_CLK, CH_IO, CH_RST, CH_VCC
 
         block = np.asarray(block, np.float32)
@@ -109,14 +116,17 @@ class StreamingIsoDecoder:
         self._edge[e0:need] = self._data[e0:need] - self._data[e0 - 1 : need - 1]
         self._n = need
 
-        if self.frontend == "device":
+        if mask is not None or self.frontend == "device":
             # edge trigger bits computed on the accelerator, packed one int
             # per sample; the host derives each index set with a single
             # flatnonzero over the fetched mask (dsp/logic_frontend.py) —
             # edge math is one f32 subtract, bit-identical to the host scan
             from ..dsp.logic_frontend import event_indices, logic_event_mask
 
-            mask, self._mask_carry = logic_event_mask(block, self._mask_carry)
+            if mask is None:
+                mask, self._mask_carry = logic_event_mask(
+                    block, self._mask_carry
+                )
             idx = event_indices(np.asarray(mask), base=lo)
             new_line = idx["line_edges"]
             for name in ("io_edges", "io_falls", "line_edges", "clk_falls"):

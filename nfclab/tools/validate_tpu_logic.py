@@ -86,6 +86,36 @@ def main() -> int:
     else:
         failures.append("frames: device-fed decode differs from host")
 
+    # logic farm: 3 concurrent streams, one batched mask dispatch per chunk
+    from nfclab.runtime.farm import TpuLogicFarm
+
+    sessions = [
+        make_session(atr=(0x3B, 0x00),
+                     tpdu=[0x00, 0xA4, 0x04, 0x00, 0x00, 0x90, 0x00]),
+        make_session(atr=(0x3B, 0x00),
+                     tpdu=[0x00, 0xB0, 0x00, 0x08, 0x00, 0x6A, 0x82]),
+        capture,
+    ]
+    n = max(len(s) for s in sessions)
+    blocks = np.ones((len(sessions), n, 4), np.float32)
+    for i, s in enumerate(sessions):
+        blocks[i, : len(s)] = s
+        blocks[i, len(s):] = s[-1]
+    want = [IsoDecoder().decode(blocks[i], SAMPLE_RATE)
+            for i in range(len(sessions))]
+    farm = TpuLogicFarm(len(sessions), SAMPLE_RATE)
+    got = [[] for _ in sessions]
+    for off in range(0, n, 70_000):
+        for i, fr in enumerate(farm.feed(blocks[:, off : off + 70_000])):
+            got[i].extend(fr)
+    for i, fr in enumerate(farm.finish()):
+        got[i].extend(fr)
+    for i in range(len(sessions)):
+        if sorted(got[i], key=key) == sorted(want[i], key=key) and want[i]:
+            print(f"TPU LOGIC FARM stream {i}: OK ({len(want[i])} frames)")
+        else:
+            failures.append(f"logic farm stream {i}: frames differ")
+
     if failures:
         print("FAIL:")
         for f in failures:

@@ -153,3 +153,44 @@ def test_kernel_fed_stream_edge_tracker_matches_conditioner(fixture_dir):
         prev = hi
     np.testing.assert_array_equal(bufs["edge_peak"], cond.edge_peak)
     np.testing.assert_array_equal(bufs["edge_time"], cond.edge_time)
+
+
+def test_tpu_logic_farm_matches_one_shot():
+    """TpuLogicFarm: N concurrent logic streams, one batched device mask
+    dispatch per chunk; frames per stream equal the one-shot decode."""
+    from tests.conftest import ensure_cpu_devices
+    from tests.test_iso7816 import SAMPLE_RATE, make_session
+
+    ensure_cpu_devices()
+    from nfclab.runtime.farm import TpuLogicFarm
+    from nfclab.runtime.logic_decoder import IsoDecoder
+
+    sessions = [
+        make_session(atr=(0x3B, 0x00),
+                     tpdu=[0x00, 0xA4, 0x04, 0x00, 0x00, 0x90, 0x00]),
+        make_session(atr=(0x3B, 0x00),
+                     tpdu=[0x00, 0xB0, 0x00, 0x08, 0x00, 0x6A, 0x82]),
+        make_session(atr=(0x3B, 0x00)),
+    ]
+    n = max(len(s) for s in sessions)
+    blocks = np.ones((len(sessions), n, 4), np.float32)  # idle-high pad
+    for i, s in enumerate(sessions):
+        blocks[i, : len(s)] = s
+        blocks[i, len(s):] = s[-1]  # hold final line levels
+
+    want = [IsoDecoder().decode(blocks[i], SAMPLE_RATE)
+            for i in range(len(sessions))]
+
+    farm = TpuLogicFarm(len(sessions), SAMPLE_RATE)
+    got = [[] for _ in sessions]
+    chunk = 70_000
+    for off in range(0, n, chunk):
+        for i, fr in enumerate(farm.feed(blocks[:, off : off + chunk])):
+            got[i].extend(fr)
+    for i, fr in enumerate(farm.finish()):
+        got[i].extend(fr)
+
+    key = lambda f: (f.sample_start, f.sample_end, f.frame_type)
+    for i in range(len(sessions)):
+        assert sorted(got[i], key=key) == sorted(want[i], key=key), f"stream {i}"
+        assert len(want[i]) > 0
