@@ -98,6 +98,14 @@ MASK_BIT_V = 128.0
 
 N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
 
+# Channels whose current time block the vectorized detect phase (and the
+# history append) reads.  When one of these is excluded from the HBM output
+# set it still gets a [TILE, sub, 128] VMEM scratch block the serial loop
+# writes instead — the kernel is HBM-write-bound, so trimming unread outputs
+# raises throughput proportionally (the batch TPU-fed decode consumes only
+# the box channels + detect_mask; conditioning is host-recomputed there).
+MASK_DEPS = ("envelope", "filtered", "bv12", "bv24", "bv47", "bv94")
+
 
 # ring-state layout inside the carried state array [NSTATE, sub, 128]:
 # every VMEM ring plus the conditioning carry and running sums, so a stream
@@ -143,13 +151,18 @@ STATE_SECTIONS = (
 
 
 def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
-                  load_state, out_refs, save_state,
+                  load_state, outs, blks, save_state,
                   carry, rv, rf, rq, rp0, rp1, rp2,
                   h47, h24, h12, h94, hfilt, sums):
     """Compute body: conditioning + channels over one [TILE, sub, 128] time
     block.  State residency is the caller's concern — `load_state()` fills
     the scratch rings at the first time block, `save_state()` persists them
-    after the last (VMEM block copy or HBM DMA, see _jitted/_jitted_dma)."""
+    after the last (VMEM block copy or HBM DMA, see _jitted/_jitted_dma).
+
+    `outs` maps every OUTPUT_NAMES entry to its _View or None (excluded from
+    the HBM output set); `blks` holds raw [TILE, sub, 128] scratch refs for
+    excluded MASK_DEPS channels so the detect phase still sees their current
+    block.  Selection is static — the trace contains only selected stores."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -166,6 +179,13 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     @pl.when(t_idx == 0)
     def _():
         load_state()
+
+    def put(name, j, val):
+        v = outs[name]
+        if v is not None:
+            v[j] = val
+        elif name in blks:
+            blks[name][j] = val
 
     def body(j, _):
         t = base + t_idx * TILE + j
@@ -199,23 +219,22 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         carry[3] = avg
         carry[4] = pcount
 
-        out_refs[0][j] = new_env
-        out_refs[1][j] = filt
-        out_refs[2][j] = mdev
-        out_refs[3][j] = avg
-        # modulation depth (NfcTech.cpp:71-74), fused to save an XLA pass
-        clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
-        out_refs[4][j] = (new_env - clamped) / new_env
+        put("envelope", j, new_env)
+        put("filtered", j, filt)
+        put("deviation", j, mdev)
+        put("average", j, avg)
+        if outs["mod_depth"] is not None:
+            # modulation depth (NfcTech.cpp:71-74), fused to save an XLA pass
+            clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
+            outs["mod_depth"][j] = (new_env - clamped) / new_env
 
         # raw-value boxes
-        o = 5
         s = 0
         slot_v = jax.lax.rem(t, RV_RING)
         for w in BV_WIDTHS:
             old = rv[jax.lax.rem(t - w + RV_RING, RV_RING)]
             sums[s] = sums[s] + v - old
-            out_refs[o][j] = sums[s]
-            o += 1
+            put(f"bv{w}", j, sums[s])
             s += 1
         rv[slot_v] = v
 
@@ -225,8 +244,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         for w in Q_WIDTHS:
             old = rq[jax.lax.rem(t - w + RQ_RING, RQ_RING)]
             sums[s] = sums[s] + q - old
-            out_refs[o][j] = sums[s]
-            o += 1
+            put(f"q{w}", j, sums[s])
             s += 1
         rq[slot_q] = q
 
@@ -238,9 +256,8 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
             slot_p = jax.lax.rem(t, rsize)
             old = rp[jax.lax.rem(t - box + rsize, rsize)]
             sums[s] = sums[s] + prod - old
-            out_refs[o][j] = sums[s]
+            put(f"p{lag}x{box}", j, sums[s])
             rp[slot_p] = prod
-            o += 1
             s += 1
         rf[slot_f] = filt
 
