@@ -274,21 +274,28 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     # detect triggers are pure functions of the box-sum/filtered streams at
     # fixed lookbacks, so they are computed here as static-slice shifts of
     # linear history buffers — no scalar-addressed VMEM reads in the hot
-    # loop.  Values are the very ones the loop just wrote to out_refs, so
-    # the packed mask is bit-identical to the per-sample formulation.
+    # loop.  Values are the very ones the loop just wrote (to the HBM output
+    # blocks, or to the `blks` VMEM scratch for excluded MASK_DEPS), so the
+    # packed mask is bit-identical to the per-sample formulation.
     # SD formula (frontend.py):
     # sd(t) = ((B(t-d) - B(t-d-gap)) - (B(t-d-gap) - B(t-d-1))) / p2
 
-    # histories advance by one TILE per block: shift left, append current
+    def cur_block(name):
+        v = outs[name]
+        return v.ref[0] if v is not None else blks[name][...]
+
+    # histories advance by one TILE per block: shift left, append current.
+    # The append always runs (even with detect_mask excluded) so the carried
+    # state stays selection-independent for chunked streaming.
     blk_of = {
-        47: (h47, H_BV47, out_refs[7]),
-        24: (h24, H_BV24, out_refs[6]),
-        12: (h12, H_BV12, out_refs[5]),
-        94: (h94, H_BV94, out_refs[8]),
-        "filt": (hfilt, H_FILT, out_refs[1]),
+        47: (h47, H_BV47, "bv47"),
+        24: (h24, H_BV24, "bv24"),
+        12: (h12, H_BV12, "bv12"),
+        94: (h94, H_BV94, "bv94"),
+        "filt": (hfilt, H_FILT, "filtered"),
     }
     cur = {}
-    for key, (hist, size, oref) in blk_of.items():
+    for key, (hist, size, name) in blk_of.items():
         # left-to-right TILE-chunk shift: each chunk's source [i+1 .. i+2)
         # is disjoint from its destination [i .. i+1) and only overwritten
         # by the following chunk, so the overlap is safe by construction
@@ -298,7 +305,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         if rem:
             lo = size - rem
             hist[lo:size] = hist[lo + TILE : size + TILE]
-        cur_blk = oref.ref[0]
+        cur_blk = cur_block(name)
         hist[size : size + TILE] = cur_blk
         cur[key] = cur_blk
 
@@ -308,48 +315,49 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
             return cur[key]
         return hist[size - c : size - c + TILE]
 
-    env_b = out_refs[0].ref[0]
-    power_ok = env_b >= power_thr
-    mval = jnp.zeros((TILE, sub, 128), jnp.float32)
+    if outs["detect_mask"] is not None:
+        env_b = cur_block("envelope")
+        power_ok = env_b >= power_thr
+        mval = jnp.zeros((TILE, sub, 128), jnp.float32)
 
-    # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291)
-    min_corr_a = a_thr * env_b
-    for r, (d, gap, p2, widx) in enumerate(A_RATES):
-        w = BV_WIDTHS[widx]
-        b0 = lagged(w, d)
-        b1 = lagged(w, d + 1)
-        bg = lagged(w, d + gap)
-        sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
-        mask = power_ok & (jnp.abs(sd) > min_corr_a)
-        mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
+        # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291)
+        min_corr_a = a_thr * env_b
+        for r, (d, gap, p2, widx) in enumerate(A_RATES):
+            w = BV_WIDTHS[widx]
+            b0 = lagged(w, d)
+            b1 = lagged(w, d + 1)
+            bg = lagged(w, d + gap)
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr_a)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
 
-    # NFC-F: same SD family over the bv24/bv12 boxes A rates 1/2 use
-    min_corr_f = f_thr * env_b
-    for r, (d, gap, p2, ridx) in enumerate(F_RATES):
-        w = BV_WIDTHS[A_RATES[ridx][3]]
-        b0 = lagged(w, 0)
-        b1 = lagged(w, 1)
-        bg = lagged(w, gap)
-        sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
-        mask = power_ok & (jnp.abs(sd) > min_corr_f)
-        mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
+        # NFC-F: same SD family over the bv24/bv12 boxes A rates 1/2 use
+        min_corr_f = f_thr * env_b
+        for r, (d, gap, p2, ridx) in enumerate(F_RATES):
+            w = BV_WIDTHS[A_RATES[ridx][3]]
+            b0 = lagged(w, 0)
+            b1 = lagged(w, 1)
+            bg = lagged(w, gap)
+            sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
+            mask = power_ok & (jnp.abs(sd) > min_corr_f)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
 
-    # NFC-B: falling-edge trigger filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
-    edge_b = -(b_min_deep * env_b)
-    for r, d in enumerate(B_DELAYS):
-        fd = lagged("filt", d)
-        mask = power_ok & (fd < edge_b)
-        mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
+        # NFC-B: falling edge filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
+        edge_b = -(b_min_deep * env_b)
+        for r, d in enumerate(B_DELAYS):
+            fd = lagged("filt", d)
+            mask = power_ok & (fd < edge_b)
+            mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
 
-    # NFC-V: signed SD = (B(u-gap) - B(u))/p2 > thr*env (NfcV.cpp:236-435)
-    dv, gapv, p2v, _widxv = V_RATE
-    u0 = lagged(94, dv)
-    ug = lagged(94, dv + gapv)
-    sd_v = (ug - u0) / jnp.float32(p2v)
-    mask_v = power_ok & (sd_v > v_thr * env_b)
-    mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
+        # NFC-V: signed SD = (B(u-gap)-B(u))/p2 > thr*env (NfcV.cpp:236-435)
+        dv, gapv, p2v, _widxv = V_RATE
+        u0 = lagged(94, dv)
+        ug = lagged(94, dv + gapv)
+        sd_v = (ug - u0) / jnp.float32(p2v)
+        mask_v = power_ok & (sd_v > v_thr * env_b)
+        mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
 
-    out_refs[N_OUT - 1].ref[0] = mval
+        outs["detect_mask"].ref[0] = mval
 
     @pl.when(t_idx == n_t - 1)
     def _():
@@ -373,14 +381,33 @@ class _View:
         return self.ref.shape[1:]
 
 
-@functools.lru_cache(maxsize=4)
-def _jitted(params, mask_params, g: int, t: int, sub: int):
+def _normalize_select(select):
+    """None (all outputs) or iterable of names -> tuple in OUTPUT_NAMES
+    order, validated.  The tuple is the lru_cache key component."""
+    if select is None:
+        return tuple(OUTPUT_NAMES)
+    sel = set(select)
+    unknown = sel - set(OUTPUT_NAMES)
+    if unknown:
+        raise ValueError(f"unknown fused-frontend outputs: {sorted(unknown)}")
+    return tuple(n for n in OUTPUT_NAMES if n in sel)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted(params, mask_params, g: int, t: int, sub: int,
+            sel: tuple = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_t = t // TILE
+    sel = _normalize_select(sel)
+    n_sel = len(sel)
+    # excluded MASK_DEPS still need a [TILE, sub, 128] VMEM block the serial
+    # loop writes so the detect phase / history append sees their current
+    # block without an HBM output allocation
+    excl_deps = tuple(n for n in MASK_DEPS if n not in sel)
 
     tile_spec = pl.BlockSpec(
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
@@ -392,10 +419,15 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
     )
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    n_sec = len(STATE_SECTIONS)
+
     def kernel(base_ref, value_ref, state_in_ref, *rest):
-        out_refs = [_View(r) for r in rest[:N_OUT]]
-        state_out_ref = rest[N_OUT]
-        scratch = rest[N_OUT + 1:]
+        state_out_ref = rest[n_sel]
+        scratch = rest[n_sel + 1 : n_sel + 1 + n_sec]
+        outs = {n: None for n in OUTPUT_NAMES}
+        for n, r in zip(sel, rest[:n_sel]):
+            outs[n] = _View(r)
+        blks = dict(zip(excl_deps, rest[n_sel + 1 + n_sec :]))
 
         def load_state():
             for (off, ln), buf in zip(STATE_SECTIONS, scratch):
@@ -407,10 +439,10 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
 
         _fused_kernel(
             params, mask_params, sub, n_t, base_ref, _View(value_ref),
-            load_state, out_refs, save_state, *scratch,
+            load_state, outs, blks, save_state, *scratch,
         )
 
-    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
+    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * n_sel
     out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
 
     def run(base, value, state):
@@ -421,7 +453,7 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
                 vmem_limit_bytes=96 * 1024 * 1024
             ),
             in_specs=[base_spec, tile_spec, state_spec],
-            out_specs=[tile_spec] * N_OUT + [state_spec],
+            out_specs=[tile_spec] * n_sel + [state_spec],
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
@@ -437,14 +469,17 @@ def _jitted(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((H_BV94 + TILE, sub, 128), jnp.float32),
                 pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
                 pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
+            ] + [
+                pltpu.VMEM((TILE, sub, 128), jnp.float32) for _ in excl_deps
             ],
         )(base, value, state)
 
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=4)
-def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
+@functools.lru_cache(maxsize=8)
+def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
+                sel: tuple = None):
     """DMA-state variant: the carried state lives in HBM (memory space ANY)
     and is copied section-by-section into the VMEM scratch rings at the
     first time block (and back at the last) with explicit async DMAs.
@@ -459,6 +494,9 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
 
     n_t = t // TILE
     n_sec = len(STATE_SECTIONS)
+    sel = _normalize_select(sel)
+    n_sel = len(sel)
+    excl_deps = tuple(n for n in MASK_DEPS if n not in sel)
 
     tile_spec = pl.BlockSpec(
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
@@ -468,10 +506,13 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def kernel(base_ref, value_ref, state_in_ref, *rest):
-        out_refs = [_View(r) for r in rest[:N_OUT]]
-        state_out_ref = rest[N_OUT]
-        scratch = rest[N_OUT + 1 : N_OUT + 1 + n_sec]
-        sems = rest[N_OUT + 1 + n_sec]
+        state_out_ref = rest[n_sel]
+        scratch = rest[n_sel + 1 : n_sel + 1 + n_sec]
+        sems = rest[n_sel + 1 + n_sec]
+        outs = {n: None for n in OUTPUT_NAMES}
+        for n, r in zip(sel, rest[:n_sel]):
+            outs[n] = _View(r)
+        blks = dict(zip(excl_deps, rest[n_sel + 2 + n_sec :]))
         b = pl.program_id(0)
 
         def load_state():
@@ -504,10 +545,10 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
 
         _fused_kernel(
             params, mask_params, sub, n_t, base_ref, _View(value_ref),
-            load_state, out_refs, save_state, *scratch,
+            load_state, outs, blks, save_state, *scratch,
         )
 
-    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * N_OUT
+    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * n_sel
     out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
 
     def run(base, value, state):
@@ -518,7 +559,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             in_specs=[base_spec, tile_spec, any_spec],
-            out_specs=[tile_spec] * N_OUT + [any_spec],
+            out_specs=[tile_spec] * n_sel + [any_spec],
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
@@ -535,6 +576,8 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int):
                 pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
                 pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((len(STATE_SECTIONS),)),
+            ] + [
+                pltpu.VMEM((TILE, sub, 128), jnp.float32) for _ in excl_deps
             ],
         )(base, value, state)
 
@@ -571,7 +614,8 @@ def unpack_detect_mask(mask):
 
 def fused_frontend(value, params, native_layout=False,
                    mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
-                   state=None, base=0, return_state=False, sub=None):
+                   state=None, base=0, return_state=False, sub=None,
+                   select=None):
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
@@ -581,12 +625,19 @@ def fused_frontend(value, params, native_layout=False,
     mask_params: (power_level_threshold, nfca_corr_thr, nfcb_min_deep,
     nfcf_corr_thr, nfcv_corr_thr).
 
+    select: None for all OUTPUT_NAMES, or an iterable of names — only the
+    selected channels are written to HBM (the kernel is HBM-write-bound, so
+    trimming unread outputs raises throughput near-proportionally; excluded
+    MASK_DEPS channels are kept in VMEM scratch for the detect phase).
+    Selected values are bit-identical to the unselected run's.
+
     Chunked streaming: pass `state` (the previous chunk's carried state, or
     None at stream start), `base` (this chunk's absolute start clock, int32
     range) and `return_state=True`; outputs are bit-identical to one
     monolithic pass over the concatenated chunks."""
     import jax.numpy as jnp
 
+    sel = _normalize_select(select)
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
     # wider tiles amortize the serial per-step latency over more streams:
@@ -610,10 +661,10 @@ def fused_frontend(value, params, native_layout=False,
     base_arr = jnp.asarray([base], jnp.int32)
     mp = tuple(np.float32(m) for m in mask_params)
     impl = _jitted_dma if sub >= 32 else _jitted
-    outs = impl(params, mp, g, t, sub)(base_arr, vt, state)
+    outs = impl(params, mp, g, t, sub, sel)(base_arr, vt, state)
     state_out = outs[-1]
     res = {}
-    for name, o in zip(OUTPUT_NAMES, outs[:-1]):
+    for name, o in zip(sel, outs[:-1]):
         res[name] = o if native_layout else o.transpose(0, 2, 3, 1).reshape(b, t)
     if return_state:
         return res, state_out
@@ -621,7 +672,8 @@ def fused_frontend(value, params, native_layout=False,
 
 
 def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
-                          mask_params=(0.01, 0.75, 0.10, 0.50, 0.50)):
+                          mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
+                          select=None):
     """Generator: feed [B, T] through the kernel in `chunk`-sample slices
     with carried ring state, yielding (offset, outputs) per chunk.  Device
     memory is bounded by one chunk's outputs; the concatenated outputs are
@@ -640,6 +692,6 @@ def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
         res, state = fused_frontend(
             value[:, off:end], params, native_layout=native_layout,
             mask_params=mask_params, state=state, base=off,
-            return_state=True,
+            return_state=True, select=select,
         )
         yield off, res

@@ -102,8 +102,13 @@ def fused_capture_channels(
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
     )
+    # select= trims the HBM output set to the channels this path consumes
+    # (the kernel is write-bound, so skipping the 5 conditioning outputs is
+    # a direct rate win); excluded MASK_DEPS stay in VMEM for the detect
+    # phase and values are bit-identical to the full run
     res = fused_frontend(
-        x, _params_tuple(params), native_layout=False, mask_params=mask_params
+        x, _params_tuple(params), native_layout=False,
+        mask_params=mask_params, select=tuple(_FETCH),
     )
 
     out: dict[str, np.ndarray] = {}

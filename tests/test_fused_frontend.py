@@ -1,6 +1,16 @@
-"""Fused Pallas frontend validation (TPU only; subprocess because the pytest
-session pins JAX to CPU, where the TPU Pallas kernel cannot run)."""
+"""Fused Pallas frontend validation.
 
+Two tiers:
+- default-on CPU trace tests: abstract-eval every kernel variant (resident +
+  DMA state, full + selected output sets).  The round-1 breakage was a
+  trace-time TypeError that shipped because nothing cheap exercised the hot
+  path — these tests need no TPU and fail on any signature/arity drift.
+- TPU value tests: run the validation tools whenever a TPU is present
+  (subprocess because the pytest session pins JAX to CPU).  A persistent
+  compilation cache bounds the cost of repeat runs.
+"""
+
+import functools
 import os
 import subprocess
 import sys
@@ -8,7 +18,10 @@ import sys
 import pytest
 
 
+@functools.lru_cache(maxsize=1)
 def _tpu_available() -> bool:
+    if os.environ.get("NFCLAB_SKIP_TPU_TESTS", "") == "1":
+        return False
     probe = subprocess.run(
         [
             sys.executable,
@@ -23,13 +36,60 @@ def _tpu_available() -> bool:
     return probe.returncode == 0 and "cpu" not in probe.stdout
 
 
+def _trace_variant(impl_name: str, sub: int, select):
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfclab.core.params import SignalParams
+    from nfclab.dsp.frontend import _params_tuple
+    from nfclab.dsp.pallas import fused_frontend as ff
+
+    pt = _params_tuple(SignalParams(10_000_000))
+    mp = tuple(np.float32(m) for m in (0.01, 0.75, 0.10, 0.50, 0.50))
+    sel = ff._normalize_select(select)
+    impl = getattr(ff, impl_name)
+    g, t = 1, 2 * ff.TILE
+    run = impl(pt, mp, g, t, sub, sel)
+    base = jnp.zeros((1,), jnp.int32)
+    v = jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)
+    st = jax.ShapeDtypeStruct((g, ff.NSTATE, sub, 128), jnp.float32)
+    out = jax.eval_shape(run, jax.ShapeDtypeStruct((1,), jnp.int32), v, st)
+    assert len(out) == len(sel) + 1
+    for name, o in zip(sel, out):
+        assert o.shape == (g, t, sub, 128), name
+    assert out[-1].shape == (g, ff.NSTATE, sub, 128)
+
+
+_DECODE_SELECT = (
+    "bv12", "bv24", "bv47", "bv94", "q47", "q189",
+    "p24x6", "p47x12", "p94x24", "detect_mask",
+)
+
+
+@pytest.mark.parametrize("impl", ["_jitted", "_jitted_dma"])
+@pytest.mark.parametrize("select", [None, _DECODE_SELECT, ("envelope",)])
+def test_fused_kernel_traces_on_cpu(impl, select):
+    """Abstract-eval of every kernel variant (no TPU needed): catches
+    trace-time arity/shape drift like the round-1 _fused_kernel breakage."""
+    _trace_variant(impl, 32 if impl == "_jitted_dma" else 16, select)
+
+
+def test_fused_frontend_select_validates_names():
+    from nfclab.dsp.pallas.fused_frontend import _normalize_select
+
+    with pytest.raises(ValueError):
+        _normalize_select(("bv12", "nonesuch"))
+
+
 @pytest.mark.skipif(
-    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
-    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
 )
 def test_fused_frontend_matches_unfused_on_tpu():
-    if not _tpu_available():
-        pytest.skip("no TPU device")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, "-m", "nfclab.tools.validate_fused"],
@@ -42,14 +102,12 @@ def test_fused_frontend_matches_unfused_on_tpu():
 
 
 @pytest.mark.skipif(
-    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
-    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
 )
 def test_tpu_stream_farm_matches_goldens():
     """Concurrent multi-stream decode with carried kernel state
     (tools/validate_tpu_farm)."""
-    if not _tpu_available():
-        pytest.skip("no TPU device")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, "-m", "nfclab.tools.validate_tpu_farm"],
@@ -62,14 +120,12 @@ def test_tpu_stream_farm_matches_goldens():
 
 
 @pytest.mark.skipif(
-    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
-    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
 )
 def test_tpu_fed_decode_matches_goldens():
     """Fused-kernel channels + detect indices feed the host walk; frames
     must stay golden-equal (tools/validate_tpu_decode)."""
-    if not _tpu_available():
-        pytest.skip("no TPU device")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, "-m", "nfclab.tools.validate_tpu_decode"],
@@ -82,14 +138,12 @@ def test_tpu_fed_decode_matches_goldens():
 
 
 @pytest.mark.skipif(
-    os.environ.get("NFCLAB_TPU_TESTS", "") != "1",
-    reason="TPU validation is opt-in (NFCLAB_TPU_TESTS=1); first compile is slow",
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
 )
 def test_tpu_logic_frontend_matches_host():
     """Device logic event-mask frontend: index sets + frames equal the host
     path (tools/validate_tpu_logic)."""
-    if not _tpu_available():
-        pytest.skip("no TPU device")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, "-m", "nfclab.tools.validate_tpu_logic"],

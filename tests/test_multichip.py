@@ -1,0 +1,79 @@
+"""Multi-device decode correctness on the virtual 8-device CPU mesh.
+
+The reference's whole value is frames out (test-sdr/main.cpp:200-319), so the
+multi-chip story is certified at the frame level: a real capture sharded over
+the mesh (blocks data-parallel, halos over ppermute) must decode to the exact
+golden frame list — same RawFrame.cpp:82-97 equality as the single-device
+suite — and the ppermute-carried halo must be bit-identical to the
+locally-materialized one.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import ensure_cpu_devices
+
+
+def _devices(n):
+    ensure_cpu_devices()
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} virtual CPU devices")
+    return devs[:n]
+
+
+FIXTURES = ["test_POLL_ABF_001", "test_NFC-A_424kbps_002", "test_NFC-V_26kbps_001"]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_sharded_decode_matches_golden(fixture_dir, name):
+    """Sharded (8-device) decode == golden frames for a real capture."""
+    devs = _devices(8)
+    from nfclab.io.golden import GOLDEN_TYPES, read_golden_frames
+    from nfclab.io.wav import read_wav
+    from nfclab.shard.multichip import decode_sharded
+
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    frames = decode_sharded(samples, info.sample_rate, devices=devs)
+    got = [f for f in frames if f.frame_type in GOLDEN_TYPES]
+    want = read_golden_frames(str(fixture_dir / f"{name}.json"))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"{name}[{i}]: {g.diff(w)}"
+
+
+def test_ppermute_halo_bitexact_vs_local(fixture_dir):
+    """The halo a block receives over ICI (ppermute from the left-neighbour
+    device) must be bit-identical to the halo materialized locally: channel
+    arrays from the 8-device run equal the 1-device run exactly (same
+    per-row math; only the halo transport differs)."""
+    from nfclab.io.wav import read_wav
+    from nfclab.shard.multichip import sharded_capture_channels
+
+    devs = _devices(8)
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    ch8 = sharded_capture_channels(samples, info.sample_rate, devices=devs)
+    ch1 = sharded_capture_channels(
+        samples, info.sample_rate, devices=devs[:1]
+    )
+    assert set(ch8) == set(ch1)
+    for k in ch8:
+        np.testing.assert_array_equal(ch8[k], ch1[k], err_msg=k)
+
+
+def test_sharded_matches_unsharded_walk(fixture_dir):
+    """Sharded decode == the plain single-process decode (beyond golden
+    frames: carrier events and frame order too)."""
+    devs = _devices(8)
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.decoder import NfcDecoder
+    from nfclab.shard.multichip import decode_sharded
+
+    samples, info = read_wav(str(fixture_dir / "test_POLL_AB_001.wav"))
+    sharded = decode_sharded(samples, info.sample_rate, devices=devs)
+    plain = NfcDecoder().decode(samples, info.sample_rate)
+    assert len(sharded) == len(plain)
+    for g, w in zip(sharded, plain):
+        assert g == w
