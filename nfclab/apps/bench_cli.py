@@ -37,21 +37,28 @@ def bench_frontend(batch: int, span: int, reps: int) -> dict:
     }
 
 
-def bench_decode(paths: list[str]) -> dict:
+def bench_decode(
+    paths: list[str], frontend: str = "host", workers: int | None = None,
+) -> dict:
+    """Honest capture->frames rate: WAV read + frontend (host or the fused
+    TPU kernel via dsp.tpu_channels) + the host event walk, wall clock.
+    This is the aggregate number a deployment sees, host-walk-bound —
+    orders of magnitude below the kernel-only GS/s figure."""
     from ..io.wav import read_wav
-    from ..runtime.decoder import NfcDecoder
+    from ..runtime.batch import decode_batch
 
-    total = 0
+    total = sum(len(read_wav(p)[0]) for p in paths)
     t0 = time.perf_counter()
-    for p in paths:
-        samples, info = read_wav(p)
-        NfcDecoder().decode(samples, info.sample_rate)
-        total += len(samples)
+    results = decode_batch(paths, workers=workers, frontend=frontend)
     dt = time.perf_counter() - t0
+    frames = sum(len(v) for v in results.values())
     return {
         "metric": "end_to_end_decode_samples_per_second",
+        "frontend": frontend,
         "value": total / dt,
         "unit": "samples/s",
+        "captures": len(paths),
+        "frames": frames,
     }
 
 
@@ -61,10 +68,22 @@ def main(argv=None) -> int:
     ap.add_argument("--span", type=int, default=81920)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--decode", nargs="*", help="wav files for end-to-end bench")
+    ap.add_argument(
+        "--frontend", choices=["host", "fused"], default="host",
+        help="decode frontend: host channels or the fused TPU kernel",
+    )
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument(
+        "--no-kernel", action="store_true",
+        help="skip the dense-frontend kernel bench (decode only)",
+    )
     args = ap.parse_args(argv)
-    print(json.dumps(bench_frontend(args.batch, args.span, args.reps)))
+    if not args.no_kernel:
+        print(json.dumps(bench_frontend(args.batch, args.span, args.reps)))
     if args.decode:
-        print(json.dumps(bench_decode(args.decode)))
+        print(json.dumps(
+            bench_decode(args.decode, args.frontend, args.workers)
+        ))
     return 0
 
 

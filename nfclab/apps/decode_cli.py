@@ -174,27 +174,43 @@ def cmd_live(args) -> int:
     )
     from ..runtime.subject import Subject
 
-    config = {PARAM_SAMPLE_RATE: args.sample_rate}
-    if args.frequency:
-        config[PARAM_TUNE_FREQUENCY] = args.frequency
-    if args.gain is not None:
-        config[PARAM_GAIN_MODE] = 1
-        config[PARAM_GAIN_VALUE] = args.gain
-
     frames: "_queue.Queue" = _queue.Queue()
-    Subject.name("radio.decoder.frame").subscribe(frames.put, replay=False)
+    if args.device.startswith("logic"):
+        # live logic capture (logicloop:// / logictcp://host:port) -> the
+        # streaming ISO7816 decoder (LogicDeviceTask+LogicDecoderTask role)
+        from ..runtime.pipeline import LiveLogicSourceTask, LogicDecoderTask
 
-    source = LiveRadioSourceTask(
-        args.device, config, duration_blocks=args.blocks,
-        reconnect=args.reconnect,
-    )
-    decoder = RadioDecoderTask(
-        enable_nfca=not args.disable_nfca,
-        enable_nfcb=not args.disable_nfcb,
-        enable_nfcf=not args.disable_nfcf,
-        enable_nfcv=not args.disable_nfcv,
-        power_level_threshold=args.power_threshold,
-    )
+        Subject.name("logic.decoder.frame").subscribe(
+            frames.put, replay=False
+        )
+        source = LiveLogicSourceTask(
+            args.device, {PARAM_SAMPLE_RATE: args.sample_rate},
+            duration_blocks=args.blocks,
+        )
+        decoder = LogicDecoderTask()
+    else:
+        config = {PARAM_SAMPLE_RATE: args.sample_rate}
+        if args.frequency:
+            config[PARAM_TUNE_FREQUENCY] = args.frequency
+        if args.gain is not None:
+            config[PARAM_GAIN_MODE] = 1
+            config[PARAM_GAIN_VALUE] = args.gain
+
+        Subject.name("radio.decoder.frame").subscribe(
+            frames.put, replay=False
+        )
+
+        source = LiveRadioSourceTask(
+            args.device, config, duration_blocks=args.blocks,
+            reconnect=args.reconnect,
+        )
+        decoder = RadioDecoderTask(
+            enable_nfca=not args.disable_nfca,
+            enable_nfcb=not args.disable_nfcb,
+            enable_nfcf=not args.disable_nfcf,
+            enable_nfcv=not args.disable_nfcv,
+            power_level_threshold=args.power_threshold,
+        )
     ex = Executor(pool_size=2)
     ex.submit(decoder)
     ex.submit(source)
@@ -239,7 +255,11 @@ def main(argv=None) -> int:
         )
         p.set_defaults(fn=fn)
     p = sub.add_parser("live", help="live SDR capture + decode")
-    p.add_argument("device", help="loopback://test | rtltcp://host:port")
+    p.add_argument(
+        "device",
+        help="loopback://test | rtltcp://host:port | spyserver://host:port "
+             "| logicloop://test | logictcp://host:port (ISO7816)",
+    )
     p.add_argument("--json", "-j", action="store_true")
     p.add_argument("--sample-rate", type=float, default=10_000_000)
     p.add_argument("--frequency", type=float, default=27_120_000)

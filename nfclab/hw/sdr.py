@@ -197,3 +197,19 @@ DeviceFactory.register_device(
 DeviceFactory.register_device(
     "spyserver", lambda: [], lambda ident: NativeSdrDevice(ident)
 )
+
+
+def _enumerate_logicloop():
+    from ..native.binding import sdr_drivers
+
+    return ["logicloop://test"] if "logicloop" in sdr_drivers() else []
+
+
+# logic-analyzer capture (stream-mode network transport + CI loopback; the
+# LogicDevice slot of the reference's DSLogic/Sipeed drivers)
+DeviceFactory.register_device(
+    "logicloop", _enumerate_logicloop, lambda ident: NativeSdrDevice(ident)
+)
+DeviceFactory.register_device(
+    "logictcp", lambda: [], lambda ident: NativeSdrDevice(ident)
+)

@@ -656,9 +656,263 @@ static void spyserver_close(void *dev)
     delete d;
 }
 
+// ------------------------------------------------------------ logic capture
+//
+// Live sources for the ISO7816 decoder.  The reference captures N-channel
+// logic over libusb from DreamSourceLab DSLogic devices in stream mode
+// (DSLogicDevice.cpp:247-412: FX2 firmware check + FPGA bitstream upload,
+// then continuous bulk transfers of packed probe bits).  This build
+// environment has no USB hardware, so — exactly like the radio side's
+// rtl_tcp/SpyServer network clients — the capture transport is a network
+// stream shaped like DSLogic's stream mode; a libusb DSLogic/Sipeed backend
+// slots into the same driver entry when its library is present.
+//
+// logictcp wire format: on connect the server sends a 12-byte header
+// ("LGC0" magic + u8 channel count + 3 reserved bytes + u32 BE sample
+// rate), then a raw stream of packed samples, one byte per sample, bit i =
+// probe i (the 8-probe byte packing DSLogic stream mode uses).  The driver
+// expands each sample to `channels` interleaved floats (0.0 / 1.0).
+
+struct LogicTcpDevice {
+    int fd = -1;
+    double sample_rate = 10e6;
+    int channels = 4;
+    double voltage_threshold = 1.4;
+    std::atomic<bool> running {false};
+    std::thread worker;
+    int64_t offset = 0;  // in samples
+};
+
+static int logictcp_enumerate(char *out, int out_len)
+{
+    if (out_len > 0)
+        out[0] = '\0';  // network device: opened explicitly by ident
+    return 0;
+}
+
+static int net_connect_hostport(const char *ident)
+{
+    // ident: <scheme>://host:port -> connected TCP socket or -1
+    const char *p = strstr(ident, "://");
+    if (!p)
+        return -1;
+    std::string hostport(p + 3);
+    const size_t colon = hostport.rfind(':');
+    if (colon == std::string::npos)
+        return -1;
+    const std::string host = hostport.substr(0, colon);
+    const int port = atoi(hostport.c_str() + colon + 1);
+
+    struct addrinfo hints {};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    struct addrinfo *res = nullptr;
+    char portstr[16];
+    snprintf(portstr, sizeof portstr, "%d", port);
+    if (getaddrinfo(host.c_str(), portstr, &hints, &res) != 0 || !res)
+        return -1;
+    int fd = socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+    if (fd < 0 || connect(fd, res->ai_addr, res->ai_addrlen) != 0) {
+        if (fd >= 0)
+            ::close(fd);
+        freeaddrinfo(res);
+        return -1;
+    }
+    freeaddrinfo(res);
+    struct timeval tv {5, 0};
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+    return fd;
+}
+
+static void *logictcp_open(const char *ident)
+{
+    const int fd = net_connect_hostport(ident);
+    if (fd < 0)
+        return nullptr;
+    uint8_t header[12];
+    size_t got = 0;
+    while (got < sizeof header) {
+        const ssize_t r = recv(fd, header + got, sizeof header - got, 0);
+        if (r <= 0) {
+            ::close(fd);
+            return nullptr;
+        }
+        got += static_cast<size_t>(r);
+    }
+    if (memcmp(header, "LGC0", 4) != 0 || header[4] < 1 || header[4] > 8) {
+        ::close(fd);
+        return nullptr;
+    }
+    auto *d = new LogicTcpDevice();
+    d->fd = fd;
+    d->channels = header[4];
+    uint32_t v;
+    memcpy(&v, header + 8, 4);
+    d->sample_rate = ntohl(v);
+    return d;
+}
+
+static int logictcp_set(void *dev, int param, double value)
+{
+    auto *d = static_cast<LogicTcpDevice *>(dev);
+    switch (param) {
+        case 100: d->sample_rate = value; return 0;   // PARAM_SAMPLE_RATE
+        case 1104: d->voltage_threshold = value; return 0;
+    }
+    return -1;
+}
+
+static double logictcp_get(void *dev, int param)
+{
+    auto *d = static_cast<LogicTcpDevice *>(dev);
+    switch (param) {
+        case 100: return d->sample_rate;
+        case 120: return d->channels;  // PARAM_CHANNEL_COUNT
+        case 1104: return d->voltage_threshold;
+    }
+    return -1;
+}
+
+static int logictcp_start(void *dev, nfclab_stream_cb cb, void *user)
+{
+    auto *d = static_cast<LogicTcpDevice *>(dev);
+    if (d->running.exchange(true))
+        return -1;
+    d->worker = std::thread([d, cb, user] {
+        const int ch = d->channels;
+        std::vector<uint8_t> raw(16384);
+        std::vector<float> block(raw.size() * ch);
+        while (d->running.load()) {
+            const ssize_t r = recv(d->fd, raw.data(), raw.size(), 0);
+            if (r == 0) {
+                cb(block.data(), 0, d->offset, user);  // orderly EOF
+                break;
+            }
+            if (r < 0) {
+                if (d->running.load())
+                    continue;  // timeout; poll the running flag
+                break;
+            }
+            for (ssize_t i = 0; i < r; i++)
+                for (int c = 0; c < ch; c++)
+                    block[i * ch + c] = (raw[i] >> c) & 1 ? 1.0f : 0.0f;
+            cb(block.data(), static_cast<int64_t>(r) * ch, d->offset, user);
+            d->offset += static_cast<int64_t>(r);
+        }
+    });
+    return 0;
+}
+
+static int logictcp_stop(void *dev)
+{
+    auto *d = static_cast<LogicTcpDevice *>(dev);
+    if (!d->running.exchange(false))
+        return -1;
+    shutdown(d->fd, SHUT_RDWR);
+    if (d->worker.joinable())
+        d->worker.join();
+    return 0;
+}
+
+static void logictcp_close(void *dev)
+{
+    auto *d = static_cast<LogicTcpDevice *>(dev);
+    if (d->running.load())
+        logictcp_stop(dev);
+    if (d->fd >= 0)
+        ::close(d->fd);
+    delete d;
+}
+
+// Synthetic logic loopback: an idle smart-card interface (VCC high, RST
+// high, CLK toggling at rate/4, IO mark) — the CI stand-in for a live
+// logic analyzer, mirroring the radio loopback.
+
+struct LogicLoopDevice {
+    double sample_rate = 10e6;
+    int channels = 4;
+    std::atomic<bool> running {false};
+    std::thread worker;
+    int64_t offset = 0;
+};
+
+static int logicloop_enumerate(char *out, int out_len)
+{
+    return snprintf(out, out_len, "logicloop://test");
+}
+
+static void *logicloop_open(const char *)
+{
+    return new LogicLoopDevice();
+}
+
+static int logicloop_set(void *dev, int param, double value)
+{
+    auto *d = static_cast<LogicLoopDevice *>(dev);
+    if (param == 100) {
+        d->sample_rate = value;
+        return 0;
+    }
+    return -1;
+}
+
+static double logicloop_get(void *dev, int param)
+{
+    auto *d = static_cast<LogicLoopDevice *>(dev);
+    switch (param) {
+        case 100: return d->sample_rate;
+        case 120: return d->channels;
+    }
+    return -1;
+}
+
+static int logicloop_start(void *dev, nfclab_stream_cb cb, void *user)
+{
+    auto *d = static_cast<LogicLoopDevice *>(dev);
+    if (d->running.exchange(true))
+        return -1;
+    d->worker = std::thread([d, cb, user] {
+        const int ch = d->channels;
+        const int64_t n = 16384;
+        std::vector<float> block(n * ch);
+        while (d->running.load()) {
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t t = d->offset + i;
+                block[i * ch + 0] = 1.0f;                    // IO mark
+                block[i * ch + 1] = (t >> 1) & 1 ? 1.0f : 0.0f;  // CLK
+                block[i * ch + 2] = 1.0f;                    // RST
+                block[i * ch + 3] = 1.0f;                    // VCC
+            }
+            cb(block.data(), n * ch, d->offset, user);
+            d->offset += n;
+        }
+    });
+    return 0;
+}
+
+static int logicloop_stop(void *dev)
+{
+    auto *d = static_cast<LogicLoopDevice *>(dev);
+    if (!d->running.exchange(false))
+        return -1;
+    if (d->worker.joinable())
+        d->worker.join();
+    return 0;
+}
+
+static void logicloop_close(void *dev)
+{
+    logicloop_stop(dev);
+    delete static_cast<LogicLoopDevice *>(dev);
+}
+
 static NfclabSdrDriver g_drivers[] = {
     {"loopback", loopback_enumerate, loopback_open, loopback_set,
      loopback_get, loopback_start, loopback_stop, loopback_close},
+    {"logictcp", logictcp_enumerate, logictcp_open, logictcp_set,
+     logictcp_get, logictcp_start, logictcp_stop, logictcp_close},
+    {"logicloop", logicloop_enumerate, logicloop_open, logicloop_set,
+     logicloop_get, logicloop_start, logicloop_stop, logicloop_close},
     {"rtltcp", rtltcp_enumerate, rtltcp_open, rtltcp_set,
      rtltcp_get, rtltcp_start, rtltcp_stop, rtltcp_close},
     {"spyserver", spyserver_enumerate, spyserver_open, spyserver_set,

@@ -467,6 +467,80 @@ class LogicSourceTask(Task):
         self.update_status("complete", samples=self.throughput.total)
 
 
+class LiveLogicSourceTask(Task):
+    """Live logic-analyzer capture -> logic.signal.raw.
+
+    Drives a native-bridge logic driver (logicloop / logictcp — the
+    stream-mode network transport shaped like DSLogicDevice.cpp:247-412's
+    bulk capture; a libusb DSLogic/Sipeed backend slots behind the same
+    driver table) via hw.sdr.NativeSdrDevice.  Blocks arrive as interleaved
+    probe floats and publish as [N, channels] logic sample buffers, feeding
+    the streaming ISO7816 decoder (LogicDeviceTask parity)."""
+
+    def __init__(self, ident: str, config: dict | None = None,
+                 duration_blocks: int | None = None):
+        super().__init__("worker.LiveLogicSource", "logic.receiver")
+        self.ident = ident
+        self.config = dict(config or {})
+        self.duration_blocks = duration_blocks
+        self.raw_stream = Subject.name("logic.signal.raw")
+        self.samples_lost = 0
+
+    def run(self):
+        from ..hw.device import PARAM_CHANNEL_COUNT, PARAM_SAMPLE_RATE
+        from ..hw.sdr import NativeSdrDevice
+
+        rate = 0
+        dev = NativeSdrDevice(self.ident)
+        if not dev.open():
+            self.update_status("absent")
+            self.raw_stream.next(
+                SignalBuffer.eof(0, SignalType.SIGNAL_TYPE_LOGIC_SAMPLES)
+            )
+            return
+        for param, value in self.config.items():
+            dev.set(param, value)
+        rate = int(dev.get(PARAM_SAMPLE_RATE, 10_000_000))
+        channels = int(dev.get(PARAM_CHANNEL_COUNT, 4))
+        dev.start()
+        self.update_status("streaming")
+        offset = 0
+        blocks = 0
+        carry = np.empty(0, np.float32)
+        while not self.terminated:
+            block = dev.read(timeout=0.25)
+            if block is None:
+                continue
+            if len(block) == 0:  # driver EOF (server disconnect)
+                break
+            if len(carry):
+                block = np.concatenate([carry, block])
+            usable = len(block) - len(block) % channels
+            carry = block[usable:]
+            if not usable:
+                continue
+            data = block[:usable].reshape(-1, channels)
+            buf = SignalBuffer(
+                data, rate, offset,
+                signal_type=SignalType.SIGNAL_TYPE_LOGIC_SAMPLES,
+            )
+            offset += len(data)
+            self.raw_stream.next(buf)
+            self.throughput.update(len(data))
+            blocks += 1
+            if self.duration_blocks and blocks >= self.duration_blocks:
+                break
+        dev.stop()
+        dev.close()
+        self.samples_lost = dev.samples_lost
+        self.raw_stream.next(
+            SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_LOGIC_SAMPLES)
+        )
+        self.update_status(
+            "complete", samples=self.throughput.total, lost=self.samples_lost
+        )
+
+
 class FourierTask(Task):
     """Latest IQ block -> signal.fft spectrum bins (FourierProcessTask
     parity; the reference refreshes at ~100 fps, here per published block)."""

@@ -1,0 +1,182 @@
+"""Scaling measurement harness: sharded-frontend throughput vs device count.
+
+BASELINE.md demands ">=80% scaling efficiency 1 chip -> 2 hosts" and
+samples/s at 1/N devices; this is the measurement path.  The unit under test
+is the production multi-device channel step (shard/multichip._sharded_step:
+blocks data-parallel over the mesh, halos over ppermute) — the same code the
+multi-chip golden decode certifies for correctness.
+
+Two modes:
+- virtual CPU mesh (default; any host): weak scaling over
+  --devices counts.  Virtual devices share the host's cores, so the
+  efficiency column measures sharding/collective overhead, not real ICI
+  scaling — it validates that the step's cost model is flat (no
+  super-linear collective cost), which is the CI-able proxy this host
+  allows.  Real multi-chip efficiency needs N chips; the step is mesh-shape
+  agnostic, so the same harness runs there unchanged.
+- --tpu: per-chip absolute rate of the fused Pallas kernel on the real chip
+  (the 1-chip row of the BASELINE table; bench.py reports the same number
+  in carried-state streaming mode).
+
+Prints one JSON line per measurement; --out writes them as JSONL (the
+SCALING_r{N}.json artifact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _cpu_devices(n: int):
+    import jax
+
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise SystemExit(
+            f"need {n} virtual CPU devices; run with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n}"
+        )
+    return devs[:n]
+
+
+def bench_sharded(n_dev: int, blocks_per_dev: int, reps: int) -> dict:
+    """Weak scaling: fixed blocks/device; total work grows with the mesh."""
+    import jax
+
+    from ..core.params import SignalParams
+    from ..dsp.frontend import _params_tuple
+    from ..shard.multichip import DEFAULT_H, DEFAULT_L, _sharded_step
+
+    devs = _cpu_devices(n_dev)
+    params = SignalParams(10_000_000)
+    mask_params = (0.01, 0.75, 0.10, 0.50, 0.50)
+    step, sharding = _sharded_step(
+        _params_tuple(params), mask_params, n_dev, blocks_per_dev,
+        DEFAULT_L, DEFAULT_H, tuple(devs),
+    )
+    nb = n_dev * blocks_per_dev
+    rng = np.random.default_rng(0)
+    rows = (rng.random((nb, DEFAULT_L), dtype=np.float32) * 0.4).astype(
+        np.float32
+    )
+    arr = jax.device_put(rows, sharding)
+    jax.block_until_ready(step(arr))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(arr)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    rate = nb * DEFAULT_L / dt
+    import os
+
+    return {
+        "metric": "sharded_frontend_samples_per_second",
+        "devices": n_dev,
+        "mesh": "virtual-cpu",
+        # virtual devices time-share the host's cores; efficiency beyond
+        # this many devices measures oversubscription, not the sharding
+        "host_cpus": os.cpu_count(),
+        "value": rate,
+        "unit": "samples/s",
+        "blocks_per_device": blocks_per_dev,
+    }
+
+
+def bench_tpu_chip(reps: int = 3) -> dict:
+    """Absolute per-chip rate of the fused kernel on the real TPU (one
+    dispatch of chained chunks; bench.py measures the same path longer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.params import SignalParams
+    from ..dsp.frontend import _params_tuple
+    from ..dsp.pallas.fused_frontend import fused_frontend
+
+    params = SignalParams(10_000_000)
+    pt = _params_tuple(params)
+    mp = (float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50)
+    batch, chunk, k = 2048, 65536, 16
+
+    def chain(buf):
+        state = None
+        total = jnp.float32(0.0)
+        for i in range(k):
+            res, state = fused_frontend(
+                buf, pt, native_layout=True, mask_params=mp,
+                state=state, base=i * chunk, return_state=True,
+            )
+            total = total + sum(jnp.sum(v[:, -1]) for v in res.values())
+        return total
+
+    red = jax.jit(chain)
+    rng = np.random.default_rng(0)
+    buf = jax.device_put(
+        (rng.random((batch, chunk), dtype=np.float32) * 0.4).astype(
+            np.float32
+        )
+    )
+    float(red(buf))  # warmup; sync via scalar fetch (axon tunnel)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(red(buf))
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "metric": "fused_kernel_samples_per_second_per_chip",
+        "devices": 1,
+        "mesh": "tpu",
+        "value": k * batch * chunk / dt,
+        "unit": "samples/s",
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nfclab-scaling")
+    ap.add_argument(
+        "--devices", type=int, nargs="+", default=[1, 2, 4, 8],
+        help="virtual CPU mesh sizes to sweep",
+    )
+    ap.add_argument("--blocks-per-dev", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tpu", action="store_true",
+                    help="also measure the real-chip fused kernel rate")
+    ap.add_argument("--out", help="write JSONL artifact")
+    args = ap.parse_args(argv)
+
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={max(args.devices)}"
+    )
+
+    rows = []
+    base_rate = None
+    for n in args.devices:
+        row = bench_sharded(n, args.blocks_per_dev, args.reps)
+        if base_rate is None:
+            base_rate = row["value"] / row["devices"]
+        row["efficiency_vs_1dev"] = row["value"] / (
+            base_rate * row["devices"]
+        )
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.tpu:
+        row = bench_tpu_chip()
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
