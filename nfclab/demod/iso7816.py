@@ -920,6 +920,13 @@ class Iso7816Decoder:
                     p.character_waiting_time_units = (
                         tc * 960 * dn if tc > 0 else ISO_7816_CWT_DEF
                     )
+                elif k == 3:
+                    # TC3 selects the T=1 error detection code (bit 0: 0 =
+                    # LRC, 1 = CRC).  The reference logs the selection but
+                    # never applies it (Iso7816.cpp:1098-1102), leaving its
+                    # CRC epilogue path (Iso7816.cpp:1603-1614) dead;
+                    # applying it makes T=1 CRC captures decode correctly
+                    p.error_code_type = CRCCode if tc & 1 else LRCCode
             if not (rd(i) & ATR_TD_MASK):
                 break
             k += 1

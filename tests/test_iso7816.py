@@ -54,8 +54,57 @@ class WaveBuilder:
         self.io = 1.0
         self.hold(2 * ETU_SAMPLES)
 
+    def character_inverse(self, byte: int):
+        """Inverse-convention character (ISO7816-3 §8.1): bits MSB first,
+        logic level inverted (state A = logic 1); even parity, also
+        inverted on the wire."""
+        bits = [0] + [1 - ((byte >> (7 - i)) & 1) for i in range(8)]
+        par = bin(byte).count("1") & 1
+        bits.append(1 - par)
+        for b in bits:
+            self.io = float(b)
+            self.hold(ETU_SAMPLES)
+        self.io = 1.0
+        self.hold(2 * ETU_SAMPLES)
+
+    def character_with_error_signal(self, byte: int):
+        """T=0 error signaling (ISO7816-3 §10.3.2): the receiver pulls IO
+        low during the stop moment, asking for retransmission — the decoder
+        must drop this character and accept the repeat."""
+        bits = [0] + [(byte >> i) & 1 for i in range(8)]
+        par = bin(byte).count("1") & 1
+        bits.append(par)
+        for b in bits:
+            self.io = float(b)
+            self.hold(ETU_SAMPLES)
+        self.io = 0.0  # error signal low at the stop moment
+        self.hold(ETU_SAMPLES)
+        self.io = 1.0
+        self.hold(2 * ETU_SAMPLES)
+
     def build(self) -> np.ndarray:
         return np.concatenate(self.chunks, axis=0)
+
+
+def _session_head() -> WaveBuilder:
+    w = WaveBuilder()
+    w.hold(1000)
+    w.vcc = 1.0
+    w.hold(1000)
+    w.clk_on = True
+    w.hold(1000)
+    w.rst = 1.0
+    w.hold(5000)
+    return w
+
+
+def _t1_crc(payload: bytes) -> bytes:
+    """ISO13239 CRC epilogue as _check_crc expects (Iso7816.cpp:1603-1614):
+    inverted CRC16-CCITT (reflected, init 0xFFFF), little-endian."""
+    from nfclab.protocol.crc import crc16_ccitt
+
+    crc = (~crc16_ccitt(payload, 0, len(payload), 0xFFFF, True)) & 0xFFFF
+    return bytes([crc & 0xFF, crc >> 8])
 
 
 def make_session(atr=(0x3B, 0x00), tpdu=None, idle_tail=300_000):
@@ -258,3 +307,148 @@ def test_logic_event_mask_chunk_carry():
     idx = event_indices(whole, base=5)
     assert set(idx) == {"io_edges", "io_falls", "line_edges", "clk_falls"}
     assert all((v >= 5).all() for v in idx.values())
+
+
+# ----------------------------------------------------- adversarial coverage
+# (Iso7816.cpp:801-950 / :1028-1169 behaviors the happy-path tests miss)
+
+
+def test_inverse_convention_end_to_end():
+    """TS = 0x3F: every subsequent character arrives MSB-first with inverted
+    levels (Iso7816.cpp:442-489 convention switch); the ATR and a full T=0
+    TPDU must decode identically to a direct-convention session."""
+    w = _session_head()
+    # TS inverse + T0 (one historical byte) + historical
+    for b in (0x3F, 0x01, 0xA5):
+        w.character_inverse(b)
+    w.hold(80_000)
+    tpdu = [0x00, 0xB0, 0x00, 0x00, 0x01, 0xB0, 0x42, 0x90, 0x00]
+    for b in tpdu:
+        w.character_inverse(b)
+    w.hold(300_000)
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    atr = [f for f in frames if f.frame_type == int(FrameType.IsoATRFrame)]
+    assert len(atr) == 1
+    assert atr[0].data == bytes([0x3F, 0x01, 0xA5])
+    assert not atr[0].has_flags(FrameFlags.ParityError)
+    ex = [f for f in frames if f.frame_type == int(FrameType.IsoExchangeFrame)]
+    assert len(ex) == 1
+    assert ex[0].data == bytes(tpdu)
+    assert not ex[0].has_flags(FrameFlags.ParityError)
+
+
+def test_t0_error_signal_retransmission():
+    """A character answered with the T=0 error signal (IO low at the stop
+    moment) is dropped by the decoder; the retransmitted character is the
+    one that lands in the frame (Iso7816.cpp:860-880 stop-bit branch)."""
+    tpdu = [0x00, 0xA4, 0x04, 0x00, 0x02, 0xA4, 0x3F, 0x00, 0x90, 0x00]
+    w = _session_head()
+    w.character(0x3B)
+    w.character(0x00)
+    w.hold(80_000)
+    for i, b in enumerate(tpdu):
+        if i == 3:
+            # receiver rejects this byte once; transmitter repeats it
+            w.character_with_error_signal(b)
+        w.character(b)
+    w.hold(300_000)
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    ex = [f for f in frames if f.frame_type == int(FrameType.IsoExchangeFrame)]
+    assert len(ex) == 1
+    assert ex[0].data == bytes(tpdu)  # the rejected byte appears only once
+    assert not ex[0].has_flags(FrameFlags.ParityError)
+
+
+def _xor(bs):
+    out = 0
+    for b in bs:
+        out ^= b
+    return out
+
+
+def test_t1_crc_mode():
+    """ATR TC3 bit 0 selects the CRC epilogue for T=1 (the reference logs
+    but never applies it, Iso7816.cpp:1098-1102); blocks carrying the
+    ISO13239 CRC must frame correctly and check clean, and a corrupted
+    CRC must flag CrcError."""
+    w = _session_head()
+    # TS T0(TD1) TD1(TD2 present, T=1) TD2(TC3 present, T=1) TC3(CRC) TCK
+    atr = [0x3B, 0x80, 0x81, 0x41, 0x01]
+    atr.append(_xor(atr[1:]))
+    for b in atr:
+        w.character(b)
+    w.hold(80_000)
+    for b in (0xFF, 0x11, 0x11, 0xFF):  # PPS request: T=1
+        w.character(b)
+    w.hold(80_000)
+    for b in (0xFF, 0x11, 0x11, 0xFF):  # PPS response
+        w.character(b)
+    w.hold(80_000)
+    # I-Block with CRC epilogue: NAD PCB LEN INF[2] CRC16lo CRC16hi
+    core = bytes([0x00, 0x00, 0x02, 0xA4, 0x04])
+    iblock = core + _t1_crc(core)
+    for b in iblock:
+        w.character(b)
+    w.hold(80_000)
+    # response block with a CORRUPTED CRC
+    core2 = bytes([0x00, 0x00, 0x01, 0x90])
+    bad = bytearray(core2 + _t1_crc(core2))
+    bad[-1] ^= 0xFF
+    for b in bad:
+        w.character(b)
+    w.hold(300_000)
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    atrf = [f for f in frames if f.frame_type == int(FrameType.IsoATRFrame)]
+    assert len(atrf) == 1 and atrf[0].data == bytes(atr)
+    assert not atrf[0].has_flags(FrameFlags.CrcError)
+    blocks = {
+        f.data: f
+        for f in frames
+        if f.frame_type
+        in (int(FrameType.IsoRequestFrame), int(FrameType.IsoResponseFrame))
+    }
+    assert iblock in blocks  # framed at LEN+3+2: CRC epilogue length applied
+    assert not blocks[iblock].has_flags(FrameFlags.CrcError)
+    assert bytes(bad) in blocks
+    assert blocks[bytes(bad)].has_flags(FrameFlags.CrcError)
+
+
+def test_t1_wtx_sblocks():
+    """S(WTX) request/response blocks (PCB 0xC3/0xE3) decode as T=1 frames
+    with clean LRC — waiting-time extension traffic must not derail the
+    block framing."""
+    w = _session_head()
+    for b in (0x3B, 0x80, 0x01, 0x80 ^ 0x01):
+        w.character(b)
+    w.hold(80_000)
+    for b in (0xFF, 0x11, 0x11, 0xFF):
+        w.character(b)
+    w.hold(80_000)
+    for b in (0xFF, 0x11, 0x11, 0xFF):
+        w.character(b)
+    w.hold(80_000)
+    seq = []
+    ib = [0x00, 0x00, 0x02, 0xA4, 0x04]
+    seq.append(ib + [_xor(ib)])
+    wtx_req = [0x00, 0xC3, 0x01, 0x01]
+    seq.append(wtx_req + [_xor(wtx_req)])
+    wtx_resp = [0x00, 0xE3, 0x01, 0x01]
+    seq.append(wtx_resp + [_xor(wtx_resp)])
+    rb = [0x00, 0x00, 0x01, 0x90]
+    seq.append(rb + [_xor(rb)])
+    for block in seq:
+        for b in block:
+            w.character(b)
+        w.hold(80_000)
+    w.hold(300_000)
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    datas = [
+        f.data
+        for f in frames
+        if f.frame_type
+        in (int(FrameType.IsoRequestFrame), int(FrameType.IsoResponseFrame))
+    ]
+    for block in seq:
+        assert bytes(block) in datas
+    for f in frames:
+        assert not f.has_flags(FrameFlags.CrcError)
