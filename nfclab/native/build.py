@@ -26,8 +26,9 @@ SOURCES = [
     "decode_f.cpp",
     "decode_a.cpp",
     "decode_b.cpp",
+    "usb_drivers.cpp",
 ]
-HEADERS = ["fsm_common.h"]
+HEADERS = ["fsm_common.h", "bridge.h"]
 LIB_NAME = "libnfclab_native.so"
 
 
@@ -73,7 +74,7 @@ def build(force: bool = False) -> Path:
         if out.stat().st_mtime >= newest_src and stamp_ok:
             return out
     _BUILD_DIR.mkdir(exist_ok=True)
-    cmd = ["g++", *CXXFLAGS, "-o", str(out), *[str(s) for s in srcs]]
+    cmd = ["g++", *CXXFLAGS, "-o", str(out), *[str(s) for s in srcs], "-ldl"]
     subprocess.run(cmd, check=True, capture_output=True)
     stamp_file.write_text(stamp)
     return out

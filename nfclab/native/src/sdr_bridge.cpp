@@ -28,21 +28,9 @@
 #include <sys/time.h>
 #include <unistd.h>
 
+#include "bridge.h"
+
 extern "C" {
-
-typedef void (*nfclab_stream_cb)(const float *samples, int64_t count,
-                                 int64_t offset, void *user);
-
-struct NfclabSdrDriver {
-    const char *type_name;
-    int (*enumerate)(char *out, int out_len);
-    void *(*open_dev)(const char *ident);
-    int (*set_param)(void *dev, int param, double value);
-    double (*get_param)(void *dev, int param);
-    int (*start)(void *dev, nfclab_stream_cb cb, void *user);
-    int (*stop)(void *dev);
-    void (*close_dev)(void *dev);
-};
 
 // ---------------------------------------------------------------- loopback
 
@@ -906,38 +894,49 @@ static void logicloop_close(void *dev)
     delete static_cast<LogicLoopDevice *>(dev);
 }
 
-static NfclabSdrDriver g_drivers[] = {
-    {"loopback", loopback_enumerate, loopback_open, loopback_set,
-     loopback_get, loopback_start, loopback_stop, loopback_close},
-    {"logictcp", logictcp_enumerate, logictcp_open, logictcp_set,
-     logictcp_get, logictcp_start, logictcp_stop, logictcp_close},
-    {"logicloop", logicloop_enumerate, logicloop_open, logicloop_set,
-     logicloop_get, logicloop_start, logicloop_stop, logicloop_close},
-    {"rtltcp", rtltcp_enumerate, rtltcp_open, rtltcp_set,
-     rtltcp_get, rtltcp_start, rtltcp_stop, rtltcp_close},
-    {"spyserver", spyserver_enumerate, spyserver_open, spyserver_set,
-     spyserver_get, spyserver_start, spyserver_stop, spyserver_close},
-    // libusb vendor drivers (airspy/hydrasdr/mirisdr/dslogic) register here
-    // when their libraries are linked; absent in this build environment
-};
+// ----------------------------------------------------------- driver registry
+
+static std::vector<NfclabSdrDriver> &registry()
+{
+    static std::vector<NfclabSdrDriver> drivers = [] {
+        std::vector<NfclabSdrDriver> v = {
+            {"loopback", loopback_enumerate, loopback_open, loopback_set,
+             loopback_get, loopback_start, loopback_stop, loopback_close},
+            {"logictcp", logictcp_enumerate, logictcp_open, logictcp_set,
+             logictcp_get, logictcp_start, logictcp_stop, logictcp_close},
+            {"logicloop", logicloop_enumerate, logicloop_open, logicloop_set,
+             logicloop_get, logicloop_start, logicloop_stop, logicloop_close},
+            {"rtltcp", rtltcp_enumerate, rtltcp_open, rtltcp_set,
+             rtltcp_get, rtltcp_start, rtltcp_stop, rtltcp_close},
+            {"spyserver", spyserver_enumerate, spyserver_open, spyserver_set,
+             spyserver_get, spyserver_start, spyserver_stop, spyserver_close},
+        };
+        // dlopen'd vendor USB drivers (airspy/hydrasdr/rtlsdr/mirisdr) —
+        // registered unconditionally; each reports no devices and refuses
+        // open when its vendor library is absent (the CI case)
+        nfclab_register_usb_drivers(v);
+        return v;
+    }();
+    return drivers;
+}
 
 // ------------------------------------------------------------------- C ABI
 
 int nfclab_sdr_driver_count()
 {
-    return static_cast<int>(sizeof(g_drivers) / sizeof(g_drivers[0]));
+    return static_cast<int>(registry().size());
 }
 
 const char *nfclab_sdr_driver_name(int index)
 {
     if (index < 0 || index >= nfclab_sdr_driver_count())
         return nullptr;
-    return g_drivers[index].type_name;
+    return registry()[index].type_name;
 }
 
 static NfclabSdrDriver *find_driver(const char *ident)
 {
-    for (auto &drv : g_drivers) {
+    for (auto &drv : registry()) {
         const size_t n = strlen(drv.type_name);
         if (strncmp(ident, drv.type_name, n) == 0)
             return &drv;
@@ -948,7 +947,7 @@ static NfclabSdrDriver *find_driver(const char *ident)
 int nfclab_sdr_enumerate(char *out, int out_len)
 {
     int written = 0;
-    for (auto &drv : g_drivers) {
+    for (auto &drv : registry()) {
         if (written > 0 && written < out_len - 1)
             out[written++] = '\n';
         written += drv.enumerate(out + written, out_len - written);
