@@ -109,16 +109,19 @@ def _decode(path: str, args) -> list[Frame]:
         conditioner=args.conditioner,
     )
     if getattr(args, "frontend", "host") == "fused":
-        # correlator channels + detect triggers from the fused TPU kernel
+        # conditioning + correlator channels + detect triggers from the
+        # fused TPU kernel; only the edge tracker + walk run on the host
         from ..io.wav import read_wav
 
         samples, info = read_wav(path)
-        from ..dsp.tpu_channels import fused_capture_channels
+        from ..dsp.tpu_channels import fused_capture_all
 
-        chans = fused_capture_channels(
+        cond, chans = fused_capture_all(
             samples, info.sample_rate, args.power_threshold
         )
-        return dec.decode(samples, info.sample_rate, tpu_channels=chans)
+        return dec.decode(
+            samples, info.sample_rate, cond=cond, tpu_channels=chans
+        )
     return dec.decode_wav(path)
 
 

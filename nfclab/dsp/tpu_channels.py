@@ -54,16 +54,19 @@ _BOX_KEYS = {
 _FETCH = list(_BOX_KEYS) + ["detect_mask"]
 
 
-def fused_capture_channels(
+_COND_FETCH = ("envelope", "filtered", "deviation", "average", "mod_depth")
+
+
+def _run_capture_blocks(
     samples: np.ndarray,
     sample_rate: int,
-    power_level_threshold: float = 0.01,
-    L: int = DEFAULT_L,
-    H: int = DEFAULT_H,
+    power_level_threshold: float,
+    L: int,
+    H: int,
+    fetch: tuple,
 ) -> dict[str, np.ndarray]:
     """Run one capture through the fused TPU frontend as overlap-save blocks;
-    returns host f32 arrays (len(samples)) for every box channel plus the
-    packed ``detect_mask`` bitfield."""
+    returns host f32 arrays (len(samples)) for the requested channels."""
     from .frontend import _params_tuple
     from .pallas.fused_frontend import LANES, TILE, fused_frontend
 
@@ -108,11 +111,11 @@ def fused_capture_channels(
     # phase and values are bit-identical to the full run
     res = fused_frontend(
         x, _params_tuple(params), native_layout=False,
-        mask_params=mask_params, select=tuple(_FETCH),
+        mask_params=mask_params, select=tuple(fetch),
     )
 
     out: dict[str, np.ndarray] = {}
-    for name in _FETCH:
+    for name in fetch:
         dev = np.asarray(res[name][:nb])  # fetch only the live blocks
         arr = np.empty(n, np.float32)
         for i in range(nb):
@@ -122,6 +125,63 @@ def fused_capture_channels(
             arr[lo:hi] = dev[i, body_off : body_off + (hi - lo)]
         out[name] = arr
     return out
+
+
+def fused_capture_channels(
+    samples: np.ndarray,
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+) -> dict[str, np.ndarray]:
+    """Box channels + packed detect_mask for one capture (device compute;
+    conditioning stays host-side — see fused_capture_all for the full
+    device frontend)."""
+    return _run_capture_blocks(
+        samples, sample_rate, power_level_threshold, L, H, tuple(_FETCH)
+    )
+
+
+def fused_capture_all(
+    samples: np.ndarray,
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+):
+    """Full device frontend for one capture: (Conditioned, channels).
+
+    The host conditioner is ~80% of single-capture decode wall time (the
+    serial per-sample C++ chain runs at ~3.5 MS/s/core); here conditioning
+    comes from the same fused kernel pass that produces the box channels,
+    and only the carrier-edge peak tracker (which the kernel does not emit)
+    runs on the host — the scheme the TPU stream farm uses, golden-validated
+    by validate_tpu_farm/validate_tpu_decode."""
+    from ..core.params import SignalParams
+    from ..native.binding import Conditioned, edge_track_into
+
+    arrs = _run_capture_blocks(
+        samples, sample_rate, power_level_threshold, L, H,
+        tuple(_FETCH) + _COND_FETCH,
+    )
+    n = len(samples)
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    bufs = {
+        "value": np.ascontiguousarray(samples, np.float32),
+        **{k: arrs[k] for k in _COND_FETCH},
+        "edge_peak": np.empty(n, np.float32),
+        "edge_time": np.empty(n, np.uint32),
+    }
+    state = np.zeros(2, np.float64)
+    edge_track_into(params, state, bufs, 0, n, 0)
+    cond = Conditioned(
+        bufs["value"], bufs["envelope"], bufs["filtered"], bufs["deviation"],
+        bufs["average"], bufs["mod_depth"], bufs["edge_peak"],
+        bufs["edge_time"],
+    )
+    return cond, {k: arrs[k] for k in _FETCH}
 
 
 def idx_key_map(sample_rate: int, power_level_threshold: float):

@@ -60,7 +60,18 @@ def decode_batch(
                 "power_level_threshold", 0.01
             ),
         )
-        if conditioner == "jax":
+        tpu_channels = None
+        if frontend == "fused":
+            # full device frontend: conditioning AND channels from the fused
+            # kernel (the host conditioner is ~80% of decode wall time)
+            from ..dsp.tpu_channels import fused_capture_all
+
+            cond, tpu_channels = fused_capture_all(
+                samples,
+                info.sample_rate,
+                decoder_kwargs.get("power_level_threshold", 0.01),
+            )
+        elif conditioner == "jax":
             cond = condition_jax(samples, params)
         else:
             cond = condition_exact(samples, params)
@@ -74,15 +85,6 @@ def decode_batch(
             cond.edge_peak,
             cond.edge_time,
         )
-        tpu_channels = None
-        if frontend == "fused":
-            from ..dsp.tpu_channels import fused_capture_channels
-
-            tpu_channels = fused_capture_channels(
-                samples,
-                info.sample_rate,
-                decoder_kwargs.get("power_level_threshold", 0.01),
-            )
         jobs.append(
             (samples, info.sample_rate, cond_arrays, tpu_channels,
              decoder_kwargs)
