@@ -77,3 +77,37 @@ def test_sharded_matches_unsharded_walk(fixture_dir):
     assert len(sharded) == len(plain)
     for g, w in zip(sharded, plain):
         assert g == w
+
+
+def test_segmented_box_sum_precision():
+    """The segmented-cumsum box sums must stay within a few ULPs of the
+    exact f64 windowed sums — a plain W-long f32 cumsum difference drifts
+    ~1e-3 absolute by the end of a 32k window, which flips
+    threshold-adjacent decode samples (the bug this formulation fixes)."""
+    _devices(1)
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = (rng.random((2, 32768), dtype=np.float32) * 0.4).astype(np.float32)
+
+    # the same code path _sharded_step jits, extracted via a tiny jit
+    def box_sum(xv, width, seg=512):
+        r, w_len = xv.shape
+        xs = xv.reshape(r, w_len // seg, seg)
+        c = jnp.cumsum(xs, axis=-1)
+        tails = c[..., -1]
+        cprev = jnp.pad(c[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        tprev = jnp.pad(tails[:, :-1], ((0, 0), (1, 0)))
+        o = jnp.arange(seg)
+        case1 = c - jnp.roll(c, width, axis=-1)
+        c2 = cprev[..., jnp.clip(o + seg - width, 0, seg - 1)]
+        case2 = c + (tprev[..., None] - c2)
+        return jnp.where(o >= width, case1, case2).reshape(r, w_len)
+
+    for width in (12, 94, 189):
+        got = np.asarray(jax.jit(box_sum, static_argnums=1)(x, width))
+        c64 = np.cumsum(x.astype(np.float64), axis=-1)
+        want = c64 - np.pad(c64[:, :-width], ((0, 0), (width, 0)))
+        err = np.abs(got - want.astype(np.float32)).max()
+        assert err < 5e-5, (width, err)
