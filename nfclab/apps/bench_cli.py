@@ -39,6 +39,7 @@ def bench_frontend(batch: int, span: int, reps: int) -> dict:
 
 def bench_decode(
     paths: list[str], frontend: str = "host", workers: int | None = None,
+    conditioner: str = "native",
 ) -> dict:
     """Honest capture->frames rate: WAV read + frontend (host or the fused
     TPU kernel via dsp.tpu_channels) + the host event walk, wall clock.
@@ -49,7 +50,9 @@ def bench_decode(
 
     total = sum(len(read_wav(p)[0]) for p in paths)
     t0 = time.perf_counter()
-    results = decode_batch(paths, workers=workers, frontend=frontend)
+    results = decode_batch(
+        paths, workers=workers, frontend=frontend, conditioner=conditioner
+    )
     dt = time.perf_counter() - t0
     frames = sum(len(v) for v in results.values())
     return {
@@ -74,6 +77,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument(
+        "--conditioner", choices=["native", "jax"], default="native",
+        help="host conditioning backend for frontend=host",
+    )
+    ap.add_argument(
         "--no-kernel", action="store_true",
         help="skip the dense-frontend kernel bench (decode only)",
     )
@@ -82,7 +89,9 @@ def main(argv=None) -> int:
         print(json.dumps(bench_frontend(args.batch, args.span, args.reps)))
     if args.decode:
         print(json.dumps(
-            bench_decode(args.decode, args.frontend, args.workers)
+            bench_decode(
+                args.decode, args.frontend, args.workers, args.conditioner
+            )
         ))
     return 0
 

@@ -23,12 +23,16 @@ from .decoder import NfcDecoder
 
 def _walk_one(args) -> list[Frame]:
     """Host-side walk over precomputed conditioning (runs in a worker
-    process; imports stay local so workers never touch the TPU)."""
+    process; imports stay local so workers never touch the TPU).
+    cond_arrays=None means the worker conditions locally with the native
+    C++ chain — the dominant host cost, parallelized across the pool."""
     samples, sample_rate, cond_arrays, tpu_channels, kwargs = args
+    dec = NfcDecoder(**kwargs)
+    if cond_arrays is None:
+        return dec.decode(samples, sample_rate, tpu_channels=tpu_channels)
     from ..native.binding import Conditioned
 
     cond = Conditioned(*cond_arrays)
-    dec = NfcDecoder(**kwargs)
     return dec.decode(
         samples, sample_rate, cond=cond, tpu_channels=tpu_channels
     )
@@ -61,6 +65,7 @@ def decode_batch(
             ),
         )
         tpu_channels = None
+        cond_arrays = None
         if frontend == "fused":
             # full device frontend: conditioning AND channels from the fused
             # kernel (the host conditioner is ~80% of decode wall time)
@@ -72,19 +77,25 @@ def decode_batch(
                 decoder_kwargs.get("power_level_threshold", 0.01),
             )
         elif conditioner == "jax":
+            # accelerator conditioning must run in the parent (workers
+            # never touch the device)
             cond = condition_jax(samples, params)
         else:
-            cond = condition_exact(samples, params)
-        cond_arrays = (
-            cond.value,
-            cond.envelope,
-            cond.filtered,
-            cond.deviation,
-            cond.average,
-            cond.mod_depth,
-            cond.edge_peak,
-            cond.edge_time,
-        )
+            # native conditioning runs IN the workers (cond_arrays=None):
+            # it is the dominant host cost, so serializing it in the
+            # parent would cap the pool's speedup
+            cond = None
+        if cond is not None:
+            cond_arrays = (
+                cond.value,
+                cond.envelope,
+                cond.filtered,
+                cond.deviation,
+                cond.average,
+                cond.mod_depth,
+                cond.edge_peak,
+                cond.edge_time,
+            )
         jobs.append(
             (samples, info.sample_rate, cond_arrays, tpu_channels,
              decoder_kwargs)
