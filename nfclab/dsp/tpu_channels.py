@@ -191,7 +191,11 @@ def idx_key_map(sample_rate: int, power_level_threshold: float):
     defaults, matching the kernel mask_params)."""
     from ..demod.nfcv import nfcv_bitrate
 
-    pw = float(power_level_threshold)
+    # the techs key thresholds through f32 (ctx.power_level_threshold is a
+    # SignalParams np.float32); the key must round-trip identically or the
+    # preloaded entries silently miss and the host recomputes every detect
+    # index channel (asserted by test_preload_covers_detect_indices)
+    pw = float(np.float32(power_level_threshold))
     out = []
     a_thr = float(np.float32(0.75))
     for r, br in enumerate(nfca_bitrates(sample_rate)):

@@ -130,3 +130,48 @@ def test_preloaded_decode_frames_match_default(fixture_dir):
         assert len(base) == len(fed) and all(
             x == y for x, y in zip(base, fed)
         ), name
+
+
+def test_preload_covers_detect_indices(fixture_dir):
+    """The detect-index keys idx_key_map emits must round-trip EXACTLY as
+    the tech FSMs build them (thresholds pass through np.float32, so keying
+    them as python floats silently misses and the host recomputes every
+    detect channel — the bug this guards).  Spy on the lazy index getter
+    and assert zero sdidx/eidxb computations on a preloaded decode."""
+    import nfclab.dsp.channels as chmod
+    from nfclab.runtime.decoder import walk
+    from nfclab.runtime.decoder import CarrierDetector
+
+    samples, info = read_wav(str(fixture_dir / "test_POLL_AB_001.wav"))
+    rate = info.sample_rate
+    arrs, cond = _host_channel_arrays(samples, rate, 0.01)
+
+    from nfclab.core.params import SignalParams
+
+    params = SignalParams(rate, power_level_threshold=0.01)
+    ctx = DecoderContext(cond, rate, params)
+    preload_channels(ctx.channels, arrs, rate, 0.01)
+
+    computed = []
+    orig = chmod.LazyChannels._idx_chan
+
+    def spy(self, key, *a, **k):
+        ent = self._cache.get(key)
+        if ent is None or ent.get("idx") is None or (
+            ent.get("scanned", 0) < self.n
+        ):
+            computed.append(key)
+        return orig(self, key, *a, **k)
+
+    chmod.LazyChannels._idx_chan = spy
+    try:
+        dec = NfcDecoder()
+        carrier = CarrierDetector(ctx)
+        techs = dec._make_techs(ctx)
+        for te in techs:
+            te.initialize()
+        walk(ctx, carrier, techs, 0)
+    finally:
+        chmod.LazyChannels._idx_chan = orig
+    missed = [k for k in computed if k[0] in ("sdidx", "eidxb")]
+    assert not missed, f"preload missed detect-index keys: {missed}"
