@@ -178,8 +178,10 @@ def cmd_live(args) -> int:
     from ..runtime.subject import Subject
 
     frames: "_queue.Queue" = _queue.Queue()
-    if args.device.startswith("logic"):
-        # live logic capture (logicloop:// / logictcp://host:port) -> the
+    from ..hw.sdr import LOGIC_SCHEMES
+
+    if args.device.split("://")[0] in LOGIC_SCHEMES:
+        # live logic capture (logicloop / logictcp / dslogic / sipeed) ->
         # streaming ISO7816 decoder (LogicDeviceTask+LogicDecoderTask role)
         from ..runtime.pipeline import LiveLogicSourceTask, LogicDecoderTask
 
@@ -261,7 +263,9 @@ def main(argv=None) -> int:
     p.add_argument(
         "device",
         help="loopback://test | rtltcp://host:port | spyserver://host:port "
-             "| logicloop://test | logictcp://host:port (ISO7816)",
+             "| airspy:// hydrasdr:// rtlsdr:// mirisdr:// (USB radio) "
+             "| logicloop://test | logictcp://host:port | dslogic:// | "
+             "sipeed:// (ISO7816)",
     )
     p.add_argument("--json", "-j", action="store_true")
     p.add_argument("--sample-rate", type=float, default=10_000_000)

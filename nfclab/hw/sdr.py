@@ -213,3 +213,25 @@ DeviceFactory.register_device(
 DeviceFactory.register_device(
     "logictcp", lambda: [], lambda ident: NativeSdrDevice(ident)
 )
+
+
+def _enumerate_usb(scheme: str):
+    def scan():
+        from ..native.binding import sdr_enumerate
+
+        return sdr_enumerate(scheme)
+
+    return scan
+
+
+# dlopen'd vendor USB drivers (usb_drivers.cpp / usb_logic.cpp): enumerate
+# scans the real USB bus when the vendor library + hardware are present
+for _scheme in ("airspy", "hydrasdr", "rtlsdr", "mirisdr",  # radio
+                "dslogic", "sipeed"):                       # logic analyzers
+    DeviceFactory.register_device(
+        _scheme, _enumerate_usb(_scheme), lambda ident: NativeSdrDevice(ident)
+    )
+
+# capture schemes that publish logic probe samples (ISO7816 path) rather
+# than radio IQ/magnitude — used by the apps to route to the logic decoder
+LOGIC_SCHEMES = ("logicloop", "logictcp", "dslogic", "sipeed")

@@ -440,6 +440,20 @@ def sdr_drivers() -> list[str]:
     ]
 
 
+def sdr_enumerate(scheme: str | None = None) -> list[str]:
+    """Device idents reported by every native driver (optionally filtered
+    to one scheme) — DeviceFactory::enumerate parity for the bridge."""
+    lib = _load()
+    if lib is None:
+        return []
+    buf = ctypes.create_string_buffer(8192)
+    lib.nfclab_sdr_enumerate(buf, len(buf))
+    idents = [s for s in buf.value.decode().splitlines() if s]
+    if scheme is not None:
+        idents = [s for s in idents if s.startswith(scheme + "://")]
+    return idents
+
+
 @dataclass
 class Conditioned:
     """Dense per-sample conditioning outputs (the NfcTimeSample fields plus the

@@ -27,8 +27,9 @@ SOURCES = [
     "decode_a.cpp",
     "decode_b.cpp",
     "usb_drivers.cpp",
+    "usb_logic.cpp",
 ]
-HEADERS = ["fsm_common.h", "bridge.h"]
+HEADERS = ["fsm_common.h", "bridge.h", "usb_api.h"]
 LIB_NAME = "libnfclab_native.so"
 
 

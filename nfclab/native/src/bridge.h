@@ -32,3 +32,4 @@ struct NfclabSdrDriver {
 // registry init in sdr_bridge.cpp)
 #include <vector>
 void nfclab_register_usb_drivers(std::vector<NfclabSdrDriver> &out);
+void nfclab_register_usb_logic_drivers(std::vector<NfclabSdrDriver> &out);

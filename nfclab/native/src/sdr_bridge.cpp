@@ -915,6 +915,8 @@ static std::vector<NfclabSdrDriver> &registry()
         // registered unconditionally; each reports no devices and refuses
         // open when its vendor library is absent (the CI case)
         nfclab_register_usb_drivers(v);
+        // dlopen'd libusb logic analyzers (dslogic/sipeed) — same contract
+        nfclab_register_usb_logic_drivers(v);
         return v;
     }();
     return drivers;

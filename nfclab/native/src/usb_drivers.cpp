@@ -28,6 +28,7 @@
 #include <dlfcn.h>
 
 #include "bridge.h"
+#include "usb_api.h"
 
 namespace {
 
@@ -47,64 +48,23 @@ bool sym(void *h, const char *name, T &fn)
     return fn != nullptr;
 }
 
-// ------------------------------------------------------------------- libusb
-// (hw::usb wrapper parity: enumeration/diagnostics; the vendor libraries do
-// their own transfer handling, as in the reference)
-
-struct UsbApi {
-    void *handle = nullptr;
-    int (*init)(void **) = nullptr;
-    void (*exit_)(void *) = nullptr;
-    ssize_t (*get_device_list)(void *, void ***) = nullptr;
-    void (*free_device_list)(void **, int) = nullptr;
-    int (*get_device_descriptor)(void *, void *) = nullptr;
-    uint8_t (*get_bus_number)(void *) = nullptr;
-    uint8_t (*get_device_address)(void *) = nullptr;
-};
-
-UsbApi &usb_api()
-{
-    static UsbApi api = [] {
-        UsbApi a;
-        static const char *names[] = {"libusb-1.0.so.0", "libusb-1.0.so",
-                                      nullptr};
-        void *h = dl(names);
-        if (!h)
-            return a;
-        bool ok = sym(h, "libusb_init", a.init)
-            && sym(h, "libusb_exit", a.exit_)
-            && sym(h, "libusb_get_device_list", a.get_device_list)
-            && sym(h, "libusb_free_device_list", a.free_device_list)
-            && sym(h, "libusb_get_device_descriptor", a.get_device_descriptor)
-            && sym(h, "libusb_get_bus_number", a.get_bus_number)
-            && sym(h, "libusb_get_device_address", a.get_device_address);
-        if (ok)
-            a.handle = h;
-        return a;
-    }();
-    return api;
-}
-
 }  // namespace
 
 extern "C" {
 
 int nfclab_usb_available()
 {
-    return usb_api().handle != nullptr;
+    return nfclab_usb_api().handle != nullptr;
 }
 
 // newline-separated "vid:pid bus:addr" lines for every USB device
 int nfclab_usb_device_list(char *out, int out_len)
 {
-    UsbApi &a = usb_api();
+    NfclabUsbApi &a = nfclab_usb_api();
     if (!a.handle || out_len <= 0)
         return -1;
-    void *ctx = nullptr;
-    if (a.init(&ctx) != 0)
-        return -1;
     void **list = nullptr;
-    const ssize_t n = a.get_device_list(ctx, &list);
+    const ssize_t n = a.get_device_list(a.ctx, &list);
     int written = 0;
     for (ssize_t i = 0; i < n; i++) {
         // the first 8 bytes of libusb_device_descriptor are fixed-layout:
@@ -124,7 +84,6 @@ int nfclab_usb_device_list(char *out, int out_len)
     }
     if (list)
         a.free_device_list(list, 1);
-    a.exit_(ctx);
     return written;
 }
 
