@@ -82,14 +82,21 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int, bits: int = 16) 
     samples = np.asarray(samples, dtype=np.float32)
     nch = 1 if samples.ndim == 1 else samples.shape[1]
     flat = samples.reshape(-1)
+    # saturate at positive full scale: +1.0 must store as the max code, not
+    # wrap to the negative rail (logic captures are all-rails 0.0/1.0)
     if bits == 16:
-        data = (flat * np.float32(1 << 15)).astype("<i2").tobytes()
+        scaled = np.clip(flat * np.float32(1 << 15), -(1 << 15), (1 << 15) - 1)
+        data = scaled.astype("<i2").tobytes()
     elif bits == 8:
-        data = ((flat * np.float32(1 << 7)).astype(np.int8).view(np.uint8) + 128).astype(
+        scaled = np.clip(flat * np.float32(1 << 7), -(1 << 7), (1 << 7) - 1)
+        data = (scaled.astype(np.int8).view(np.uint8) + 128).astype(
             np.uint8
         ).tobytes()
     elif bits == 32:
-        data = (flat * np.float32(1 << 31)).astype("<i4").tobytes()
+        scaled = np.clip(
+            flat.astype(np.float64) * (1 << 31), -(1 << 31), (1 << 31) - 1
+        )
+        data = scaled.astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported bits={bits}")
 

@@ -440,6 +440,25 @@ def sdr_drivers() -> list[str]:
     ]
 
 
+def usb_device_list() -> list[str]:
+    """'vid:pid bus:addr' lines for every USB device (hw::usb wrapper
+    diagnostics; empty when libusb is absent)."""
+    lib = _load()
+    if lib is None:
+        return []
+    if not hasattr(lib.nfclab_usb_device_list, "argtypes") or \
+            not lib.nfclab_usb_device_list.argtypes:
+        lib.nfclab_usb_available.restype = ctypes.c_int
+        lib.nfclab_usb_device_list.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.nfclab_usb_device_list.restype = ctypes.c_int
+    if not lib.nfclab_usb_available():
+        return []
+    buf = ctypes.create_string_buffer(8192)
+    if lib.nfclab_usb_device_list(buf, len(buf)) < 0:
+        return []
+    return [s for s in buf.value.decode().splitlines() if s]
+
+
 def sdr_enumerate(scheme: str | None = None) -> list[str]:
     """Device idents reported by every native driver (optionally filtered
     to one scheme) — DeviceFactory::enumerate parity for the bridge."""
