@@ -149,12 +149,37 @@ def cmd_test(args) -> int:
 
 
 def cmd_run(args) -> int:
+    sections = []
+    all_frames: list[Frame] = []
     for wav in args.paths:
-        for frame in _decode(wav, args):
+        frames = _decode(wav, args)
+        all_frames.extend(frames)
+        for frame in frames:
             if args.json:
                 print(frame_json(frame))
             else:
                 print(frame_text(frame))
+        if getattr(args, "html", None):
+            # spectrum waterfall + wave strip per capture (GUI views)
+            from ..io.wav import read_wav
+            from ..tools.html_report import capture_sections
+
+            samples, info = read_wav(wav)
+            sections.append(
+                capture_sections(
+                    Path(wav).stem, samples, info.sample_rate, frames
+                )
+            )
+    if getattr(args, "html", None):
+        from ..tools.html_report import render_html
+
+        page = render_html(
+            all_frames, title=" + ".join(Path(p).stem for p in args.paths),
+            extra_sections="".join(sections),
+        )
+        with open(args.html, "w", encoding="utf-8") as fh:
+            fh.write(page)
+        print(f"wrote {args.html}")
     return 0
 
 
@@ -258,6 +283,12 @@ def main(argv=None) -> int:
             help="fused = correlator channels + detect triggers computed "
             "by the fused TPU Pallas kernel (dsp.tpu_channels)",
         )
+        if name == "run":
+            p.add_argument(
+                "--html", metavar="OUT",
+                help="write an HTML report (frame table + protocol trees + "
+                "spectrum waterfall + wave strips)",
+            )
         p.set_defaults(fn=fn)
     p = sub.add_parser("live", help="live SDR capture + decode")
     p.add_argument(

@@ -62,6 +62,8 @@ svg.wave { width: 100%; height: 120px; background: #fbfbfe;
 .fr-span { fill: #0b539422; stroke: #0b5394; stroke-width: .5; }
 .fr-span.listen { fill: #38761d22; stroke: #38761d; }
 .summary td { padding-right: 2em; }
+img.waterfall { width: 100%; height: 220px; image-rendering: pixelated;
+                border: 1px solid #ddd; display: block; }
 """
 
 
@@ -172,7 +174,103 @@ def _wave_svg(stream, frames: list[Frame], width=1200, height=120) -> str:
     )
 
 
-def render_html(frames: list[Frame], signals=(), title="nfclab trace") -> str:
+def _png_base64(img: np.ndarray) -> str:
+    """Encode an [H, W, 3] uint8 image as a base64 PNG (stdlib only)."""
+    import base64
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    return base64.b64encode(png).decode()
+
+
+# compact blue->yellow power colormap (dark = quiet)
+_CMAP = np.stack(
+    [
+        np.clip(np.linspace(-0.5, 1.5, 256), 0, 1) * 255,          # R
+        np.clip(np.linspace(-0.2, 1.2, 256), 0, 1) * 230,          # G
+        np.clip(np.linspace(0.25, -0.9, 256) + 0.45, 0, 1) * 255,  # B
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def _spectrum_html(name: str, samples: np.ndarray, sample_rate: int,
+                   nfft: int = 1024, max_rows: int = 220,
+                   width: int = 1200) -> str:
+    """Waterfall + average spectrum for one capture — the static artifact of
+    the reference GUI's frequencyView (FourierProcessTask's 1024-point FFT,
+    FourierProcessTask.cpp:174-178).  Computed with numpy (the live
+    FourierTask runs the same transform on the device)."""
+    x = np.asarray(samples, dtype=np.float32).reshape(-1)
+    if len(x) < nfft:
+        return ""
+    hop = max(nfft, int(np.ceil(len(x) / max_rows / nfft)) * nfft)
+    starts = np.arange(0, len(x) - nfft + 1, hop)
+    window = np.hamming(nfft).astype(np.float32)
+    segs = np.stack([x[s:s + nfft] for s in starts]) * window
+    power = np.abs(np.fft.rfft(segs, axis=1))[:, 1:]  # drop DC
+    db = 20 * np.log10(power + 1e-9)
+    lo, hi = np.percentile(db, 5), np.percentile(db, 99.5)
+    norm = np.clip((db - lo) / max(hi - lo, 1e-6), 0, 1)
+    img = _CMAP[(norm * 255).astype(np.uint8)]
+    png = _png_base64(img)
+
+    avg = db.mean(axis=0)
+    a0, a1 = float(avg.min()), float(avg.max())
+    ar = max(a1 - a0, 1e-6)
+    pts = " ".join(
+        f"{i / (len(avg) - 1) * width:.1f},{118 - (v - a0) / ar * 112:.1f}"
+        for i, v in enumerate(avg)
+    )
+    ny = sample_rate / 2 / 1e6
+    dur = len(x) / sample_rate
+    return (
+        f"<h2>spectrum — {html.escape(name)} "
+        f"(0–{ny:.3g} MHz, {dur:.3f} s, {len(starts)} slices)</h2>"
+        f'<img class="waterfall" src="data:image/png;base64,{png}" '
+        f'alt="waterfall"/>'
+        f'<svg class="wave" viewBox="0 0 {width} 120" '
+        f'preserveAspectRatio="none">'
+        f'<polyline fill="none" stroke="#0b5394" stroke-width="0.8" '
+        f'points="{pts}"/></svg>'
+    )
+
+
+def capture_sections(name: str, samples: np.ndarray, sample_rate: int,
+                     frames: list[Frame]) -> str:
+    """Spectrum + wave strip for raw capture samples (decode_cli run --html
+    path, where the dense signal is available rather than TRZ adaptive
+    streams)."""
+    from ..dsp.resample import resample_radio
+    from ..io.trz import SignalStream
+
+    out = _spectrum_html(name, samples, sample_rate)
+    vals, offs = resample_radio(np.asarray(samples, np.float32).reshape(-1))
+    stream = SignalStream(
+        0, sample_rate, f"radio — {name}",
+        offsets=offs.astype(np.int64), values=vals,
+    )
+    out += _wave_svg(stream, frames)
+    return out
+
+
+def render_html(frames: list[Frame], signals=(), title="nfclab trace",
+                extra_sections: str = "") -> str:
     """Render frames (+ optional SignalStreams) to a standalone HTML page."""
     annotated = annotate_frames(frames)
 
@@ -236,6 +334,7 @@ def render_html(frames: list[Frame], signals=(), title="nfclab trace") -> str:
 <td>{fid} frames</td><td>{t1 - t0:.3f} s</td>{summary}
 </tr></table>
 {waves}
+{extra_sections}
 <h2>Frames</h2>
 <table>
 <tr><th>#</th><th>Time</th><th>Delta</th><th>Rate</th><th>Tech</th>

@@ -58,3 +58,23 @@ def test_trace_cli_html(decoded, tmp_path):
     assert res.returncode == 0, res.stderr
     page = out.read_text()
     assert "NFC-A" in page and "<svg" in page and "WUPA" in page
+
+
+def test_run_cli_html_with_spectrum(fixture_dir, tmp_path):
+    """decode_cli run --html embeds the spectrum waterfall (frequencyView
+    role) plus a wave strip rendered from the raw capture."""
+    out = tmp_path / "report.html"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "nfclab.apps.decode_cli", "run",
+            str(fixture_dir / "test_NFC-A_106kbps_001.wav"),
+            "--html", str(out),
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert res.returncode == 0, res.stderr
+    page = out.read_text()
+    assert 'img class="waterfall"' in page
+    assert "data:image/png;base64,iVBOR" in page
+    assert "spectrum — test_NFC-A_106kbps_001" in page
+    assert "WUPA" in page  # frames decoded on the same page
