@@ -100,6 +100,15 @@ def frame_text(frame: Frame) -> str:
 
 
 def _decode(path: str, args) -> list[Frame]:
+    from ..io.wav import read_wav
+
+    samples, info = read_wav(path)
+    if info.channels > 1:
+        # multi-channel capture = logic-analyzer probes -> ISO7816 decoder
+        # (the reference routes these to IsoDecoder the same way)
+        from ..runtime.logic_decoder import IsoDecoder
+
+        return IsoDecoder().decode(samples, info.sample_rate)
     dec = NfcDecoder(
         enable_nfca=not args.disable_nfca,
         enable_nfcb=not args.disable_nfcb,
@@ -111,9 +120,6 @@ def _decode(path: str, args) -> list[Frame]:
     if getattr(args, "frontend", "host") == "fused":
         # conditioning + correlator channels + detect triggers from the
         # fused TPU kernel; only the edge tracker + walk run on the host
-        from ..io.wav import read_wav
-
-        samples, info = read_wav(path)
         from ..dsp.tpu_channels import fused_capture_all
 
         cond, chans = fused_capture_all(
@@ -122,7 +128,7 @@ def _decode(path: str, args) -> list[Frame]:
         return dec.decode(
             samples, info.sample_rate, cond=cond, tpu_channels=chans
         )
-    return dec.decode_wav(path)
+    return dec.decode(samples, info.sample_rate)
 
 
 def cmd_test(args) -> int:

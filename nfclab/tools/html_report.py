@@ -253,14 +253,28 @@ def _spectrum_html(name: str, samples: np.ndarray, sample_rate: int,
 
 def capture_sections(name: str, samples: np.ndarray, sample_rate: int,
                      frames: list[Frame]) -> str:
-    """Spectrum + wave strip for raw capture samples (decode_cli run --html
+    """Spectrum + wave strips for raw capture samples (decode_cli run --html
     path, where the dense signal is available rather than TRZ adaptive
-    streams)."""
-    from ..dsp.resample import resample_radio
+    streams).  Multi-channel captures are logic probes: one wave strip per
+    probe, no spectrum."""
+    from ..dsp.resample import resample_logic, resample_radio
     from ..io.trz import SignalStream
 
+    samples = np.asarray(samples, np.float32)
+    if samples.ndim == 2 and samples.shape[1] > 1:
+        out = ""
+        for ch, (vals, offs) in resample_logic(
+            samples, skip_clk=False
+        ).items():
+            stream = SignalStream(
+                ch, sample_rate, f"logic — {name} probe",
+                offsets=np.asarray(offs).astype(np.int64),
+                values=np.asarray(vals, np.float32),
+            )
+            out += _wave_svg(stream, frames)
+        return out
     out = _spectrum_html(name, samples, sample_rate)
-    vals, offs = resample_radio(np.asarray(samples, np.float32).reshape(-1))
+    vals, offs = resample_radio(samples.reshape(-1))
     stream = SignalStream(
         0, sample_rate, f"radio — {name}",
         offsets=offs.astype(np.int64), values=vals,

@@ -92,3 +92,26 @@ def test_device_monitor():
     kinds = {(e["status"], e.get("device")) for e in events}
     assert ("attached", "mock://a") in kinds
     assert ("attached", "mock://b") in kinds
+
+
+def test_decode_cli_logic_wav(tmp_path):
+    """Multi-channel WAV captures route to the ISO7816 decoder (offline
+    logic decode, the reference's IsoDecoder path) and render probe wave
+    strips in the HTML report."""
+    from test_iso7816 import SAMPLE_RATE, make_session
+
+    from nfclab.io.wav import write_wav
+
+    cap = make_session(atr=(0x3B, 0x00), tpdu=(0x00, 0xB0, 0x00, 0x00, 0x02))
+    wav = tmp_path / "logic.wav"
+    write_wav(str(wav), cap, SAMPLE_RATE, bits=8)
+    out = tmp_path / "report.html"
+    res = _run(["nfclab.apps.decode_cli", "run", str(wav), "--json",
+                "--html", str(out)])
+    assert res.returncode == 0, res.stderr
+    frames = [json.loads(l) for l in res.stdout.splitlines()
+              if l.startswith("{")]
+    atr = [f for f in frames if f.get("type") == "ATR"]
+    assert atr and atr[0]["data"] == "3b:00"
+    page = out.read_text()
+    assert page.count("probe stream") == 4  # one wave strip per probe
