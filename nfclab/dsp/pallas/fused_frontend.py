@@ -612,6 +612,28 @@ def unpack_detect_mask(mask):
     }
 
 
+@functools.lru_cache(maxsize=1)
+def _enable_persistent_cache() -> None:
+    """Point jax at the repo-local compilation cache so every consumer of
+    the fused kernel (decode paths, farm, bench, validate tools) shares
+    compiled artifacts across processes — remote TPU compiles run minutes,
+    cache hits run milliseconds."""
+    import os
+
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))),
+        ".jax_cache",
+    )
+    if jax.config.jax_compilation_cache_dir:  # app already configured one
+        return
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def fused_frontend(value, params, native_layout=False,
                    mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
                    state=None, base=0, return_state=False, sub=None,
@@ -637,6 +659,7 @@ def fused_frontend(value, params, native_layout=False,
     monolithic pass over the concatenated chunks."""
     import jax.numpy as jnp
 
+    _enable_persistent_cache()
     sel = _normalize_select(select)
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
