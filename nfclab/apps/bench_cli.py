@@ -77,8 +77,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument(
-        "--conditioner", choices=["native", "jax"], default="native",
-        help="host conditioning backend for frontend=host",
+        "--conditioner", choices=["native", "jax", "device"],
+        default="native",
+        help="conditioning backend: native/jax for frontend=host; device "
+        "fetches kernel conditioning too for frontend=fused (PCIe hosts)",
     )
     ap.add_argument(
         "--no-kernel", action="store_true",

@@ -502,7 +502,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def kernel(base_ref, value_ref, state_in_ref, *rest):

@@ -67,6 +67,8 @@ def _run_capture_blocks(
 ) -> dict[str, np.ndarray]:
     """Run one capture through the fused TPU frontend as overlap-save blocks;
     returns host f32 arrays (len(samples)) for the requested channels."""
+    import jax.numpy as jnp
+
     from .frontend import _params_tuple
     from .pallas.fused_frontend import LANES, TILE, fused_frontend
 
@@ -116,8 +118,14 @@ def _run_capture_blocks(
 
     out: dict[str, np.ndarray] = {}
     for name in fetch:
-        dev = np.asarray(res[name][:nb])  # fetch only the live blocks
-        arr = np.empty(n, np.float32)
+        live = res[name][:nb]  # fetch only the live blocks
+        if name == "detect_mask":
+            # the mask is an f32 integer 0..255 — shrink it on-device so
+            # the host transfer moves 1 byte/sample instead of 4 (device->
+            # host bandwidth bounds this path; consumers .astype anyway)
+            live = live.astype(jnp.uint8)
+        dev = np.asarray(live)
+        arr = np.empty(n, dev.dtype)
         for i in range(nb):
             body_off = 0 if i == 0 else H
             lo = i * L

@@ -45,26 +45,42 @@ def main(argv=None) -> int:
     from ..runtime.batch import decode_batch
 
     paths = [os.path.join(WAV_DIR, f"{n}.wav") for n in names]
-    results = decode_batch(paths, workers=1, frontend="fused")
 
     bad = 0
-    for name, path in zip(names, paths):
-        got = [
-            f for f in results[path] if f.frame_type in GOLDEN_TYPES
-        ]
-        want = read_golden_frames(os.path.join(WAV_DIR, f"{name}.json"))
-        ok = len(got) == len(want) and all(
-            a == b for a, b in zip(got, want)
-        )
-        print(f"TPU DECODE {name}: {'OK' if ok else 'MISMATCH'}", flush=True)
-        if not ok:
-            bad += 1
-            for i, (a, b) in enumerate(zip(got, want)):
-                if a != b:
-                    print(f"  first diff at frame {i}: got={a!r} want={b!r}")
-                    break
-            if len(got) != len(want):
-                print(f"  frame count: got {len(got)} want {len(want)}")
+
+    def check(results, label):
+        nonlocal bad
+        for name, path in zip(names, paths):
+            if path not in results:
+                continue
+            got = [
+                f for f in results[path] if f.frame_type in GOLDEN_TYPES
+            ]
+            want = read_golden_frames(os.path.join(WAV_DIR, f"{name}.json"))
+            ok = len(got) == len(want) and all(
+                a == b for a, b in zip(got, want)
+            )
+            print(f"TPU DECODE {label} {name}: {'OK' if ok else 'MISMATCH'}",
+                  flush=True)
+            if not ok:
+                bad += 1
+                for i, (a, b) in enumerate(zip(got, want)):
+                    if a != b:
+                        print(f"  first diff at frame {i}: "
+                              f"got={a!r} want={b!r}")
+                        break
+                if len(got) != len(want):
+                    print(f"  frame count: got {len(got)} want {len(want)}")
+
+    # device channels + worker-native conditioning (the default fused mode)
+    check(decode_batch(paths, workers=1, frontend="fused"), "host-cond")
+    # full device frontend (conditioning fetched from the kernel too)
+    check(
+        decode_batch(
+            paths[:1], workers=1, frontend="fused", conditioner="device"
+        ),
+        "device-cond",
+    )
     return 1 if bad else 0
 
 
