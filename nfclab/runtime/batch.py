@@ -10,6 +10,7 @@ task pool.
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 
@@ -122,7 +123,12 @@ def decode_batch(
             results[path] = _walk_one(job)
         return results
 
-    with ProcessPoolExecutor(max_workers=workers) as pool:
+    # spawn, not fork: the parent may hold live jax/XLA threads (device
+    # frontend, parallel fetch pools) and forking a multithreaded process
+    # risks deadlock in the children
+    with ProcessPoolExecutor(
+        max_workers=workers, mp_context=multiprocessing.get_context("spawn")
+    ) as pool:
         for path, frames in zip(paths, pool.map(_walk_one, jobs)):
             results[path] = frames
     return results

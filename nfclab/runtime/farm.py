@@ -254,10 +254,12 @@ class TpuStreamFarm:
         )
         self._clock += chunk
 
-        fetch = {
-            name: np.asarray(res[name][:n_s])
-            for name in (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
-        }
+        # split + concurrent fetch pipelines the latency-bound device->host
+        # round trips (see tpu_channels.fetch_arrays)
+        from ..dsp.tpu_channels import fetch_arrays
+
+        names = (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
+        fetch = fetch_arrays({name: res[name][:n_s] for name in names})
         out = []
         for i, st in enumerate(self.streams):
             cond = {k: fetch[k][i] for k in _COND_KEYS}
