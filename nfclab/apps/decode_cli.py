@@ -99,7 +99,9 @@ def frame_text(frame: Frame) -> str:
     return f"{frame.time_start:010.3f} {tech:8s} {ftype:8s} {data}"
 
 
-def _decode(path: str, args) -> list[Frame]:
+def _decode(path: str, args):
+    """Decode one capture; returns (frames, samples, info) so callers that
+    also need the raw signal (the --html report) don't re-read the WAV."""
     from ..io.wav import read_wav
 
     samples, info = read_wav(path)
@@ -108,7 +110,7 @@ def _decode(path: str, args) -> list[Frame]:
         # (the reference routes these to IsoDecoder the same way)
         from ..runtime.logic_decoder import IsoDecoder
 
-        return IsoDecoder().decode(samples, info.sample_rate)
+        return IsoDecoder().decode(samples, info.sample_rate), samples, info
     dec = NfcDecoder(
         enable_nfca=not args.disable_nfca,
         enable_nfcb=not args.disable_nfcb,
@@ -125,10 +127,12 @@ def _decode(path: str, args) -> list[Frame]:
         cond, chans = fused_capture_all(
             samples, info.sample_rate, args.power_threshold
         )
-        return dec.decode(
-            samples, info.sample_rate, cond=cond, tpu_channels=chans
+        return (
+            dec.decode(samples, info.sample_rate, cond=cond,
+                       tpu_channels=chans),
+            samples, info,
         )
-    return dec.decode(samples, info.sample_rate)
+    return dec.decode(samples, info.sample_rate), samples, info
 
 
 def cmd_test(args) -> int:
@@ -142,7 +146,10 @@ def cmd_test(args) -> int:
     failures = 0
     for wav in paths:
         target = wav.with_suffix(".json")
-        frames = [f for f in _decode(str(wav), args) if f.frame_type in GOLDEN_TYPES]
+        frames = [
+            f for f in _decode(str(wav), args)[0]
+            if f.frame_type in GOLDEN_TYPES
+        ]
         if target.exists():
             want = read_golden_frames(str(target))
             ok = frames == want
@@ -158,7 +165,7 @@ def cmd_run(args) -> int:
     sections = []
     all_frames: list[Frame] = []
     for wav in args.paths:
-        frames = _decode(wav, args)
+        frames, samples, info = _decode(wav, args)
         all_frames.extend(frames)
         for frame in frames:
             if args.json:
@@ -167,10 +174,8 @@ def cmd_run(args) -> int:
                 print(frame_text(frame))
         if getattr(args, "html", None):
             # spectrum waterfall + wave strip per capture (GUI views)
-            from ..io.wav import read_wav
             from ..tools.html_report import capture_sections
 
-            samples, info = read_wav(wav)
             sections.append(
                 capture_sections(
                     Path(wav).stem, samples, info.sample_rate, frames

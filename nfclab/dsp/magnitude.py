@@ -26,13 +26,20 @@ def iq_to_magnitude(iq: np.ndarray, avrg: float = 0.0):
     p = iq[:, 0] * iq[:, 0] + iq[:, 1] * iq[:, 1]
     mag = np.sqrt(p)
     power = float(np.sum(p, dtype=np.float64) / len(iq))
-    # exponential average over every 4th magnitude (RadioDeviceTask.cpp:618)
-    sub = mag[::4].astype(np.float64)
+    return mag.astype(np.float32), power, level_average(mag, avrg)
+
+
+def level_average(mag: np.ndarray, avrg: float) -> float:
+    """Exponential signal-level average over every 4th magnitude sample
+    (RadioDeviceTask.cpp:618), order-equivalent closed form — the input the
+    software AGC steps on.  Shared by the IQ conversion path and
+    magnitude-native drivers so AGC runs for every gain-capable device."""
+    sub = np.asarray(mag, np.float64)[::4]
     w = 0.001
     if len(sub):
         decay = (1 - w) ** np.arange(len(sub) - 1, -1, -1)
         avrg = avrg * (1 - w) ** len(sub) + w * float(np.sum(sub * decay))
-    return mag.astype(np.float32), power, avrg
+    return avrg
 
 
 class SoftwareAgc:

@@ -109,6 +109,8 @@ def fetch_arrays(arrays: dict) -> dict[str, np.ndarray]:
         )
         parts.extend(pieces)
 
+    if not parts:
+        return {}
     with ThreadPoolExecutor(min(len(parts), _FETCH_THREADS)) as pool:
         host = list(pool.map(np.asarray, parts))
 

@@ -61,6 +61,14 @@ def _lib():
     return lib
 
 
+# capture schemes that publish logic probe samples (ISO7816 path) rather
+# than radio IQ/magnitude — used by the apps to route to the logic decoder,
+# and by the device queue policy: logic decode cannot tolerate sample gaps,
+# so logic streams buffer losslessly (the reference's unbounded
+# rt::BlockingQueue semantics) while lossy radio streams drop-on-full.
+LOGIC_SCHEMES = ("logicloop", "logictcp", "dslogic", "sipeed")
+
+
 class NativeSdrDevice(SignalDevice):
     """A capture device backed by a native bridge driver.
 
@@ -71,7 +79,14 @@ class NativeSdrDevice(SignalDevice):
         super().__init__(ident)
         self.ident = ident
         self._handle = None
-        self._queue: "queue.Queue[np.ndarray]" = queue.Queue(queue_blocks)
+        # logic capture must be gap-free: unbounded queue (reference
+        # parity: tasks buffer in an unbounded rt::BlockingQueue).  Radio
+        # capture tolerates drops under backpressure, so it stays bounded.
+        self._lossless = ident.split(":")[0] in LOGIC_SCHEMES
+        self._queue: "queue.Queue[np.ndarray]" = queue.Queue(
+            0 if self._lossless else queue_blocks
+        )
+        self._eof = False
         self._cb = _STREAM_CB(self._on_block)
         self._streaming = False
         self._dropped = 0
@@ -123,21 +138,13 @@ class NativeSdrDevice(SignalDevice):
     def _on_block(self, samples, count, offset, user):
         if count == 0:
             # driver EOF marker (e.g. rtl_tcp server closed the connection):
-            # must not be droppable — evict data blocks until it fits
-            block = np.empty(0, np.float32)
-            while True:
-                try:
-                    self._queue.put_nowait(block)
-                    return
-                except queue.Full:
-                    try:
-                        dropped = self._queue.get_nowait()
-                        self._dropped += len(dropped)
-                    except queue.Empty:
-                        pass
+            # out-of-band flag so no queued data block is ever evicted —
+            # read() reports EOF once the queue drains
+            self._eof = True
+            return
         block = np.ctypeslib.as_array(samples, shape=(count,)).copy()
         try:
-            self._queue.put_nowait(block)
+            self._queue.put_nowait(block)  # lossless queues never raise Full
         except queue.Full:
             self._dropped += count
 
@@ -161,11 +168,21 @@ class NativeSdrDevice(SignalDevice):
 
     def read(self, count: int = 0, timeout: float = 1.0):
         """Next captured block (float32; rtltcp delivers interleaved IQ).
-        None on timeout; a zero-length block marks driver EOF."""
-        try:
-            block = self._queue.get(timeout=timeout)
-        except queue.Empty:
-            return None
+        None on timeout; a zero-length block marks driver EOF (reported
+        only after every queued data block has been drained)."""
+        if self._eof:
+            try:
+                block = self._queue.get_nowait()
+            except queue.Empty:
+                return np.empty(0, np.float32)
+        else:
+            try:
+                block = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                # EOF may have raced in while we waited
+                if self._eof and self._queue.empty():
+                    return np.empty(0, np.float32)
+                return None
         self._read_total += len(block)
         return block
 
@@ -232,6 +249,3 @@ for _scheme in ("airspy", "hydrasdr", "rtlsdr", "mirisdr",  # radio
         _scheme, _enumerate_usb(_scheme), lambda ident: NativeSdrDevice(ident)
     )
 
-# capture schemes that publish logic probe samples (ISO7816 path) rather
-# than radio IQ/magnitude — used by the apps to route to the logic decoder
-LOGIC_SCHEMES = ("logicloop", "logictcp", "dslogic", "sipeed")

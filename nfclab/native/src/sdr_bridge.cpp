@@ -69,6 +69,7 @@ static double loopback_get(void *dev, int param)
     auto *d = static_cast<LoopbackDevice *>(dev);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 2;  // PARAM_SAMPLE_TYPE: RADIO_SAMPLES (magnitude)
         case 1003: return d->gain;
     }
     return -1;
@@ -243,6 +244,7 @@ static double rtltcp_get(void *dev, int param)
     auto *d = static_cast<RtlTcpDevice *>(dev);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 1;  // PARAM_SAMPLE_TYPE: RADIO_IQ (interleaved)
         case 1001: return d->frequency;
         case 1002: return d->gain_mode;
         case 1003: return d->gain;
@@ -549,6 +551,7 @@ static double spyserver_get(void *dev, int param)
     auto *d = static_cast<SpyServerDevice *>(dev);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 1;  // PARAM_SAMPLE_TYPE: RADIO_IQ (interleaved)
         case 1001: return d->frequency;
         case 1003: return d->gain;
         case 2001: return d->device_type;      // driver-specific info
@@ -755,6 +758,7 @@ static double logictcp_get(void *dev, int param)
     auto *d = static_cast<LogicTcpDevice *>(dev);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 4;  // PARAM_SAMPLE_TYPE: LOGIC_SAMPLES
         case 120: return d->channels;  // PARAM_CHANNEL_COUNT
         case 1104: return d->voltage_threshold;
     }
@@ -849,6 +853,7 @@ static double logicloop_get(void *dev, int param)
     auto *d = static_cast<LogicLoopDevice *>(dev);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 4;  // PARAM_SAMPLE_TYPE: LOGIC_SAMPLES
         case 120: return d->channels;
     }
     return -1;

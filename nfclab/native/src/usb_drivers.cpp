@@ -257,6 +257,7 @@ double aspy_get(void *vd, int param)
     auto *d = static_cast<AspyDevice *>(vd);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 1;  // PARAM_SAMPLE_TYPE: RADIO_IQ (interleaved)
         case 1001: return d->frequency;
         case 1002: return d->gain_mode;
         case 1003: return d->gain;
@@ -454,6 +455,7 @@ double rtl_get(void *vd, int param)
     auto *d = static_cast<RtlDevice *>(vd);
     switch (param) {
         case 100: return d->sample_rate;
+        case 102: return 1;  // PARAM_SAMPLE_TYPE: RADIO_IQ (interleaved)
         case 1001: return d->frequency;
         case 1002: return d->gain_mode;
         case 1003: return d->gain;

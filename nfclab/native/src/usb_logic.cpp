@@ -38,6 +38,7 @@ namespace {
 // parameter ids (nfclab.hw.device scheme)
 enum {
     PARAM_SAMPLE_RATE = 100,
+    PARAM_SAMPLE_TYPE = 102,
     PARAM_CHANNEL_COUNT = 120,
     PARAM_VOLTAGE_THRESHOLD = 1104,
 };
@@ -158,6 +159,7 @@ double generic_get(void *vd, int param)
     auto *d = static_cast<LogicUsbDevice *>(vd);
     switch (param) {
         case PARAM_SAMPLE_RATE: return d->sample_rate;
+        case PARAM_SAMPLE_TYPE: return 4;  // LOGIC_SAMPLES
         case PARAM_CHANNEL_COUNT: return d->channels;
         case PARAM_VOLTAGE_THRESHOLD: return d->vth;
     }
@@ -211,7 +213,14 @@ int sipeed_start(void *vd, nfclab_stream_cb cb, void *user)
         return -1;
     d->cb = cb;
     d->user = user;
-    const unsigned rate_mhz = (unsigned)(d->sample_rate / 1e6);
+    // the device granularity is integer MHz; round and store the effective
+    // rate back so get(PARAM_SAMPLE_RATE) reports what the hardware runs
+    // (sub-MHz rates would otherwise send 0 and skew frame timestamps)
+    unsigned rate_mhz = (unsigned)(d->sample_rate / 1e6 + 0.5);
+    if (rate_mhz == 0)
+        rate_mhz = 1;
+    d->sample_rate = rate_mhz * 1e6;
+
     uint8_t start[4] = {(uint8_t)(rate_mhz & 0xff), (uint8_t)(rate_mhz >> 8),
                         SIPEED_TOTAL_CHANNELS, 0};
     if (a.control_transfer(d->handle,

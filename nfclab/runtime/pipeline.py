@@ -204,10 +204,12 @@ class LiveRadioSourceTask(Task):
     def _stream(self, dev, offset: int, blocks: int):
         """Configure + drain one device session; returns (rate, offset,
         blocks, disconnected)."""
+        from ..dsp.magnitude import level_average
         from ..hw.device import (
             PARAM_GAIN_MODE,
             PARAM_GAIN_VALUE,
             PARAM_SAMPLE_RATE,
+            PARAM_SAMPLE_TYPE,
         )
 
         for param, value in self.config.items():
@@ -215,7 +217,19 @@ class LiveRadioSourceTask(Task):
         rate = int(dev.get(PARAM_SAMPLE_RATE, 10_000_000))
         dev.start()
         self.update_status("streaming")
-        is_iq = self.ident.startswith("rtltcp")
+        # the driver reports its delivered sample format (PARAM_SAMPLE_TYPE:
+        # every RadioDevice driver in the native table answers this); all
+        # network/USB radio hardware delivers interleaved IQ, so default to
+        # IQ when a (third-party) driver doesn't answer — only the synthetic
+        # loopback is magnitude-native
+        stype = dev.get(PARAM_SAMPLE_TYPE)
+        if stype is not None:
+            is_iq = int(stype) == SignalType.SIGNAL_TYPE_RADIO_IQ
+        else:
+            is_iq = not self.ident.startswith("loopback")
+        # software AGC (RadioDeviceTask.cpp:660-686): every gain-capable
+        # driver unless the gain mode was explicitly set to manual (1)
+        agc_on = self.config.get(PARAM_GAIN_MODE) != 1
         disconnected = False
         while not self.terminated:
             block = dev.read(timeout=0.25)
@@ -233,25 +247,19 @@ class LiveRadioSourceTask(Task):
                     block.reshape(-1, 2), self._avrg
                 )
                 self.iq_stream.next(iq)
-                raw = SignalBuffer(
-                    mag, rate, offset,
-                    signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
-                )
-                offset += len(mag)
-                self.raw_stream.next(raw)
-                # software AGC (RadioDeviceTask.cpp:660-686): only when the
-                # gain mode wasn't explicitly set to manual (1)
-                if self.config.get(PARAM_GAIN_MODE) != 1:
-                    step = self.agc.update(self._avrg, offset, len(mag))
-                    if step is not None:
-                        dev.set(PARAM_GAIN_VALUE, step)
             else:
-                raw = SignalBuffer(
-                    block, rate, offset,
-                    signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
-                )
-                offset += len(block)
-                self.raw_stream.next(raw)
+                mag = block
+                self._avrg = level_average(mag, self._avrg)
+            raw = SignalBuffer(
+                mag, rate, offset,
+                signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+            )
+            offset += len(mag)
+            self.raw_stream.next(raw)
+            if agc_on:
+                step = self.agc.update(self._avrg, offset, len(mag))
+                if step is not None:
+                    dev.set(PARAM_GAIN_VALUE, step)
             self.throughput.update(len(block))
             blocks += 1
             if self.duration_blocks and blocks >= self.duration_blocks:

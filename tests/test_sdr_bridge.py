@@ -513,6 +513,130 @@ def test_reconnect_pipeline_decodes_after_disconnect(fixture_dir):
         ex.shutdown()
 
 
+def test_live_task_decodes_spyserver_stream(fixture_dir):
+    """End-to-end through the TASKS (not just the device client): a
+    reference capture served as int16 IQ by the SpyServer mock is decoded
+    by LiveRadioSourceTask -> RadioDecoderTask.  Regression test for the
+    IQ->magnitude routing: the source must key on the driver's reported
+    PARAM_SAMPLE_TYPE, not on an ident prefix (round-2 bug: every
+    non-rtltcp radio driver published raw interleaved IQ as magnitude)."""
+    import queue
+
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import (
+        Executor,
+        LiveRadioSourceTask,
+        RadioDecoderTask,
+    )
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    n = len(samples)
+    iq = np.zeros(2 * n, np.int16)
+    iq[0::2] = np.clip(
+        np.round(samples * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    server = MockSpyServer(iq, max_rate=info.sample_rate)
+
+    frames: "queue.Queue" = queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames.put, replay=False)
+
+    source = LiveRadioSourceTask(
+        f"spyserver://127.0.0.1:{server.port}",
+        {PARAM_SAMPLE_RATE: info.sample_rate},
+    )
+    decoder = RadioDecoderTask()
+    ex = Executor(pool_size=2)
+    ex.submit(decoder)
+    ex.submit(source)
+    try:
+        got = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                f = frames.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            if f is None:
+                break
+            got.append(f)
+        polls = [f for f in got if f.frame_type == 0x102]
+        assert polls, f"no POLL frames decoded: {[repr(f) for f in got[:5]]}"
+        assert polls[0].data == b"\x52"
+    finally:
+        ex.shutdown()
+
+
+@pytest.fixture(scope="module")
+def mock_rtlsdr(tmp_path_factory):
+    import subprocess
+    from pathlib import Path
+
+    out_dir = tmp_path_factory.mktemp("mockrtl")
+    out = out_dir / "librtlsdr.so.0"
+    src = Path(__file__).parent / "mock_rtlsdr.cpp"
+    subprocess.run(
+        ["g++", "-O1", "-shared", "-fPIC", "-std=c++17", "-o", str(out),
+         str(src)],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+def test_mock_rtlsdr_usb_live_decode(fixture_dir, mock_rtlsdr, tmp_path):
+    """The dlopen'd rtlsdr vendor driver path, hardware-free: a mock
+    librtlsdr streams a reference capture as u8 IQ through the REAL driver
+    (usb_drivers.cpp) + LiveRadioSourceTask + RadioDecoderTask in a
+    subprocess whose LD_LIBRARY_PATH binds the mock.  Also asserts the
+    software AGC stepped the tuner gain on live hardware (the round-2 bug
+    left AGC dead for every vendor driver)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from nfclab.io.wav import read_wav
+
+    repo = Path(__file__).resolve().parent.parent
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    n = len(samples)
+    iq = np.empty(2 * n, np.uint8)
+    iq[0::2] = np.clip(
+        np.round(samples * 127.5 + 127.5), 0, 255
+    ).astype(np.uint8)
+    iq[1::2] = 128
+    payload_file = tmp_path / "payload.bin"
+    payload_file.write_bytes(iq.tobytes())
+    log_file = tmp_path / "calls.log"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    env["LD_LIBRARY_PATH"] = (
+        str(mock_rtlsdr.parent) + os.pathsep + env.get("LD_LIBRARY_PATH", "")
+    )
+    env["NFCLAB_MOCK_RTL_PAYLOAD"] = str(payload_file)
+    env["NFCLAB_MOCK_RTL_LOG"] = str(log_file)
+    proc = subprocess.run(
+        [_sys.executable, str(Path(__file__).parent / "usb_radio_child.py"),
+         "rtlsdr://0", str(info.sample_rate)],
+        capture_output=True, text=True, timeout=180, env=env, cwd=str(repo),
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("FRAMES:")]
+    assert line, (proc.stdout, proc.stderr)
+    frames = _json.loads(line[0][len("FRAMES:"):])
+    polls = [f for f in frames if f["frame_type"] == 0x102]
+    assert polls, f"no POLL frames decoded: {frames[:5]}"
+    assert polls[0]["data"] == "52"
+
+    calls = log_file.read_text().splitlines()
+    assert any(c.startswith("sample_rate") for c in calls)
+    # the software AGC stepped the tuner gain (capture level > 0.25)
+    assert any(c.startswith("tuner_gain") for c in calls), calls
+
+
 def test_usb_vendor_drivers_registered():
     """The dlopen vendor USB drivers (airspy/hydrasdr/rtlsdr/mirisdr) must
     be in the driver table; without the vendor libraries they enumerate
