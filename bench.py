@@ -55,9 +55,9 @@ def main():
 
     params = SignalParams(10_000_000)
     pt = _params_tuple(params)
-    mp = (
-        float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50,
-    )
+    from nfclab.core.thresholds import DecoderThresholds
+
+    mp = DecoderThresholds().detect_mask_tuple(params.power_level_threshold)
 
     # unrolled chunk chain with STATIC input selection: a lax.scan over a
     # stacked input would pay a 512 MB dynamic-slice copy per chunk (~20%

@@ -99,6 +99,23 @@ def frame_text(frame: Frame) -> str:
     return f"{frame.time_start:010.3f} {tech:8s} {ftype:8s} {data}"
 
 
+def _thresholds_from_args(args):
+    """Per-tech threshold config from --protocol-config (the reference's
+    JSON decoder-config workflow, RadioDecoderTask.cpp:207-366: per-tech
+    correlationThreshold + minimumModulationDeep/maximumModulationDeep
+    merged onto the defaults).  The file holds either the ``protocol``
+    subtree directly or a config object containing one."""
+    from ..core.thresholds import DecoderThresholds
+
+    path = getattr(args, "protocol_config", None)
+    if not path:
+        return DecoderThresholds()
+    with open(path, encoding="utf-8") as fh:
+        cfg = json.load(fh)
+    proto = cfg.get("protocol", cfg)
+    return DecoderThresholds.from_protocol_config(proto)
+
+
 def _decode(path: str, args):
     """Decode one capture; returns (frames, samples, info) so callers that
     also need the raw signal (the --html report) don't re-read the WAV."""
@@ -118,6 +135,7 @@ def _decode(path: str, args):
         enable_nfcv=not args.disable_nfcv,
         power_level_threshold=args.power_threshold,
         conditioner=args.conditioner,
+        thresholds=_thresholds_from_args(args),
     )
     if getattr(args, "frontend", "host") == "fused":
         # conditioning + correlator channels + detect triggers from the
@@ -125,7 +143,8 @@ def _decode(path: str, args):
         from ..dsp.tpu_channels import fused_capture_all
 
         cond, chans = fused_capture_all(
-            samples, info.sample_rate, args.power_threshold
+            samples, info.sample_rate, args.power_threshold,
+            thresholds=dec.thresholds,
         )
         return (
             dec.decode(samples, info.sample_rate, cond=cond,
@@ -251,6 +270,7 @@ def cmd_live(args) -> int:
             enable_nfcf=not args.disable_nfcf,
             enable_nfcv=not args.disable_nfcv,
             power_level_threshold=args.power_threshold,
+            thresholds=_thresholds_from_args(args),
         )
     ex = Executor(pool_size=2)
     ex.submit(decoder)
@@ -286,6 +306,12 @@ def main(argv=None) -> int:
         p.add_argument("--disable-nfcf", action="store_true")
         p.add_argument("--disable-nfcv", action="store_true")
         p.add_argument("--power-threshold", type=float, default=0.01)
+        p.add_argument(
+            "--protocol-config", metavar="JSON",
+            help="per-tech threshold config file (the reference's "
+            "'protocol' JSON subtree: nfca/nfcb/nfcf/nfcv sections with "
+            "correlationThreshold + minimum/maximumModulationDeep)",
+        )
         p.add_argument(
             "--conditioner", choices=("native", "jax"), default="native"
         )
@@ -325,6 +351,10 @@ def main(argv=None) -> int:
     p.add_argument("--disable-nfcf", action="store_true")
     p.add_argument("--disable-nfcv", action="store_true")
     p.add_argument("--power-threshold", type=float, default=0.01)
+    p.add_argument(
+        "--protocol-config", metavar="JSON",
+        help="per-tech threshold config file (see 'run --protocol-config')",
+    )
     p.set_defaults(fn=cmd_live)
     args = ap.parse_args(argv)
     return args.fn(args)

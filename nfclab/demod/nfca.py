@@ -59,10 +59,12 @@ class NfcATech:
 
     def __init__(self, ctx):
         self.ctx = ctx
-        # config (NfcA.cpp:93-100)
-        self.minimum_modulation_deep = F(0.90)
-        self.maximum_modulation_deep = F(1.00)
-        self.correlation_threshold = F(0.75)
+        # config (NfcA.cpp:93-100; values from the single source of truth,
+        # core.thresholds — defaults 0.90 / 1.00 / 0.75)
+        th = ctx.thresholds.nfca
+        self.minimum_modulation_deep = F(th.min_modulation_deep)
+        self.maximum_modulation_deep = F(th.max_modulation_deep)
+        self.correlation_threshold = F(th.correlation)
 
         self.bitrates = []
         self.mod = [ModulationStatus() for _ in range(3)]

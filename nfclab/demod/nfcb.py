@@ -51,10 +51,12 @@ class NfcBTech:
 
     def __init__(self, ctx):
         self.ctx = ctx
-        # config (NfcB.cpp:102-109)
-        self.minimum_modulation_deep = F(0.10)
-        self.maximum_modulation_deep = F(0.90)
-        self.correlation_threshold = F(0.50)
+        # config (NfcB.cpp:102-109; single source of truth core.thresholds,
+        # defaults 0.10 / 0.90 / 0.50)
+        th = ctx.thresholds.nfcb
+        self.minimum_modulation_deep = F(th.min_modulation_deep)
+        self.maximum_modulation_deep = F(th.max_modulation_deep)
+        self.correlation_threshold = F(th.correlation)
 
         self.bitrates = []
         self.mod = [ModulationStatus() for _ in range(3)]

@@ -82,10 +82,12 @@ class NfcVTech:
 
     def __init__(self, ctx):
         self.ctx = ctx
-        # config (NfcV.cpp:100-107)
-        self.minimum_modulation_deep = F(0.90)
-        self.maximum_modulation_deep = F(1.00)
-        self.correlation_threshold = F(0.50)
+        # config (NfcV.cpp:100-107; single source of truth core.thresholds,
+        # defaults 0.90 / 1.00 / 0.50)
+        th = ctx.thresholds.nfcv
+        self.minimum_modulation_deep = F(th.min_modulation_deep)
+        self.maximum_modulation_deep = F(th.max_modulation_deep)
+        self.correlation_threshold = F(th.correlation)
 
         self.bitrate = None
         self.pulse_params = []

@@ -50,6 +50,20 @@ def _box_sum_t(x, width: int):
     return c - jnp.pad(c[..., :-width], ((0, 0), (width, 0)))
 
 
+def _default_corr_thresholds() -> dict:
+    """Per-tech detect-trigger thresholds from the single source of truth
+    (core.thresholds): A/F/V correlation, B minimumModulationDeep."""
+    from ..core.thresholds import DecoderThresholds
+
+    d = DecoderThresholds()
+    return {
+        "nfca": d.nfca.correlation,
+        "nfcb": d.nfcb.min_modulation_deep,
+        "nfcf": d.nfcf.correlation,
+        "nfcv": d.nfcv.correlation,
+    }
+
+
 def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
     """Build the jittable frontend fn: value[B, T] -> dict of dense outputs.
 
@@ -60,7 +74,7 @@ def make_frontend(params: SignalParams, corr_thresholds: dict | None = None):
     import jax.numpy as jnp
 
     pt = _params_tuple(params)
-    thr = {"nfca": 0.75, "nfcb": 0.10, "nfcf": 0.50, "nfcv": 0.50}
+    thr = _default_corr_thresholds()
     if corr_thresholds:
         thr.update(corr_thresholds)
     bitrates_a = nfca_bitrates(params.sample_rate)
@@ -201,7 +215,7 @@ def make_fused_frontend(
     from .pallas.fused_frontend import fused_frontend
 
     pt = _params_tuple(params)
-    thr = {"nfca": 0.75, "nfcb": 0.10, "nfcf": 0.50, "nfcv": 0.50}
+    thr = _default_corr_thresholds()
     if corr_thresholds:
         thr.update(corr_thresholds)
     mask_params = (

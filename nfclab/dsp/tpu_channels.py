@@ -124,16 +124,22 @@ def fetch_arrays(arrays: dict) -> dict[str, np.ndarray]:
     return out
 
 
-def _run_capture_blocks(
-    samples: np.ndarray,
+def _run_batch_blocks(
+    captures: list[np.ndarray],
     sample_rate: int,
     power_level_threshold: float,
     L: int,
     H: int,
     fetch: tuple,
-) -> dict[str, np.ndarray]:
-    """Run one capture through the fused TPU frontend as overlap-save blocks;
-    returns host f32 arrays (len(samples)) for the requested channels."""
+    thresholds=None,
+) -> list[dict[str, np.ndarray]]:
+    """Run MANY captures through the fused TPU frontend in ONE device
+    dispatch + ONE (split-pipelined) fetch: every capture's overlap-save
+    blocks stack along the kernel's batch axis, so a whole fixture suite
+    pays the ~30 ms tunnel latency once instead of per capture, and the
+    batch row count buckets to a power of two so repeated batch decodes hit
+    the jit/persistent-compile cache.  Returns one channel dict (host
+    arrays, len(samples)) per capture."""
     import jax.numpy as jnp
 
     from .frontend import _params_tuple
@@ -147,29 +153,38 @@ def _run_capture_blocks(
             f"fused TPU channels require a 10 MS/s capture (got "
             f"{sample_rate}); decode without frontend='fused' instead"
         )
-    samples = np.ascontiguousarray(samples, np.float32)
-    n = len(samples)
     T = H + L
     assert T % TILE == 0
-    nb = max(1, -(-n // L))
-    B = -(-nb // LANES) * LANES
-
+    layouts = []  # (n, nb, row_offset) per capture
+    rows = 0
+    caps = []
+    for samples in captures:
+        samples = np.ascontiguousarray(samples, np.float32)
+        caps.append(samples)
+        n = len(samples)
+        nb = max(1, -(-n // L))
+        layouts.append((n, nb, rows))
+        rows += nb
+    # bucket the kernel batch to a power of two (pad rows are zero and
+    # row-independent): distinct captures/suites reuse one compiled kernel
+    B = LANES
+    while B < rows:
+        B *= 2
     x = np.zeros((B, T), np.float32)
-    for i in range(nb):
-        if i == 0:
-            seg = samples[: T]
-            x[0, : len(seg)] = seg
-        else:
-            s = i * L - H
-            seg = samples[s : i * L + L]
-            x[i, : len(seg)] = seg
+    for samples, (n, nb, ro) in zip(caps, layouts):
+        for i in range(nb):
+            if i == 0:
+                seg = samples[: T]
+                x[ro, : len(seg)] = seg
+            else:
+                s = i * L - H
+                seg = samples[s : i * L + L]
+                x[ro + i, : len(seg)] = seg
 
-    mask_params = (
-        float(power_level_threshold),
-        0.75,  # NfcA correlationThreshold (NfcA.cpp defaults)
-        0.10,  # NfcB minimumModulationDeep (NfcB.cpp:283 trigger)
-        0.50,  # NfcF correlationThreshold
-        0.50,  # NfcV correlationThreshold
+    from ..core.thresholds import DecoderThresholds
+
+    mask_params = (thresholds or DecoderThresholds()).detect_mask_tuple(
+        power_level_threshold
     )
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
@@ -189,30 +204,50 @@ def _run_capture_blocks(
     # minute remote compile on first sight; the extra fetched rows ride
     # the pipelined transfer for ~free)
     nb_b = 8
-    while nb_b < nb:
+    while nb_b < rows:
         nb_b *= 2
     nb_b = min(nb_b, B)
     live = {}
     for name in fetch:
-        x = res[name][:nb_b]
+        r = res[name][:nb_b]
         if name == "detect_mask":
             # the mask is an f32 integer 0..255 — shrink it on-device so
             # the host transfer moves 1 byte/sample instead of 4 (device->
             # host traffic bounds this path; consumers .astype anyway)
-            x = x.astype(jnp.uint8)
-        live[name] = x
+            r = r.astype(jnp.uint8)
+        live[name] = r
     fetched = fetch_arrays(live)
 
-    out: dict[str, np.ndarray] = {}
-    for name, dev in fetched.items():
-        arr = np.empty(n, dev.dtype)
-        for i in range(nb):
-            body_off = 0 if i == 0 else H
-            lo = i * L
-            hi = min(lo + L, n)
-            arr[lo:hi] = dev[i, body_off : body_off + (hi - lo)]
-        out[name] = arr
-    return out
+    outs: list[dict[str, np.ndarray]] = []
+    for n, nb, ro in layouts:
+        out: dict[str, np.ndarray] = {}
+        for name, dev in fetched.items():
+            arr = np.empty(n, dev.dtype)
+            for i in range(nb):
+                body_off = 0 if i == 0 else H
+                lo = i * L
+                hi = min(lo + L, n)
+                arr[lo:hi] = dev[ro + i, body_off : body_off + (hi - lo)]
+            out[name] = arr
+        outs.append(out)
+    return outs
+
+
+def _run_capture_blocks(
+    samples: np.ndarray,
+    sample_rate: int,
+    power_level_threshold: float,
+    L: int,
+    H: int,
+    fetch: tuple,
+    thresholds=None,
+) -> dict[str, np.ndarray]:
+    """Run one capture through the fused TPU frontend as overlap-save blocks;
+    returns host f32 arrays (len(samples)) for the requested channels."""
+    return _run_batch_blocks(
+        [samples], sample_rate, power_level_threshold, L, H, fetch,
+        thresholds=thresholds,
+    )[0]
 
 
 def fused_capture_channels(
@@ -221,12 +256,14 @@ def fused_capture_channels(
     power_level_threshold: float = 0.01,
     L: int = DEFAULT_L,
     H: int = DEFAULT_H,
+    thresholds=None,
 ) -> dict[str, np.ndarray]:
     """Box channels + packed detect_mask for one capture (device compute;
     conditioning stays host-side — see fused_capture_all for the full
     device frontend)."""
     return _run_capture_blocks(
-        samples, sample_rate, power_level_threshold, L, H, tuple(_FETCH)
+        samples, sample_rate, power_level_threshold, L, H, tuple(_FETCH),
+        thresholds=thresholds,
     )
 
 
@@ -236,6 +273,7 @@ def fused_capture_all(
     power_level_threshold: float = 0.01,
     L: int = DEFAULT_L,
     H: int = DEFAULT_H,
+    thresholds=None,
 ):
     """Full device frontend for one capture: (Conditioned, channels).
 
@@ -250,7 +288,7 @@ def fused_capture_all(
 
     arrs = _run_capture_blocks(
         samples, sample_rate, power_level_threshold, L, H,
-        tuple(_FETCH) + _COND_FETCH,
+        tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
     )
     n = len(samples)
     params = SignalParams(
@@ -272,20 +310,82 @@ def fused_capture_all(
     return cond, {k: arrs[k] for k in _FETCH}
 
 
-def idx_key_map(sample_rate: int, power_level_threshold: float):
+def fused_batch_channels(
+    captures: list[np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+    thresholds=None,
+) -> list[dict[str, np.ndarray]]:
+    """Box channels + packed detect_mask for MANY captures in one device
+    dispatch + one fetch (see _run_batch_blocks); one dict per capture."""
+    return _run_batch_blocks(
+        captures, sample_rate, power_level_threshold, L, H, tuple(_FETCH),
+        thresholds=thresholds,
+    )
+
+
+def fused_batch_all(
+    captures: list[np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+    thresholds=None,
+) -> list[tuple]:
+    """Full device frontend for MANY captures in one device dispatch + one
+    fetch; returns one (Conditioned, channels) pair per capture.  Only the
+    carrier-edge peak tracker (not emitted by the kernel) runs per capture
+    on the host."""
+    from ..core.params import SignalParams
+    from ..native.binding import Conditioned, edge_track_into
+
+    arr_sets = _run_batch_blocks(
+        captures, sample_rate, power_level_threshold, L, H,
+        tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
+    )
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    outs = []
+    for samples, arrs in zip(captures, arr_sets):
+        n = len(samples)
+        bufs = {
+            "value": np.ascontiguousarray(samples, np.float32),
+            **{k: arrs[k] for k in _COND_FETCH},
+            "edge_peak": np.empty(n, np.float32),
+            "edge_time": np.empty(n, np.uint32),
+        }
+        state = np.zeros(2, np.float64)
+        edge_track_into(params, state, bufs, 0, n, 0)
+        cond = Conditioned(
+            bufs["value"], bufs["envelope"], bufs["filtered"],
+            bufs["deviation"], bufs["average"], bufs["mod_depth"],
+            bufs["edge_peak"], bufs["edge_time"],
+        )
+        outs.append((cond, {k: arrs[k] for k in _FETCH}))
+    return outs
+
+
+def idx_key_map(sample_rate: int, power_level_threshold: float,
+                thresholds=None):
     """(mask bit name, cache key, fx descriptor) for every detect-trigger
     index channel the kernel's detect_mask covers, keyed exactly as the
-    tech FSMs' bind_channels request them (thresholds are the tech
-    defaults, matching the kernel mask_params)."""
+    tech FSMs' bind_channels request them (thresholds come from the single
+    source of truth, core.thresholds, and must match the kernel's
+    mask_params — both sides consume the same DecoderThresholds)."""
+    from ..core.thresholds import DecoderThresholds
     from ..demod.nfcv import nfcv_bitrate
 
+    th = thresholds or DecoderThresholds()
     # the techs key thresholds through f32 (ctx.power_level_threshold is a
     # SignalParams np.float32); the key must round-trip identically or the
     # preloaded entries silently miss and the host recomputes every detect
     # index channel (asserted by test_preload_covers_detect_indices)
     pw = float(np.float32(power_level_threshold))
     out = []
-    a_thr = float(np.float32(0.75))
+    a_thr = float(np.float32(th.nfca.correlation))
     for r, br in enumerate(nfca_bitrates(sample_rate)):
         d, p1, p2 = br.symbol_delay_detect, br.period1, br.period2
         out.append((
@@ -293,7 +393,7 @@ def idx_key_map(sample_rate: int, power_level_threshold: float):
             ("sdidx", d, p1, p2, a_thr, pw, False),
             ("sd", ("bv", p2), d, p1, p2, a_thr, pw, False),
         ))
-    b_deep = float(np.float32(0.10))
+    b_deep = float(np.float32(th.nfcb.min_modulation_deep))
     for br, mname in zip(
         nfca_bitrates(sample_rate)[:2], ("mask_b_0", "mask_b_94")
     ):
@@ -301,7 +401,7 @@ def idx_key_map(sample_rate: int, power_level_threshold: float):
         out.append((
             mname, ("eidxb", d, b_deep, pw), ("edgeb", d, b_deep, pw)
         ))
-    f_thr = float(np.float32(0.50))
+    f_thr = float(np.float32(th.nfcf.correlation))
     for br, mname in zip(
         nfca_bitrates(sample_rate)[1:], ("mask_f_1", "mask_f_2")
     ):
@@ -311,7 +411,7 @@ def idx_key_map(sample_rate: int, power_level_threshold: float):
             ("sdidx", 0, p1, p2, f_thr, pw, False),
             ("sd", ("bv", p2), 0, p1, p2, f_thr, pw, False),
         ))
-    v_thr = float(np.float32(0.50))
+    v_thr = float(np.float32(th.nfcv.correlation))
     brv = nfcv_bitrate(sample_rate)
     dv, p1v, p2v = brv.symbol_delay_detect, brv.period1, brv.period2
     out.append((
@@ -327,6 +427,7 @@ def preload_channels(
     arrs: dict[str, np.ndarray],
     sample_rate: int,
     power_level_threshold: float,
+    thresholds=None,
 ) -> None:
     """Stuff device-computed channels into a LazyChannels cache so the tech
     FSMs' ``bind_channels`` finds every box channel and detect-index set
@@ -334,8 +435,8 @@ def preload_channels(
     gates — still computes lazily on the host from the exact conditioning).
 
     Must run before the techs are created (entries are keyed exactly as the
-    techs' getters build them; thresholds are the tech defaults, matching
-    the mask_params the kernel ran with)."""
+    techs' getters build them; pass the SAME DecoderThresholds the kernel
+    ran with so keys and mask bits agree)."""
     from .pallas.fused_frontend import MASK_LAYOUT
 
     n = len(arrs["bv12"])
@@ -360,7 +461,9 @@ def preload_channels(
     bits[:_WARMUP] = 0
     masks = {name: w for name, w in MASK_LAYOUT}
 
-    for mname, key, fx in idx_key_map(sample_rate, power_level_threshold):
+    for mname, key, fx in idx_key_map(
+        sample_rate, power_level_threshold, thresholds=thresholds
+    ):
         idx = np.flatnonzero(bits & masks[mname]).astype(np.int64)
         channels._cache[key] = {
             "arr": None,

@@ -56,50 +56,65 @@ def decode_batch(
     from ..dsp.conditioner import condition_jax
     from ..native import condition_exact
 
-    jobs = []
+    power_thr = decoder_kwargs.get("power_level_threshold", 0.01)
+    thresholds = decoder_kwargs.get("thresholds")
+
+    all_samples: list[np.ndarray] = []
+    rates: list[int] = []
     for path in paths:
         samples, info = read_wav(path)
-        params = SignalParams(
-            info.sample_rate,
-            power_level_threshold=decoder_kwargs.get(
-                "power_level_threshold", 0.01
-            ),
-        )
-        tpu_channels = None
-        cond_arrays = None
-        if frontend == "fused" and conditioner == "device":
-            # full device frontend: conditioning AND channels from the fused
-            # kernel — best when the host sits on the accelerator's PCIe
-            # (5 extra dense f32 fetches/capture)
-            from ..dsp.tpu_channels import fused_capture_all
+        all_samples.append(samples)
+        rates.append(info.sample_rate)
 
-            cond, tpu_channels = fused_capture_all(
-                samples,
-                info.sample_rate,
-                decoder_kwargs.get("power_level_threshold", 0.01),
+    channel_sets: list = [None] * len(paths)
+    cond_sets: list = [None] * len(paths)
+    if frontend == "fused":
+        # ALL captures in ONE device dispatch + one pipelined fetch
+        # (dsp.tpu_channels._run_batch_blocks): the per-capture dispatch
+        # path paid the ~30 ms tunnel round trips per capture and a
+        # distinct-compile per block-count; batching amortizes both.
+        # Captures must share one sample rate (the kernel is built for the
+        # 10 MS/s reference rate — enforced downstream).
+        if len(set(rates)) > 1:
+            raise ValueError(
+                "fused batch decode requires a uniform sample rate; "
+                f"got {sorted(set(rates))}"
             )
-        elif frontend == "fused":
+        if conditioner == "device":
+            # full device frontend: conditioning AND channels from the
+            # fused kernel — best when the host sits on the accelerator's
+            # PCIe (5 extra dense f32 fetches/capture)
+            from ..dsp.tpu_channels import fused_batch_all
+
+            for i, (cond, chans) in enumerate(fused_batch_all(
+                all_samples, rates[0], power_thr, thresholds=thresholds,
+            )):
+                cond_sets[i] = cond
+                channel_sets[i] = chans
+        else:
             # channels + detect indices from the device; conditioning runs
             # natively IN the workers (cond=None), parallel across the pool
             # — 1/3 less device->host traffic than the full-device variant,
             # and the dominant host cost still fans out
-            from ..dsp.tpu_channels import fused_capture_channels
+            from ..dsp.tpu_channels import fused_batch_channels
 
-            cond = None
-            tpu_channels = fused_capture_channels(
-                samples,
-                info.sample_rate,
-                decoder_kwargs.get("power_level_threshold", 0.01),
+            channel_sets = fused_batch_channels(
+                all_samples, rates[0], power_thr, thresholds=thresholds,
             )
-        elif conditioner == "jax":
+
+    jobs = []
+    for samples, rate, cond, tpu_channels in zip(
+        all_samples, rates, cond_sets, channel_sets
+    ):
+        params = SignalParams(rate, power_level_threshold=power_thr)
+        cond_arrays = None
+        if frontend != "fused" and conditioner == "jax":
             # accelerator conditioning must run in the parent (workers
             # never touch the device)
             cond = condition_jax(samples, params)
-        else:
-            # native conditioning runs IN the workers (cond_arrays=None):
-            # it is the dominant host cost, so serializing it in the
-            # parent would cap the pool's speedup
-            cond = None
+        # otherwise native conditioning runs IN the workers
+        # (cond_arrays=None): it is the dominant host cost, so serializing
+        # it in the parent would cap the pool's speedup
         if cond is not None:
             cond_arrays = (
                 cond.value,
@@ -112,8 +127,7 @@ def decode_batch(
                 cond.edge_time,
             )
         jobs.append(
-            (samples, info.sample_rate, cond_arrays, tpu_channels,
-             decoder_kwargs)
+            (samples, rate, cond_arrays, tpu_channels, decoder_kwargs)
         )
 
     workers = workers or min(len(paths), os.cpu_count() or 1)

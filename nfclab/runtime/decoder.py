@@ -13,6 +13,7 @@ import numpy as np
 
 from ..core.frame import Frame, FramePhase, FrameTech, FrameType
 from ..core.params import SignalParams
+from ..core.thresholds import DecoderThresholds
 from ..demod.common import next_true
 from ..demod.nfca import NfcATech
 from ..dsp.channels import LazyChannels
@@ -21,11 +22,13 @@ from ..dsp.channels import LazyChannels
 class DecoderContext:
     """Mirror of NfcDecoderStatus (NfcTech.h:317-393) over dense arrays."""
 
-    def __init__(self, cond, sample_rate: int, params: SignalParams, stream_time=0.0):
+    def __init__(self, cond, sample_rate: int, params: SignalParams,
+                 stream_time=0.0, thresholds: DecoderThresholds | None = None):
         self.cond = cond
         self.channels = LazyChannels(cond)
         self.sample_rate = sample_rate
         self.params = params
+        self.thresholds = thresholds or DecoderThresholds()
         self.stream_time = stream_time
         self.n = len(cond.value)
         self.power_level_threshold = np.float32(params.power_level_threshold)
@@ -180,6 +183,7 @@ class NfcDecoder:
         conditioner: str = "native",
         debug: bool = False,
         debug_path: str | None = None,
+        thresholds: DecoderThresholds | None = None,
     ):
         self.enable_nfca = enable_nfca
         self.enable_nfcb = enable_nfcb
@@ -190,6 +194,37 @@ class NfcDecoder:
         self.conditioner = conditioner
         self.debug = debug
         self.debug_path = debug_path
+        self.thresholds = thresholds or DecoderThresholds()
+
+    # per-tech tuning setters (NfcDecoder.h:79-117 parity); min/max apply
+    # together, like the reference facade signature
+    def set_modulation_threshold_nfca(self, lo: float, hi: float):
+        self.thresholds.nfca.min_modulation_deep = float(lo)
+        self.thresholds.nfca.max_modulation_deep = float(hi)
+
+    def set_modulation_threshold_nfcb(self, lo: float, hi: float):
+        self.thresholds.nfcb.min_modulation_deep = float(lo)
+        self.thresholds.nfcb.max_modulation_deep = float(hi)
+
+    def set_modulation_threshold_nfcf(self, lo: float, hi: float):
+        self.thresholds.nfcf.min_modulation_deep = float(lo)
+        self.thresholds.nfcf.max_modulation_deep = float(hi)
+
+    def set_modulation_threshold_nfcv(self, lo: float, hi: float):
+        self.thresholds.nfcv.min_modulation_deep = float(lo)
+        self.thresholds.nfcv.max_modulation_deep = float(hi)
+
+    def set_correlation_threshold_nfca(self, value: float):
+        self.thresholds.nfca.correlation = float(value)
+
+    def set_correlation_threshold_nfcb(self, value: float):
+        self.thresholds.nfcb.correlation = float(value)
+
+    def set_correlation_threshold_nfcf(self, value: float):
+        self.thresholds.nfcf.correlation = float(value)
+
+    def set_correlation_threshold_nfcv(self, value: float):
+        self.thresholds.nfcv.correlation = float(value)
 
     def _condition(self, samples: np.ndarray, params: SignalParams):
         if self.conditioner == "native":
@@ -237,13 +272,16 @@ class NfcDecoder:
         )
         if cond is None:
             cond = self._condition(samples, params)
-        ctx = DecoderContext(cond, sample_rate, params, self.stream_time)
+        ctx = DecoderContext(
+            cond, sample_rate, params, self.stream_time,
+            thresholds=self.thresholds,
+        )
         if tpu_channels is not None:
             from ..dsp.tpu_channels import preload_channels
 
             preload_channels(
                 ctx.channels, tpu_channels, sample_rate,
-                self.power_level_threshold,
+                self.power_level_threshold, thresholds=self.thresholds,
             )
         carrier = CarrierDetector(ctx)
         techs = self._make_techs(ctx)
@@ -275,7 +313,9 @@ class NfcDecoder:
     @classmethod
     def from_config(cls, config) -> "NfcDecoder":
         """Build from a runtime.config.Config tree (the Configure-command
-        merge-patch surface of RadioDecoderTask.cpp:207-366)."""
+        merge-patch surface of RadioDecoderTask.cpp:207-366): per-tech
+        enables + correlationThreshold + minimumModulationDeep/
+        maximumModulationDeep pairs merge onto the reference defaults."""
         proto = config.get("decoder.protocol", {}) or {}
         return cls(
             enable_nfca=proto.get("nfca", {}).get("enabled", True),
@@ -286,6 +326,7 @@ class NfcDecoder:
                 "decoder.powerLevelThreshold", 0.01
             ),
             debug=config.get("decoder.debugEnabled", False),
+            thresholds=DecoderThresholds.from_protocol_config(proto),
         )
 
 

@@ -91,7 +91,8 @@ class KernelFedStream(StreamingNfcDecoder):
         full = self._view()
         if self._ctx is None:
             ctx = DecoderContext(
-                full, self.sample_rate, self.params, self._proto.stream_time
+                full, self.sample_rate, self.params,
+                self._proto.stream_time, thresholds=self._proto.thresholds,
             )
             self._ctx = ctx
             if self.window:
@@ -150,7 +151,8 @@ class KernelFedStream(StreamingNfcDecoder):
         masks = dict(MASK_LAYOUT)
         self._idx_entries = []
         for mname, key, fx in idx_key_map(
-            self.sample_rate, self.params.power_level_threshold
+            self.sample_rate, self.params.power_level_threshold,
+            thresholds=self._proto.thresholds,
         ):
             lz._cache[key] = {
                 "arr": None,
@@ -214,8 +216,14 @@ class TpuStreamFarm:
         )
         from ..dsp.frontend import _params_tuple
 
+        from ..core.thresholds import DecoderThresholds
+
         self._pt = _params_tuple(self.params)
-        self._mp = (float(power_level_threshold), 0.75, 0.10, 0.50, 0.50)
+        # one DecoderThresholds governs the kernel mask params AND every
+        # stream's FSM thresholds (single source of truth)
+        th = decoder_kwargs.get("thresholds") or DecoderThresholds()
+        decoder_kwargs["thresholds"] = th
+        self._mp = th.detect_mask_tuple(power_level_threshold)
         self.streams = [
             KernelFedStream(
                 sample_rate,

@@ -218,7 +218,8 @@ class StreamingNfcDecoder:
 
         if self._ctx is None:
             ctx = DecoderContext(
-                full, self.sample_rate, self.params, self._proto.stream_time
+                full, self.sample_rate, self.params,
+                self._proto.stream_time, thresholds=self._proto.thresholds,
             )
             self._ctx = ctx
             if self.window:

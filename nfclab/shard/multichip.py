@@ -195,6 +195,7 @@ def sharded_capture_channels(
     L: int = DEFAULT_L,
     H: int = DEFAULT_H,
     power_level_threshold: float = 0.01,
+    thresholds=None,
 ) -> dict[str, np.ndarray]:
     """Compute the decode channel set for one capture on a device mesh;
     returns host f32 arrays (len(samples)) keyed like
@@ -219,11 +220,13 @@ def sharded_capture_channels(
     flat = rows.reshape(-1)[: n]
     flat[:] = samples
 
+    from ..core.thresholds import DecoderThresholds
+
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
     )
-    mask_params = (
-        float(power_level_threshold), 0.75, 0.10, 0.50, 0.50,
+    mask_params = (thresholds or DecoderThresholds()).detect_mask_tuple(
+        power_level_threshold
     )
     step, sharding = _sharded_step(
         _params_tuple(params), mask_params, n_dev, nb_pad // n_dev, L, H,
@@ -248,11 +251,10 @@ def decode_sharded(
     asserted by tests/test_multichip.py)."""
     from ..runtime.decoder import NfcDecoder
 
+    dec = NfcDecoder(**decoder_kwargs)
     chans = sharded_capture_channels(
         samples, sample_rate, n_devices=n_devices, devices=devices,
-        power_level_threshold=decoder_kwargs.get(
-            "power_level_threshold", 0.01
-        ),
+        power_level_threshold=dec.power_level_threshold,
+        thresholds=dec.thresholds,
     )
-    dec = NfcDecoder(**decoder_kwargs)
     return dec.decode(samples, sample_rate, tpu_channels=chans)

@@ -52,9 +52,13 @@ def bench_sharded(n_dev: int, blocks_per_dev: int, reps: int) -> dict:
     from ..dsp.frontend import _params_tuple
     from ..shard.multichip import DEFAULT_H, DEFAULT_L, _sharded_step
 
+    from ..core.thresholds import DecoderThresholds
+
     devs = _cpu_devices(n_dev)
     params = SignalParams(10_000_000)
-    mask_params = (0.01, 0.75, 0.10, 0.50, 0.50)
+    mask_params = DecoderThresholds().detect_mask_tuple(
+        params.power_level_threshold
+    )
     step, sharding = _sharded_step(
         _params_tuple(params), mask_params, n_dev, blocks_per_dev,
         DEFAULT_L, DEFAULT_H, tuple(devs),
@@ -97,9 +101,13 @@ def bench_tpu_chip(reps: int = 3) -> dict:
     from ..dsp.frontend import _params_tuple
     from ..dsp.pallas.fused_frontend import fused_frontend
 
+    from ..core.thresholds import DecoderThresholds
+
     params = SignalParams(10_000_000)
     pt = _params_tuple(params)
-    mp = (float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50)
+    mp = DecoderThresholds().detect_mask_tuple(
+        params.power_level_threshold
+    )
     batch, chunk, k = 2048, 65536, 16
 
     def chain(buf):

@@ -75,8 +75,10 @@ def main() -> int:
         "envelope", "filtered", "average", "bv12", "bv94", "q47", "q189",
         "p24x6", "p94x24", "detect_mask",
     )
-    mp = (
-        float(params.power_level_threshold), 0.75, 0.10, 0.50, 0.50,
+    from nfclab.core.thresholds import DecoderThresholds
+
+    mp = DecoderThresholds().detect_mask_tuple(
+        params.power_level_threshold
     )
     for name in OUT_CHECK:
         pieces = []

@@ -48,8 +48,12 @@ def _trace_variant(impl_name: str, sub: int, select):
     from nfclab.dsp.frontend import _params_tuple
     from nfclab.dsp.pallas import fused_frontend as ff
 
+    from nfclab.core.thresholds import DecoderThresholds
+
     pt = _params_tuple(SignalParams(10_000_000))
-    mp = tuple(np.float32(m) for m in (0.01, 0.75, 0.10, 0.50, 0.50))
+    mp = tuple(
+        np.float32(m) for m in DecoderThresholds().detect_mask_tuple(0.01)
+    )
     sel = ff._normalize_select(select)
     impl = getattr(ff, impl_name)
     g, t = 1, 2 * ff.TILE

@@ -27,17 +27,20 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _host_channel_arrays(samples, rate, power_thr):
+def _host_channel_arrays(samples, rate, power_thr, thresholds=None):
     """Compute the same channel set the fused kernel outputs, on the host
-    (f64 carries), keyed by kernel output names."""
+    (f64 carries), keyed by kernel output names.  `thresholds` drives the
+    detect-trigger mask exactly like the kernel's mask_params."""
     from nfclab.core.params import SignalParams
+    from nfclab.core.thresholds import DecoderThresholds
     from nfclab.demod.nfcv import nfcv_bitrate
     from nfclab.dsp.pallas.fused_frontend import MASK_LAYOUT
     from nfclab.native import condition_exact
 
+    th = thresholds or DecoderThresholds()
     params = SignalParams(rate, power_level_threshold=power_thr)
     cond = condition_exact(samples, params)
-    ctx = DecoderContext(cond, rate, params)
+    ctx = DecoderContext(cond, rate, params, thresholds=th)
     lz = ctx.channels
     n = len(samples)
 
@@ -55,19 +58,22 @@ def _host_channel_arrays(samples, rate, power_thr):
     pw = float(power_thr)
     for r, br in enumerate(nfca_bitrates(rate)):
         idx = lz.detect_idx(br.symbol_delay_detect, br.period1, br.period2,
-                            float(np.float32(0.75)), pw)
+                            float(np.float32(th.nfca.correlation)), pw)
         bits[idx] |= weights[f"mask_a_{r}"]
     for br, mname in zip(nfca_bitrates(rate)[:2], ("mask_b_0", "mask_b_94")):
-        idx = lz.edge_idx_b(br.symbol_delay_detect, float(np.float32(0.10)),
-                            pw)
+        idx = lz.edge_idx_b(
+            br.symbol_delay_detect,
+            float(np.float32(th.nfcb.min_modulation_deep)), pw,
+        )
         bits[idx] |= weights[mname]
     for br, mname in zip(nfca_bitrates(rate)[1:], ("mask_f_1", "mask_f_2")):
         idx = lz.detect_idx(0, br.period1, br.period2,
-                            float(np.float32(0.50)), pw)
+                            float(np.float32(th.nfcf.correlation)), pw)
         bits[idx] |= weights[mname]
     brv = nfcv_bitrate(rate)
     idx = lz.detect_idx(brv.symbol_delay_detect, brv.period1, brv.period2,
-                        float(np.float32(0.50)), pw, signed_v=True)
+                        float(np.float32(th.nfcv.correlation)), pw,
+                        signed_v=True)
     bits[idx] |= weights["mask_v"]
     arrs["detect_mask"] = bits.astype(np.float32)
     return arrs, cond
