@@ -72,8 +72,10 @@ def main(argv=None) -> int:
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--decode", nargs="*", help="wav files for end-to-end bench")
     ap.add_argument(
-        "--frontend", choices=["host", "fused"], default="host",
-        help="decode frontend: host channels or the fused TPU kernel",
+        "--frontend", choices=["host", "fused", "mask"], default="host",
+        help="decode frontend: host channels, the fused TPU kernel "
+        "(channels + masks fetched), or mask (1-byte/sample detect masks "
+        "only — the lightest device frontend)",
     )
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument(

@@ -116,6 +116,20 @@ def _thresholds_from_args(args):
     return DecoderThresholds.from_protocol_config(proto)
 
 
+def _parse_channel_map(spec: str | None):
+    """--channel-map 'io=2,clk=0,rst=1,vcc=3' or '2,0,1,3' ([io,clk,rst,
+    vcc] physical probe indices)."""
+    if not spec:
+        return None
+    if "=" in spec:
+        out = {}
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            out[k.strip().lower()] = int(v)
+        return out
+    return [int(x) for x in spec.split(",")]
+
+
 def _decode(path: str, args):
     """Decode one capture; returns (frames, samples, info) so callers that
     also need the raw signal (the --html report) don't re-read the WAV."""
@@ -127,7 +141,12 @@ def _decode(path: str, args):
         # (the reference routes these to IsoDecoder the same way)
         from ..runtime.logic_decoder import IsoDecoder
 
-        return IsoDecoder().decode(samples, info.sample_rate), samples, info
+        dec = IsoDecoder(
+            channel_map=_parse_channel_map(
+                getattr(args, "channel_map", None)
+            )
+        )
+        return dec.decode(samples, info.sample_rate), samples, info
     dec = NfcDecoder(
         enable_nfca=not args.disable_nfca,
         enable_nfcb=not args.disable_nfcb,
@@ -137,7 +156,8 @@ def _decode(path: str, args):
         conditioner=args.conditioner,
         thresholds=_thresholds_from_args(args),
     )
-    if getattr(args, "frontend", "host") == "fused":
+    frontend = getattr(args, "frontend", "host")
+    if frontend == "fused":
         # conditioning + correlator channels + detect triggers from the
         # fused TPU kernel; only the edge tracker + walk run on the host
         from ..dsp.tpu_channels import fused_capture_all
@@ -149,6 +169,19 @@ def _decode(path: str, args):
         return (
             dec.decode(samples, info.sample_rate, cond=cond,
                        tpu_channels=chans),
+            samples, info,
+        )
+    if frontend == "mask":
+        # detect triggers only from the kernel (1 byte/sample off-device);
+        # conditioning + box channels build natively on the host
+        from ..dsp.tpu_channels import fused_capture_masks
+
+        chans = fused_capture_masks(
+            samples, info.sample_rate, args.power_threshold,
+            thresholds=dec.thresholds,
+        )
+        return (
+            dec.decode(samples, info.sample_rate, tpu_channels=chans),
             samples, info,
         )
     return dec.decode(samples, info.sample_rate), samples, info
@@ -247,7 +280,11 @@ def cmd_live(args) -> int:
             args.device, {PARAM_SAMPLE_RATE: args.sample_rate},
             duration_blocks=args.blocks,
         )
-        decoder = LogicDecoderTask()
+        decoder = LogicDecoderTask(
+            channel_map=_parse_channel_map(
+                getattr(args, "channel_map", None)
+            )
+        )
     else:
         config = {PARAM_SAMPLE_RATE: args.sample_rate}
         if args.frequency:
@@ -316,9 +353,15 @@ def main(argv=None) -> int:
             "--conditioner", choices=("native", "jax"), default="native"
         )
         p.add_argument(
-            "--frontend", choices=("host", "fused"), default="host",
+            "--channel-map", metavar="MAP",
+            help="ISO7816 probe wiring: 'io=2,clk=0,rst=1,vcc=3' or "
+            "'2,0,1,3' ([io,clk,rst,vcc] physical probe indices)",
+        )
+        p.add_argument(
+            "--frontend", choices=("host", "fused", "mask"), default="host",
             help="fused = correlator channels + detect triggers computed "
-            "by the fused TPU Pallas kernel (dsp.tpu_channels)",
+            "by the fused TPU Pallas kernel (dsp.tpu_channels); mask = "
+            "detect triggers only (1 byte/sample off-device, lightest)",
         )
         if name == "run":
             p.add_argument(
@@ -354,6 +397,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--protocol-config", metavar="JSON",
         help="per-tech threshold config file (see 'run --protocol-config')",
+    )
+    p.add_argument(
+        "--channel-map", metavar="MAP",
+        help="ISO7816 probe wiring (see 'run --channel-map')",
     )
     p.set_defaults(fn=cmd_live)
     args = ap.parse_args(argv)

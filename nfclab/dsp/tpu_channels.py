@@ -40,18 +40,59 @@ DEFAULT_H = 8192
 
 _WARMUP = 1024  # detect indices start here (channels.py / NfcA.cpp:220-221)
 
-# kernel box outputs -> LazyChannels cache keys (see channels.py getters)
-_BOX_KEYS = {
-    "bv12": (("bv", 12), 0, 12, 0),
-    "bv24": (("bv", 24), 0, 24, 0),
-    "bv47": (("bv", 47), 0, 47, 0),
-    "bv94": (("bv", 94), 0, 94, 0),
-    "q47": (("bq", 47), 1, 47, 0),
-    "q189": (("bq", 189), 1, 189, 0),
-    "p24x6": (("bp", 24, 6), 2, 6, 24),
-    "p47x12": (("bp", 47, 12), 2, 12, 47),
-    "p94x24": (("bp", 94, 24), 2, 24, 94),
-}
+def channel_plan(sample_rate: int) -> dict:
+    """Rate-parametric derivation of the decode channel set — the general
+    form of the fused kernel's 10 MS/s constants (fused_frontend.py
+    A_RATES/B_DELAYS/F_RATES/V_RATE/BV_WIDTHS/Q_WIDTHS/PB), built from the
+    same bitrate tables the host FSMs use (core.params.nfca_bitrates,
+    demod.nfcv.nfcv_bitrate).  Consumed by the mesh-sharded frontend
+    (shard/multichip.py) so any capture rate shards; asserted to reproduce
+    the kernel constants at 10 MS/s (tests/test_multichip.py)."""
+    from ..demod.nfcv import nfcv_bitrate
+
+    bra = nfca_bitrates(sample_rate)
+    brv = nfcv_bitrate(sample_rate)
+    bv = sorted({br.period2 for br in bra} | {brv.period2})
+    # box_sq consumers: A 106k ASK listen (p2), V listen (p1)
+    q = sorted({bra[0].period2, brv.period1})
+    # box_bpsk consumers: BPSK listen product integrators, (p1, p4) per A
+    # rate (B 106k shares A's table)
+    pb = sorted(((br.period1, br.period4) for br in bra), reverse=True)
+    return {
+        "bv": tuple(bv),
+        "q": tuple(q),
+        "pb": tuple(pb),
+        # detect-trigger parameter tuples (d, gap, p2, box width)
+        "a_rates": tuple(
+            (br.symbol_delay_detect, br.period1 - br.period2, br.period2)
+            for br in bra
+        ),
+        "b_delays": tuple(br.symbol_delay_detect for br in bra[:2]),
+        "f_rates": tuple(
+            (0, br.period1 - br.period2, br.period2) for br in bra[1:]
+        ),
+        "v_rate": (
+            brv.symbol_delay_detect, brv.period1 - brv.period2, brv.period2
+        ),
+    }
+
+
+def box_keys(sample_rate: int) -> dict:
+    """Channel name -> (LazyChannels cache key, kind code, width, lag) for
+    the rate's box channel set (see channels.py getters)."""
+    plan = channel_plan(sample_rate)
+    out = {}
+    for w in plan["bv"]:
+        out[f"bv{w}"] = (("bv", w), 0, w, 0)
+    for w in plan["q"]:
+        out[f"q{w}"] = (("bq", w), 1, w, 0)
+    for lag, box in plan["pb"]:
+        out[f"p{lag}x{box}"] = (("bp", lag, box), 2, box, lag)
+    return out
+
+
+# kernel box outputs -> LazyChannels cache keys at the kernel's 10 MS/s
+_BOX_KEYS = box_keys(10_000_000)
 
 _FETCH = list(_BOX_KEYS) + ["detect_mask"]
 
@@ -124,6 +165,20 @@ def fetch_arrays(arrays: dict) -> dict[str, np.ndarray]:
     return out
 
 
+_STAGING: dict[tuple, np.ndarray] = {}
+
+
+def _staging_buffer(shape: tuple) -> np.ndarray:
+    buf = _STAGING.get(shape)
+    if buf is None:
+        # keep at most one buffer alive (shapes are bucketed, so churn is
+        # rare and the largest suite batch is ~100 MB)
+        _STAGING.clear()
+        buf = np.zeros(shape, np.float32)
+        _STAGING[shape] = buf
+    return buf
+
+
 def _run_batch_blocks(
     captures: list[np.ndarray],
     sample_rate: int,
@@ -165,12 +220,19 @@ def _run_batch_blocks(
         nb = max(1, -(-n // L))
         layouts.append((n, nb, rows))
         rows += nb
-    # bucket the kernel batch to a power of two (pad rows are zero and
-    # row-independent): distinct captures/suites reuse one compiled kernel
-    B = LANES
-    while B < rows:
-        B *= 2
-    x = np.zeros((B, T), np.float32)
+    # bucket the kernel batch (pad rows are zero and row-independent) so
+    # distinct captures/suites reuse a compiled kernel: the kernel needs
+    # B % LANES == 0, and the LANES-group count buckets to a power of two
+    g = max(1, -(-rows // LANES))
+    gb = 1
+    while gb < g:
+        gb *= 2
+    B = gb * LANES
+    # persistent staging buffer: a fresh 100+ MB numpy allocation uploads
+    # fault-bound (~50 MB/s on this host) while warm pages stream at
+    # ~1.6 GB/s; reuse one buffer per shape
+    x = _staging_buffer((B, T))
+    x[:] = 0.0
     for samples, (n, nb, ro) in zip(caps, layouts):
         for i in range(nb):
             if i == 0:
@@ -192,7 +254,13 @@ def _run_batch_blocks(
     # select= trims the HBM output set to the channels this path consumes
     # (the kernel is write-bound, so skipping the 5 conditioning outputs is
     # a direct rate win); excluded MASK_DEPS stay in VMEM for the detect
-    # phase and values are bit-identical to the full run
+    # phase and values are bit-identical to the full run.
+    # Explicit device_put: the implicit host->device transfer inside the
+    # jit call runs ~30x slower than the direct path on the tunnel-attached
+    # chip (measured 0.05 GB/s vs 1.6 GB/s), so never hand numpy to jit.
+    import jax
+
+    x = jax.device_put(x)
     res = fused_frontend(
         x, _params_tuple(params), native_layout=False,
         mask_params=mask_params, select=tuple(fetch),
@@ -326,6 +394,40 @@ def fused_batch_channels(
     )
 
 
+def fused_capture_masks(
+    samples: np.ndarray,
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+    thresholds=None,
+) -> dict[str, np.ndarray]:
+    """Packed detect-trigger mask ONLY for one capture — the lightest
+    device frontend: 1 byte/sample over the link (vs 37 for the full
+    channel set), replacing exactly the host's trigger-index construction
+    (the dominant non-walk host cost); conditioning and box channels build
+    natively on the host."""
+    return _run_batch_blocks(
+        [samples], sample_rate, power_level_threshold, L, H,
+        ("detect_mask",), thresholds=thresholds,
+    )[0]
+
+
+def fused_batch_masks(
+    captures: list[np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+    thresholds=None,
+) -> list[dict[str, np.ndarray]]:
+    """Packed detect masks for MANY captures in one dispatch + one fetch."""
+    return _run_batch_blocks(
+        captures, sample_rate, power_level_threshold, L, H,
+        ("detect_mask",), thresholds=thresholds,
+    )
+
+
 def fused_batch_all(
     captures: list[np.ndarray],
     sample_rate: int,
@@ -439,22 +541,27 @@ def preload_channels(
     ran with so keys and mask bits agree)."""
     from .pallas.fused_frontend import MASK_LAYOUT
 
-    n = len(arrs["bv12"])
+    n = len(arrs["detect_mask"])
     assert channels.base == 0, "TPU preload is for whole-capture decode"
 
-    for name, (key, kind_code, width, lag) in _BOX_KEYS.items():
-        channels._cache[key] = {
-            "arr": arrs[name],
-            "n": n,
-            # extension never runs (n is final); a fresh f64 carry would
-            # only matter if the stream grew
-            "acc": np.zeros(1, np.float64),
-            "idx": None,
-            "scanned": 0,
-            "extend": None,
-            "kind": "box",
-            "meta": (kind_code, width, lag),
-        }
+    # mask-only sets skip the box preload: the box channels then build
+    # natively on the host (cheap; the trigger-index construction the mask
+    # replaces is the expensive part).  Box names are rate-parametric
+    # (box_keys), so sharded non-10 MS/s channel sets preload too.
+    for name, (key, kind_code, width, lag) in box_keys(sample_rate).items():
+        if name in arrs:
+            channels._cache[key] = {
+                "arr": arrs[name],
+                "n": n,
+                # extension never runs (n is final); a fresh f64 carry
+                # would only matter if the stream grew
+                "acc": np.zeros(1, np.float64),
+                "idx": None,
+                "scanned": 0,
+                "extend": None,
+                "kind": "box",
+                "meta": (kind_code, width, lag),
+            }
 
     # detect_mask bits -> index channels, gated at the 1024-sample warm-up
     bits = arrs["detect_mask"].astype(np.int32)

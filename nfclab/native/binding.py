@@ -185,6 +185,7 @@ def _load():
         ]
         lib.nfclab_edge_track_ext.restype = None
         i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
         lib.nfclab_detect_span.argtypes = [
             ctypes.c_int64,
             ctypes.c_int64,
@@ -226,6 +227,7 @@ def _load():
             ctypes.c_int, i32p, f64p, ctypes.c_int,
             f32p, f32p, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, i32p, f64p, f32p, ctypes.c_float, ctypes.c_float,
+            i64p, ctypes.c_int64,  # candidate union (sorted clocks) + len
         ]
         lib.nfclab_detect_all.restype = ctypes.c_int64
         for name in ("nfclab_box_sum", "nfclab_box_sq"):

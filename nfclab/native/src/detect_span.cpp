@@ -13,6 +13,7 @@
 // then re-executes sample t (applying the lock tail with full frame/context
 // bookkeeping).  Returns -1 when the span completes without a lock.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -565,7 +566,13 @@ int64_t nfclab_detect_all(
     float f_corr_thr, float f_max_deep,
     // V
     int v_on, const int32_t *v_par, double *v_st, const float *v_box,
-    float v_corr_thr, float v_min_deep)
+    float v_corr_thr, float v_min_deep,
+    // optional candidate union (sorted ascending clocks): every sample
+    // where any tech engage condition can fire (device/preloaded detect
+    // masks, conservative supersets) plus every carrier-crossing run start.
+    // When present, the idle fast path binary-searches here instead of
+    // re-deriving engage conditions per sample.
+    const int64_t *cand, int64_t cand_n)
 {
     AState A {a_st, a_par, {a_box0, a_box1, a_box2}, a_corr_thr, a_min_deep};
     BState B {b_st, b_par, b_rates, b_min_deep, b_max_deep};
@@ -635,6 +642,7 @@ int64_t nfclab_detect_all(
 
     save();
     bool try_idle = true;
+    int64_t idle_probe_at = t0;
     int64_t n_skipped = 0, n_stepped = 0;
     // flush the local counters into the globals exactly once per call (a
     // per-sample atomic RMW in this loop would serialize the hot path)
@@ -648,9 +656,41 @@ int64_t nfclab_detect_all(
     } flush {&n_skipped, &n_stepped};
     for (int64_t t = t0; t < t1; t++) {
         // idle fast path: when every rate-FSM is in its zero state the next
-        // possible state change is the next engage-condition sample — scan
-        // there branch-free instead of stepping the full state machines
-        if (try_idle && all_idle()) {
+        // possible state change is the next engage-condition sample — jump
+        // via the precomputed candidate union when available (O(log n)),
+        // else scan branch-free instead of stepping the full state machines
+        if (cand_n > 0) {
+            // probe back-off: while engaged, re-evaluating all_idle() per
+            // sample costs ~tens of loads; probing every 32 samples only
+            // delays the next jump by <32 safe extra steps (visiting extra
+            // samples is always allowed)
+            if (t < idle_probe_at) {
+                // fall through to the per-sample carrier test + stepping
+            } else if (!all_idle()) {
+                idle_probe_at = t + 32;
+            } else {
+                // the union holds tech engage candidates and carrier run
+                // STARTS; a run containing t needs the direct test here
+                // (CarrierDetector._next_interesting_compute semantics)
+                const float a0 = avg[t];
+                const bool carrier_now =
+                    (carrier_on_time == 0 && a0 > high_thr) ||
+                    (carrier_off_time == 0 && a0 < low_thr);
+                if (!carrier_now) {
+                    const int64_t *lo =
+                        std::lower_bound(cand, cand + cand_n, t);
+                    const int64_t nt = lo == cand + cand_n ? t1 : *lo;
+                    if (nt > t) {
+                        n_skipped += nt - t;
+                        t = nt;
+                        snap_t = nt;
+                        save();
+                        if (t >= t1)
+                            break;
+                    }
+                }
+            }
+        } else if (try_idle && all_idle()) {
             const int64_t nt = scan.scan(t, t1);
             if (nt > t) {
                 // no state changed over the skip; re-anchor the replay base

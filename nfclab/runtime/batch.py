@@ -68,7 +68,32 @@ def decode_batch(
 
     channel_sets: list = [None] * len(paths)
     cond_sets: list = [None] * len(paths)
-    if frontend == "fused":
+    if frontend == "mask":
+        # lightest device frontend: ONE dispatch + a 1-byte/sample mask
+        # fetch replaces the host's trigger-index construction; the fetch
+        # (network/PCIe-bound, GIL-free) overlaps with native conditioning
+        # of every capture on a second thread
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        from ..dsp.tpu_channels import fused_batch_masks
+
+        if len(set(rates)) > 1:
+            raise ValueError(
+                "fused batch decode requires a uniform sample rate; "
+                f"got {sorted(set(rates))}"
+            )
+        with _TPE(1) as bg:
+            fut = bg.submit(
+                fused_batch_masks, all_samples, rates[0], power_thr,
+                thresholds=thresholds,
+            )
+            for i, (samples, rate) in enumerate(zip(all_samples, rates)):
+                params = SignalParams(
+                    rate, power_level_threshold=power_thr
+                )
+                cond_sets[i] = condition_exact(samples, params)
+            channel_sets = fut.result()
+    elif frontend == "fused":
         # ALL captures in ONE device dispatch + one pipelined fetch
         # (dsp.tpu_channels._run_batch_blocks): the per-capture dispatch
         # path paid the ~30 ms tunnel round trips per capture and a
@@ -130,7 +155,12 @@ def decode_batch(
             (samples, rate, cond_arrays, tpu_channels, decoder_kwargs)
         )
 
-    workers = workers or min(len(paths), os.cpu_count() or 1)
+    if workers is None:
+        # spawn-pool overhead (interpreter boot + sample pickling) costs
+        # more than it buys below ~4 cores — measured 9.7 MS/s serial vs
+        # 2.7 MS/s with a 2-worker spawn pool on a 2-core host
+        ncpu = os.cpu_count() or 1
+        workers = 1 if ncpu <= 2 else min(len(paths), ncpu)
     results: dict[str, list[Frame]] = {}
     if workers <= 1 or len(paths) == 1:
         for path, job in zip(paths, jobs):

@@ -256,6 +256,11 @@ class TpuStreamFarm:
             x = np.zeros((b, chunk), np.float32)
             x[:n_s] = blocks
 
+        # explicit device_put: the implicit transfer inside jit is ~30x
+        # slower than the direct path on the tunnel-attached chip
+        import jax
+
+        x = jax.device_put(x)
         res, self._state = fused_frontend(
             x, self._pt, native_layout=False, mask_params=self._mp,
             state=self._state, base=self._kernel_base(), return_state=True,
@@ -298,11 +303,16 @@ class TpuLogicFarm:
         sample_rate: int,
         channels: int = 4,
         stream_time: float = 0.0,
+        channel_map=None,
     ):
-        from .logic_decoder import StreamingIsoDecoder
+        from .logic_decoder import StreamingIsoDecoder, normalize_channel_map
 
         self.n_streams = n_streams
         self.channels = channels
+        # the farm permutes blocks BEFORE the batched device dispatch so
+        # the event masks are computed over the decoder layout; the streams
+        # then consume identity-mapped blocks + masks
+        self._perm = normalize_channel_map(channel_map, channels)
         self.streams = [
             StreamingIsoDecoder(
                 sample_rate, channels=channels, stream_time=stream_time
@@ -321,6 +331,8 @@ class TpuLogicFarm:
             raise ValueError(
                 f"expected [{self.n_streams}, chunk, {self.channels}] blocks"
             )
+        if self._perm is not None:
+            blocks = np.ascontiguousarray(blocks[:, :, self._perm])
         mask, self._carry = logic_event_mask(blocks, self._carry)
         mask = np.asarray(mask)
         return [

@@ -14,16 +14,56 @@ from ..core.frame import Frame
 from ..demod.iso7816 import Iso7816Decoder
 
 
+def normalize_channel_map(spec, channels: int):
+    """Physical-probe-per-role spec -> column permutation into the
+    decoder's fixed IO/CLK/RST/VCC = 0/1/2/3 layout (the reference's
+    LogicDecoderTask channel-mapping config role).  ``spec`` is None
+    (identity), a dict with keys io/clk/rst/vcc (missing keys keep their
+    default slot), or a 4-sequence [io, clk, rst, vcc] of physical probe
+    indices.  Returns an int index array, or None for identity."""
+    if spec is None:
+        return None
+    if isinstance(spec, dict):
+        unknown = set(spec) - {"io", "clk", "rst", "vcc"}
+        if unknown:
+            raise ValueError(f"unknown channel roles: {sorted(unknown)}")
+        order = [int(spec.get("io", 0)), int(spec.get("clk", 1)),
+                 int(spec.get("rst", 2)), int(spec.get("vcc", 3))]
+    else:
+        order = [int(c) for c in spec]
+        if len(order) != 4:
+            raise ValueError(
+                "channel map sequence must be [io, clk, rst, vcc]"
+            )
+    if len(set(order)) != 4:
+        raise ValueError(f"channel map assigns a probe twice: {order}")
+    for c in order:
+        if not 0 <= c < channels:
+            raise ValueError(
+                f"channel map probe {c} out of range for {channels} probes"
+            )
+    rest = [c for c in range(channels) if c not in order]
+    perm = np.asarray(order + rest, np.intp)
+    if np.array_equal(perm, np.arange(channels)):
+        return None
+    return perm
+
+
 class IsoDecoder:
-    def __init__(self, enable_iso7816: bool = True, stream_time: float = 0.0):
+    def __init__(self, enable_iso7816: bool = True, stream_time: float = 0.0,
+                 channel_map=None):
         self.enable_iso7816 = enable_iso7816
         self.stream_time = stream_time
+        self.channel_map = channel_map
 
     def decode(self, samples: np.ndarray, sample_rate: int) -> list[Frame]:
         if samples.ndim != 2 or samples.shape[1] < 4:
             raise ValueError("logic decode expects [N, channels>=4] capture")
         if not self.enable_iso7816:
             return []
+        perm = normalize_channel_map(self.channel_map, samples.shape[1])
+        if perm is not None:
+            samples = np.ascontiguousarray(samples[:, perm])
         dec = Iso7816Decoder(sample_rate, self.stream_time)
         return dec.decode(samples)
 
@@ -67,7 +107,8 @@ class StreamingIsoDecoder:
     (modulo emission order — both sort by sample position)."""
 
     def __init__(self, sample_rate: int, channels: int = 4,
-                 stream_time: float = 0.0, frontend: str = "host"):
+                 stream_time: float = 0.0, frontend: str = "host",
+                 channel_map=None):
         from ..demod.iso7816 import Iso7816Decoder
 
         if channels < 4:
@@ -77,6 +118,7 @@ class StreamingIsoDecoder:
         self.sample_rate = sample_rate
         self.channels = channels
         self.frontend = frontend
+        self._perm = normalize_channel_map(channel_map, channels)
         self._dec = Iso7816Decoder(sample_rate, stream_time)
         cap = 1 << 16
         self._data = np.empty((cap, channels), np.float32)
@@ -101,6 +143,14 @@ class StreamingIsoDecoder:
         block = np.asarray(block, np.float32)
         if block.ndim != 2 or block.shape[1] != self.channels:
             raise ValueError(f"expected [M, {self.channels}] block")
+        if self._perm is not None:
+            if mask is not None:
+                raise ValueError(
+                    "external event masks must be computed over already "
+                    "channel-mapped blocks (permute before the device "
+                    "dispatch, as TpuLogicFarm does)"
+                )
+            block = np.ascontiguousarray(block[:, self._perm])
         m = len(block)
         lo, need = self._n, self._n + m
         if len(self._data) < need:

@@ -185,6 +185,7 @@ def native_decode_lib():
 _EMPTY_F32 = np.zeros(1, np.float32)
 _EMPTY_F64 = np.zeros(1, np.float64)
 _EMPTY_I32 = np.zeros(1, np.int32)
+_EMPTY_I64 = np.zeros(1, np.int64)
 
 
 def _vaddr(x) -> int:
@@ -322,16 +323,51 @@ def _build_detect_args(ctx, carrier, techs):
         ]
         v_keep = ()
 
+    # candidate union for the idle fast path: the techs' detect-trigger
+    # index channels (conservative engage supersets, the same arrays the
+    # Python walk's next_interesting consults) + carrier crossing run
+    # starts.  When every FSM is idle, the native loop binary-searches this
+    # instead of re-deriving engage conditions per sample.
+    cand = _candidate_union(carrier, techs)
+    if cand is not None and len(cand):
+        args += [_ptr_i64(cand), ctypes.c_int64(len(cand))]
+    else:
+        args += [_ptr_i64(_EMPTY_I64), ctypes.c_int64(0)]
+
     return {
-        "key": _detect_key(ctx, techs),
+        "key": _detect_key(ctx, techs, carrier),
         "args": args,
         "scalars": (t0_c, t1_c, on_c, off_c),
         "packs": packs,
-        "keep": (a_keep, b_keep, f_keep, v_keep),  # param arrays stay alive
+        # param + candidate arrays stay alive with the cache entry
+        "keep": (a_keep, b_keep, f_keep, v_keep, cand),
     }
 
 
-def _detect_key(ctx, techs):
+def _candidate_union(carrier, techs):
+    """Sorted int64 union of every idle-engage candidate clock: per-tech
+    detect-trigger indices + carrier hysteresis run starts.  None when any
+    tech's mask indices are unavailable (the C++ IdleScan then re-derives
+    engage conditions per sample, the pre-candidate behavior)."""
+    parts = [
+        np.asarray(carrier._above_idx, np.int64),
+        np.asarray(carrier._below_idx, np.int64),
+    ]
+    for te in techs:
+        mi = getattr(te, "_mask_idx", None)
+        if mi is None:
+            return None
+        if isinstance(mi, np.ndarray):
+            parts.append(np.asarray(mi, np.int64))
+        else:
+            if not mi:
+                return None
+            parts.extend(np.asarray(a, np.int64) for a in mi)
+    out = np.sort(np.concatenate(parts))  # duplicates are harmless
+    return np.ascontiguousarray(out)
+
+
+def _detect_key(ctx, techs, carrier=None):
     cond = ctx.cond
     key = [id(techs)]
     for arr in (cond.envelope, cond.filtered, cond.mod_depth, cond.value,
@@ -348,6 +384,17 @@ def _detect_key(ctx, techs):
                 key.append(_vaddr(te._box[1]))
         elif name == "NfcVTech":
             key.append(_vaddr(te._box))
+        # the candidate union is rebuilt whenever any trigger-index channel
+        # is replaced or extended (streaming rebind / feed growth)
+        mi = getattr(te, "_mask_idx", None)
+        if isinstance(mi, np.ndarray):
+            key.append((mi.ctypes.data, len(mi)))
+        elif mi:
+            key.extend((a.ctypes.data, len(a)) for a in mi)
+    # carrier crossing channels (run starts) feed the union too
+    if carrier is not None:
+        key.append((carrier._above_idx.ctypes.data, len(carrier._above_idx)))
+        key.append((carrier._below_idx.ctypes.data, len(carrier._below_idx)))
     return tuple(key)
 
 
@@ -362,7 +409,7 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
         return t0
 
     cache = getattr(ctx, "_nw_detect", None)
-    if cache is None or cache["key"] != _detect_key(ctx, techs):
+    if cache is None or cache["key"] != _detect_key(ctx, techs, carrier):
         cache = _build_detect_args(ctx, carrier, techs)
         ctx._nw_detect = cache
     else:

@@ -328,8 +328,11 @@ class LogicDecoderTask(Task):
     Truly streaming: each logic block feeds the incremental ISO7816 decoder
     and completed frames publish immediately (the live DSLogic case)."""
 
-    def __init__(self):
+    def __init__(self, channel_map=None):
         super().__init__("worker.LogicDecoder", "logic.decoder")
+        # probe->role mapping (the reference LogicDecoderTask's channel
+        # config): dict io/clk/rst/vcc or [io, clk, rst, vcc] probe indices
+        self.channel_map = channel_map
         self.frame_stream = Subject.name("logic.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("logic.signal.raw").subscribe(
@@ -361,7 +364,8 @@ class LogicDecoderTask(Task):
             block = np.asarray(buf.data, np.float32)
             if dec is None:
                 dec = StreamingIsoDecoder(
-                    buf.sample_rate, channels=block.shape[1]
+                    buf.sample_rate, channels=block.shape[1],
+                    channel_map=self.channel_map,
                 )
                 self.update_status("streaming")
             for frame in dec.feed(block):

@@ -38,16 +38,16 @@ DEFAULT_L = 24576
 DEFAULT_H = 8192
 
 
-def _mask_val(env, filt, boxes, power_thr, thr):
+def _mask_val(env, filt, boxes, power_thr, thr, plan):
     """Packed all-tech detect mask over window arrays [R, W] — the same
     trigger formulas and bit weights as the fused kernel's vectorized
     detect phase (dsp/pallas/fused_frontend.py), expressed as whole-array
-    shifts instead of history-buffer slices."""
+    shifts instead of history-buffer slices; rate-parametric via ``plan``
+    (dsp.tpu_channels.channel_plan)."""
     import jax.numpy as jnp
 
     from ..dsp.pallas.fused_frontend import (
-        A_RATES, B_DELAYS, BV_WIDTHS, F_RATES, MASK_BIT_V, MASK_BITS_A,
-        MASK_BITS_B, MASK_BITS_F, V_RATE,
+        MASK_BIT_V, MASK_BITS_A, MASK_BITS_B, MASK_BITS_F,
     )
 
     w_len = env.shape[-1]
@@ -61,28 +61,28 @@ def _mask_val(env, filt, boxes, power_thr, thr):
     mval = jnp.zeros_like(env)
 
     min_corr_a = jnp.float32(thr["nfca"]) * env
-    for r, (d, gap, p2, widx) in enumerate(A_RATES):
-        box = boxes[BV_WIDTHS[widx]]
+    for r, (d, gap, p2) in enumerate(plan["a_rates"]):
+        box = boxes[p2]
         b0, b1, bg = shift(box, d), shift(box, d + 1), shift(box, d + gap)
         sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
         mask = power_ok & (jnp.abs(sd) > min_corr_a)
         mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
 
     min_corr_f = jnp.float32(thr["nfcf"]) * env
-    for r, (d, gap, p2, ridx) in enumerate(F_RATES):
-        box = boxes[BV_WIDTHS[A_RATES[ridx][3]]]
-        b0, b1, bg = shift(box, 0), shift(box, 1), shift(box, gap)
+    for r, (d, gap, p2) in enumerate(plan["f_rates"]):
+        box = boxes[p2]
+        b0, b1, bg = shift(box, d), shift(box, d + 1), shift(box, d + gap)
         sd = ((b0 - bg) - (bg - b1)) / jnp.float32(p2)
         mask = power_ok & (jnp.abs(sd) > min_corr_f)
         mval += jnp.where(mask, jnp.float32(MASK_BITS_F[r]), 0.0)
 
     edge_b = -(jnp.float32(thr["nfcb"]) * env)
-    for r, d in enumerate(B_DELAYS):
+    for r, d in enumerate(plan["b_delays"]):
         mask = power_ok & (shift(filt, d) < edge_b)
         mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
 
-    dv, gapv, p2v, widxv = V_RATE
-    box = boxes[BV_WIDTHS[widxv]]
+    dv, gapv, p2v = plan["v_rate"]
+    box = boxes[p2v]
     u0, ug = shift(box, dv), shift(box, dv + gapv)
     sd_v = (ug - u0) / jnp.float32(p2v)
     mask_v = power_ok & (sd_v > jnp.float32(thr["nfcv"]) * env)
@@ -91,10 +91,12 @@ def _mask_val(env, filt, boxes, power_thr, thr):
 
 
 @functools.lru_cache(maxsize=4)
-def _sharded_step(params_tuple, mask_params, n_devices: int, nb_loc: int,
-                  L: int, H: int, devices=None):
+def _sharded_step(params_tuple, mask_params, sample_rate: int,
+                  n_devices: int, nb_loc: int, L: int, H: int, devices=None):
     """jit: rows[NB, L] sharded over a 1-D `blocks` mesh -> channel dict
-    with the same sharding.  Halos travel by ppermute inside shard_map."""
+    with the same sharding.  Halos travel by ppermute inside shard_map.
+    Rate-parametric: the channel widths/delays come from
+    dsp.tpu_channels.channel_plan(sample_rate)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -102,9 +104,10 @@ def _sharded_step(params_tuple, mask_params, n_devices: int, nb_loc: int,
     shard_map = jax.shard_map
 
     from ..dsp.conditioner import _build_scan
-    from ..dsp.pallas.fused_frontend import BV_WIDTHS, PB, Q_WIDTHS
+    from ..dsp.tpu_channels import channel_plan
     from .temporal import halo_exchange
 
+    plan = channel_plan(sample_rate)
     devs = list(devices) if devices else jax.devices()[:n_devices]
     mesh = Mesh(np.array(devs), ("blocks",))
     scan = _build_scan(params_tuple)
@@ -163,19 +166,21 @@ def _sharded_step(params_tuple, mask_params, n_devices: int, nb_loc: int,
 
         res = {}
         boxes = {}
-        for w in BV_WIDTHS:
+        for w in plan["bv"]:
             boxes[w] = box_sum(windows, w)
             res[f"bv{w}"] = boxes[w]
         sq = filt * filt * jnp.float32(10.0)
-        for w in Q_WIDTHS:
+        for w in plan["q"]:
             res[f"q{w}"] = box_sum(sq, w)
-        for lag, box in PB:
+        for lag, box in plan["pb"]:
             prod = (
                 jnp.pad(filt[:, lag:] * filt[:, :-lag], ((0, 0), (lag, 0)))
                 * jnp.float32(10.0)
             )
             res[f"p{lag}x{box}"] = box_sum(prod, box)
-        res["detect_mask"] = _mask_val(env, filt, boxes, power_thr, thr)
+        res["detect_mask"] = _mask_val(
+            env, filt, boxes, power_thr, thr, plan
+        )
         # keep only the body region (drop the halo)
         return {k: v[:, H:] for k, v in res.items()}
 
@@ -204,10 +209,26 @@ def sharded_capture_channels(
 
     from ..core.params import SignalParams
     from ..dsp.frontend import _params_tuple
+    from ..dsp.tpu_channels import channel_plan
 
-    if sample_rate != 10_000_000:
+    # the halo must cover the 1024-sample ring warm-up + the conditioning
+    # silence window (10 ETU) + the deepest correlator lookback, all of
+    # which scale with the sample rate except the ring
+    plan = channel_plan(sample_rate)
+    dv, gapv, _ = plan["v_rate"]
+    etu = max(1, round(128 * sample_rate / 13.56e6))
+    need = 1024 + 2 * (dv + gapv) + 10 * etu
+    if H < need:
         raise ValueError(
-            f"sharded channels require a 10 MS/s capture (got {sample_rate})"
+            f"halo H={H} too small for {sample_rate} S/s (needs >= {need}); "
+            "pass a larger H"
+        )
+    seg = 512
+    if max(plan["bv"] + plan["q"]) > seg:
+        raise ValueError(
+            f"box width exceeds the segmented-cumsum segment ({seg}); "
+            f"sample rate {sample_rate} is beyond the sharded frontend's "
+            "current range"
         )
     if devices is None:
         devices = jax.devices()[: n_devices or len(jax.devices())]
@@ -229,14 +250,142 @@ def sharded_capture_channels(
         power_level_threshold
     )
     step, sharding = _sharded_step(
-        _params_tuple(params), mask_params, n_dev, nb_pad // n_dev, L, H,
-        tuple(devices),
+        _params_tuple(params), mask_params, int(sample_rate), n_dev,
+        nb_pad // n_dev, L, H, tuple(devices),
     )
     arr = jax.device_put(rows, sharding)
     out_dev = step(arr)
     return {
         k: np.asarray(v).reshape(-1)[: n] for k, v in out_dev.items()
     }
+
+
+@functools.lru_cache(maxsize=2)
+def _sharded_kernel_step(params_tuple, mask_params, n_devices: int,
+                         nb_loc: int, L: int, H: int, devices=None):
+    """jit: rows[NB, L] sharded over a 1-D `blocks` mesh -> channel dict,
+    computed by the PRODUCTION fused Pallas kernel inside shard_map (the
+    real multi-chip hot path: per-device windows pad to the kernel's
+    LANES batch and run at kernel rate; halos cross devices by ppermute).
+    Windows match dsp.tpu_channels._run_batch_blocks bit-exactly: row 0 is
+    [body | next-H] (fresh-stream state at sample 0), other rows
+    [left-halo | body]."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..dsp.pallas.fused_frontend import LANES, fused_frontend
+    from ..dsp.tpu_channels import _FETCH
+    from .temporal import halo_exchange
+
+    assert nb_loc <= LANES, "more than LANES blocks per device unsupported"
+    devs = list(devices) if devices else jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), ("blocks",))
+    n_dev = len(devs)
+
+    def local_step(rows):  # [nb_loc, L] on each device
+        dev = jax.lax.axis_index("blocks")
+        # left halos: my first block's halo arrives from the left
+        # neighbour's last block tail over ICI
+        recv = halo_exchange(rows[-1], H, "blocks")
+        halos = jnp.concatenate([recv[None], rows[:-1, L - H:]], axis=0)
+        row_ids = dev * nb_loc + jnp.arange(nb_loc)
+        first = row_ids == 0
+        halos = jnp.where(first[:, None], 0.0, halos)
+        windows = jnp.concatenate([halos, rows], axis=1)  # [nb_loc, W]
+
+        # stream-head row layout is [body | next-H] (exact fresh-stream
+        # conditioning); the next-H of my last row comes from the right
+        # neighbour's first row head
+        head = rows[0, :H]
+        recv_head = jax.lax.ppermute(
+            head, "blocks", [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        nexts = jnp.concatenate(
+            [rows[1:, :H], recv_head[None]], axis=0
+        )
+        # the global last row's "next" wraps to the stream head; its true
+        # continuation is past-capture zeros (only reachable when the
+        # capture fits one row)
+        last = row_ids == n_dev * nb_loc - 1
+        nexts = jnp.where(last[:, None], 0.0, nexts)
+        windows_head = jnp.concatenate([rows, nexts], axis=1)
+        windows = jnp.where(first[:, None], windows_head, windows)
+
+        pad = LANES - nb_loc
+        wp = jnp.pad(windows, ((0, pad), (0, 0)))
+        res = fused_frontend(
+            wp, params_tuple, native_layout=False,
+            mask_params=mask_params, select=tuple(_FETCH),
+        )
+        out = {}
+        for k, v in res.items():
+            v = v[:nb_loc]
+            body = jnp.where(first[:, None], v[:, :L], v[:, H:])
+            out[k] = body
+        return out
+
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=P("blocks", None), out_specs=P("blocks", None),
+        # pallas_call output avals carry no varying-mesh-axes annotation;
+        # every output here is per-device data (blocks-sharded), so the vma
+        # check adds nothing
+        check_vma=False,
+    )
+    sharding = NamedSharding(mesh, P("blocks", None))
+    return jax.jit(step, in_shardings=sharding), sharding
+
+
+def sharded_kernel_channels(
+    samples: np.ndarray,
+    sample_rate: int,
+    n_devices: int | None = None,
+    devices=None,
+    L: int = DEFAULT_L,
+    H: int = DEFAULT_H,
+    power_level_threshold: float = 0.01,
+    thresholds=None,
+) -> dict[str, np.ndarray]:
+    """Multi-chip channel computation with the production Pallas kernel
+    inside shard_map (10 MS/s; the kernel's windows are compiled for the
+    reference rate — other rates use sharded_capture_channels' jnp path).
+    Bit-identical to dsp.tpu_channels.fused_capture_channels (validated on
+    hardware by tools/validate_tpu_shard_kernel)."""
+    import jax
+
+    from ..core.params import SignalParams
+    from ..core.thresholds import DecoderThresholds
+    from ..dsp.frontend import _params_tuple
+
+    if sample_rate != 10_000_000:
+        raise ValueError(
+            "the fused kernel's windows are built for 10 MS/s captures; "
+            "use sharded_capture_channels for other rates"
+        )
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    n_dev = len(devices)
+    samples = np.ascontiguousarray(samples, np.float32)
+    n = len(samples)
+    nb = max(1, -(-n // L))
+    nb_pad = -(-nb // n_dev) * n_dev
+    rows = np.zeros((nb_pad, L), np.float32)
+    rows.reshape(-1)[:n] = samples
+
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    mask_params = (thresholds or DecoderThresholds()).detect_mask_tuple(
+        power_level_threshold
+    )
+    step, sharding = _sharded_kernel_step(
+        _params_tuple(params), tuple(mask_params), n_dev, nb_pad // n_dev,
+        L, H, tuple(devices),
+    )
+    arr = jax.device_put(rows, sharding)
+    out_dev = step(arr)
+    return {k: np.asarray(v).reshape(-1)[:n] for k, v in out_dev.items()}
 
 
 def decode_sharded(

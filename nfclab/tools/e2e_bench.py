@@ -1,0 +1,118 @@
+"""Honest end-to-end capture->frames benchmark + link characterization.
+
+Produces the E2E_r{N}.json artifact: aggregate samples/s over the full
+reference fixture suite for every frontend (host / fused / mask), plus the
+measured host<->device link figures that explain the frontend ranking on
+the current attachment.
+
+The kernel-only GS/s figure (bench.py) and these capture->frames figures
+are DIFFERENT claims: bench.py measures the device hot path on
+device-resident data with carried state; this tool measures the whole
+system including WAV read, host conditioning, host<->device transfers, and
+the event walk — what a deployment actually sees.
+
+On a tunnel-attached chip (this dev host: ~15 MB/s up / ~35 MB/s down,
+~30 ms dispatch floor) every device frontend is link-bound and the host
+frontend wins; on a PCIe/ICI attachment (>=10 GB/s) the same code is
+walk-bound and the device frontends win.  The crossover alpha math is in
+the artifact.
+
+Usage: python -m nfclab.tools.e2e_bench [--out E2E.json] [wav_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _measure_link() -> dict:
+    """Host<->device transfer rates with dependent-sync timing
+    (block_until_ready does not block through the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sync = jax.jit(lambda a: jnp.sum(a[:, -1].astype(jnp.float32)))
+    x = np.random.rand(256, 32768).astype(np.float32)  # 32 MB
+    d = jax.device_put(x)
+    float(sync(d))  # warm program + backend
+
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(sync(d))
+    up = x.nbytes / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    h = np.asarray(d)
+    down = h.nbytes / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(sync(d))
+    dispatch = (time.perf_counter() - t0) / 5
+    return {
+        "upload_MBps": round(up / 1e6, 1),
+        "download_MBps": round(down / 1e6, 1),
+        "dispatch_floor_s": round(dispatch, 3),
+    }
+
+
+def main(argv=None) -> int:
+    import argparse
+    import glob
+
+    from ..apps.bench_cli import bench_decode
+
+    ap = argparse.ArgumentParser(prog="nfclab-e2e-bench")
+    ap.add_argument("wav_dir", nargs="?", default="/root/reference/wav")
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--frontends", nargs="*", default=["host", "mask", "fused"]
+    )
+    ap.add_argument("--reps", type=int, default=2,
+                    help="per frontend; best rep is reported (first rep "
+                    "pays jit/persistent-cache loads)")
+    args = ap.parse_args(argv)
+
+    paths = sorted(glob.glob(f"{args.wav_dir}/*.wav"))
+    out: dict = {"fixtures": len(paths), "modes": {}}
+
+    for frontend in args.frontends:
+        best = None
+        for _ in range(args.reps):
+            r = bench_decode(paths, frontend=frontend)
+            if best is None or r["value"] > best["value"]:
+                best = r
+        best["value"] = round(best["value"])
+        out["modes"][frontend] = best
+
+    try:
+        out["link"] = _measure_link()
+    except Exception as e:  # no device: host-only artifact
+        out["link"] = {"error": repr(e)}
+
+    # device-frontend traffic per sample (f32 in; per-mode fetch out)
+    out["bytes_per_sample"] = {
+        "upload_f32_input": 4.0,
+        "fused_fetch": 37.0,  # 9 box f32 + mask u8
+        "mask_fetch": 1.0,
+    }
+    out["note"] = (
+        "capture->frames aggregate over the full fixture suite, wall "
+        "clock, serial host walk. Device frontends are link-bound on a "
+        "tunnel attachment: frontend rate <= link_Bps / bytes_per_sample "
+        "(upload and fetch each bound it). The kernel-only GS/s figure in "
+        "BENCH_r*.json is a different claim (device-resident hot path)."
+    )
+    text = json.dumps(out, indent=1)
+    print(text)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fh:
+            fh.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,3 +30,12 @@ def fixture_dir() -> Path:
     if not FIXTURE_DIR.exists():
         pytest.skip("reference wav fixtures not available")
     return FIXTURE_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: validation that runs on the real TPU chip (deselect with "
+        "-m 'not tpu' for the fast CPU-only tier; NFCLAB_SKIP_TPU_TESTS=1 "
+        "also skips)",
+    )

@@ -89,6 +89,7 @@ def test_fused_frontend_select_validates_names():
         _normalize_select(("bv12", "nonesuch"))
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     not _tpu_available(),
     reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
@@ -105,6 +106,27 @@ def test_fused_frontend_matches_unfused_on_tpu():
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
+)
+def test_tpu_kernel_in_shard_map_bitexact():
+    """The production fused kernel inside shard_map (the real multi-chip
+    path) is bit-exact vs the single-device overlap-save path and stays
+    golden (tools/validate_tpu_shard_kernel)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "nfclab.tools.validate_tpu_shard_kernel"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+@pytest.mark.tpu
 @pytest.mark.skipif(
     not _tpu_available(),
     reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
@@ -123,6 +145,7 @@ def test_tpu_stream_farm_matches_goldens():
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     not _tpu_available(),
     reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
@@ -141,6 +164,7 @@ def test_tpu_fed_decode_matches_goldens():
     assert res.returncode == 0, res.stdout + res.stderr
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     not _tpu_available(),
     reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",

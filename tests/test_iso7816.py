@@ -452,3 +452,48 @@ def test_t1_wtx_sblocks():
         assert bytes(block) in datas
     for f in frames:
         assert not f.has_flags(FrameFlags.CrcError)
+
+
+def test_channel_map_permuted_capture_decodes_identically():
+    """LogicDecoderTask channel-mapping parity: a capture wired with probes
+    in a different order decodes identically once the channel_map names the
+    wiring — one-shot, streaming, and via the map-normalization helper."""
+    import numpy as np
+
+    from nfclab.runtime.logic_decoder import (
+        StreamingIsoDecoder,
+        normalize_channel_map,
+    )
+
+    capture = make_session(
+        atr=(0x3B, 0x00), tpdu=(0x00, 0xB0, 0x00, 0x00, 0x02)
+    )
+    want = IsoDecoder().decode(capture, SAMPLE_RATE)
+    assert want
+
+    # wire the probes as [clk, rst, vcc, io] (physical order); the map
+    # names the physical probe index each role landed on
+    wired = np.ascontiguousarray(capture[:, [1, 2, 3, 0]])
+    cmap = {"io": 3, "clk": 0, "rst": 1, "vcc": 2}
+
+    got = IsoDecoder(channel_map=cmap).decode(wired, SAMPLE_RATE)
+    assert got == want
+
+    # sequence form [io, clk, rst, vcc]
+    got2 = IsoDecoder(channel_map=[3, 0, 1, 2]).decode(wired, SAMPLE_RATE)
+    assert got2 == want
+
+    # streaming decoder, chunked feeds
+    sdec = StreamingIsoDecoder(SAMPLE_RATE, channel_map=cmap)
+    frames = []
+    for lo in range(0, len(wired), 1 << 16):
+        frames += sdec.feed(wired[lo : lo + (1 << 16)])
+    frames += sdec.finish()
+    assert frames == want
+
+    # identity map normalizes away; bad maps rejected
+    assert normalize_channel_map({"io": 0}, 4) is None
+    with pytest.raises(ValueError):
+        normalize_channel_map([0, 0, 1, 2], 4)
+    with pytest.raises(ValueError):
+        normalize_channel_map({"io": 9}, 4)

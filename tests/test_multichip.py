@@ -111,3 +111,42 @@ def test_segmented_box_sum_precision():
         want = c64 - np.pad(c64[:, :-width], ((0, 0), (width, 0)))
         err = np.abs(got - want.astype(np.float32)).max()
         assert err < 5e-5, (width, err)
+
+
+def test_channel_plan_matches_kernel_constants():
+    """channel_plan(10 MS/s) must reproduce the fused kernel's constant
+    tables (the rate-generic derivation and the kernel must never drift)."""
+    from nfclab.dsp.pallas import fused_frontend as ff
+    from nfclab.dsp.tpu_channels import channel_plan
+
+    p = channel_plan(10_000_000)
+    assert p["bv"] == tuple(sorted(ff.BV_WIDTHS))
+    assert p["q"] == tuple(sorted(ff.Q_WIDTHS))
+    assert sorted(p["pb"]) == sorted(ff.PB)
+    assert p["a_rates"] == tuple(
+        (d, gap, p2) for d, gap, p2, _ in ff.A_RATES
+    )
+    assert p["b_delays"] == tuple(ff.B_DELAYS)
+    assert p["f_rates"] == tuple(
+        (d, gap, p2) for d, gap, p2, _ in ff.F_RATES
+    )
+    assert p["v_rate"] == tuple(ff.V_RATE[:3])
+
+
+def test_sharded_decode_generic_sample_rate(fixture_dir):
+    """The mesh-sharded frontend is rate-parametric: a 5 MS/s capture
+    (decimated fixture) decodes over the mesh identically to the plain
+    host decoder at that rate."""
+    devs = _devices(4)
+    from nfclab.io.golden import GOLDEN_TYPES
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.decoder import NfcDecoder
+    from nfclab.shard.multichip import decode_sharded
+
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    s5 = np.ascontiguousarray(samples[::2])
+    rate5 = info.sample_rate // 2
+    plain = NfcDecoder().decode(s5, rate5)
+    assert any(f.frame_type in GOLDEN_TYPES for f in plain)
+    sharded = decode_sharded(s5, rate5, devices=devs)
+    assert sharded == plain

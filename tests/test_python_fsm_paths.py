@@ -25,16 +25,31 @@ def python_fsms(monkeypatch):
     )
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "test_NFC-A_106kbps_001",   # A poll + ASK listen + short frames
-        "test_NFC-A_424kbps_001",   # A BPSK listen
-        "test_NFC-B_106kbps_001",   # B NRZ poll + TR1/S1/S2 listen
-        "test_NFC-F_212kbps_001",   # F Manchester
-        "test_NFC-V_26kbps_001",    # V PPM + two-burst listen
-        "test_POLL_AB_001",         # multi-tech interplay
-    ],
-)
+# ALL 18 fixtures: every native-only decode path must have a live Python
+# reference (round-2 review: spot-checking 6 left 12 fixtures exercising
+# native-only branches)
+ALL_FIXTURES = [
+    "test_NFC-A_106kbps_001",   # A poll + ASK listen + short frames
+    "test_NFC-A_106kbps_002",
+    "test_NFC-A_106kbps_003",
+    "test_NFC-A_106kbps_004",
+    "test_NFC-A_106kbps_212kbps_001",  # A mid-stream rate switch
+    "test_NFC-A_212kbps_001",
+    "test_NFC-A_424kbps_001",   # A BPSK listen
+    "test_NFC-A_424kbps_002",
+    "test_NFC-B_106kbps_001",   # B NRZ poll + TR1/S1/S2 listen
+    "test_NFC-B_106kbps_002",
+    "test_NFC-F_212kbps_001",   # F Manchester
+    "test_NFC-F_212kbps_002",
+    "test_NFC-F_212kbps_003",
+    "test_NFC-F_212kbps_004",
+    "test_NFC-V_26kbps_001",    # V PPM + two-burst listen
+    "test_NFC-V_26kbps_002",
+    "test_POLL_AB_001",         # multi-tech interplay
+    "test_POLL_ABF_001",
+]
+
+
+@pytest.mark.parametrize("name", ALL_FIXTURES)
 def test_python_walkers_match_golden(fixture_dir, python_fsms, name):
     run_fixture(fixture_dir, name)

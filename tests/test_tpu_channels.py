@@ -79,6 +79,20 @@ def _host_channel_arrays(samples, rate, power_thr, thresholds=None):
     return arrs, cond
 
 
+def test_mask_only_preload_decode_matches(fixture_dir):
+    """The mask-only frontend (1 byte/sample off-device): preloading JUST
+    the detect mask must decode identically to the plain host path — box
+    channels and conditioning build natively, the trigger indices come
+    from the mask bits."""
+    samples, info = read_wav(str(fixture_dir / "test_POLL_AB_001.wav"))
+    rate = info.sample_rate
+    arrs, cond = _host_channel_arrays(samples, rate, 0.01)
+    mask_only = {"detect_mask": arrs["detect_mask"]}
+    got = NfcDecoder().decode(samples, rate, tpu_channels=mask_only)
+    want = NfcDecoder().decode(samples, rate)
+    assert got == want
+
+
 def test_preload_keys_bind_without_recompute(fixture_dir):
     """Every box channel and detect-index set a tech binds must be served
     from the preloaded cache (shared memory proves no host recompute)."""
