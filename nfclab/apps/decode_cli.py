@@ -309,7 +309,19 @@ def cmd_live(args) -> int:
             power_level_threshold=args.power_threshold,
             thresholds=_thresholds_from_args(args),
         )
-    ex = Executor(pool_size=2)
+    monitor = None
+    ex = Executor(pool_size=3)
+    if getattr(args, "monitor", None) is not None:
+        # live monitoring view: spectrum task + one-page web app off the bus
+        from ..runtime.pipeline import FourierTask
+
+        from .monitor import MonitorServer
+
+        ex.submit(FourierTask())
+        monitor = MonitorServer(port=args.monitor).start()
+        print(
+            f"# monitor: http://127.0.0.1:{monitor.port}/", file=sys.stderr
+        )
     ex.submit(decoder)
     ex.submit(source)
 
@@ -327,6 +339,8 @@ def cmd_live(args) -> int:
         pass
     finally:
         ex.shutdown()
+        if monitor is not None:
+            monitor.stop()
     print(f"# {count} frames", file=sys.stderr)
     return 0
 
@@ -401,6 +415,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--channel-map", metavar="MAP",
         help="ISO7816 probe wiring (see 'run --channel-map')",
+    )
+    p.add_argument(
+        "--monitor", type=int, metavar="PORT", default=None,
+        help="serve the live monitor view (frame table + spectrum + task "
+        "status) on this port (0 = ephemeral; URL printed to stderr)",
     )
     p.set_defaults(fn=cmd_live)
     args = ap.parse_args(argv)

@@ -1,0 +1,288 @@
+"""Live monitor: the headless equivalent of the reference GUI's real-time
+views, served from the stream bus as a single-page web app.
+
+Covers the live-monitoring capability of app-qt (out-of-scope Qt shell,
+in-scope capability): the rolling decoded-frame table with the StreamModel
+columns Id/Time/Delta/Rate/Tech/Event/Flags/Data (StreamModel.h:55-58), the
+live spectrum from ``signal.fft`` (FourierProcessTask's ~100 fps stream),
+and every task's retained ``*.status`` subject with throughput.
+
+``MonitorServer`` subscribes to the bus and serves:
+  /        one-page view (frame table + spectrum + status chips), polling
+  /data    JSON snapshot {frames, spectrum, status}
+
+Wire it into a live pipeline with ``decode_cli live ... --monitor PORT``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..core.frame import FrameFlags, FrameType
+from ..runtime.subject import Subject
+
+_TECHS = {
+    0x0101: "NfcA", 0x0102: "NfcB", 0x0103: "NfcF", 0x0104: "NfcV",
+    0x0100: "NFC", 0x0201: "ISO7816", 0x0200: "ISO",
+}
+_EVENTS = {
+    int(FrameType.NfcCarrierOn): "CarrierOn",
+    int(FrameType.NfcCarrierOff): "CarrierOff",
+    int(FrameType.NfcPollFrame): "Poll",
+    int(FrameType.NfcListenFrame): "Listen",
+    int(FrameType.IsoATRFrame): "ATR",
+    int(FrameType.IsoRequestFrame): "Request",
+    int(FrameType.IsoResponseFrame): "Response",
+    int(FrameType.IsoExchangeFrame): "Exchange",
+}
+_FLAG_NAMES = (
+    (FrameFlags.CrcError, "crc"),
+    (FrameFlags.ParityError, "parity"),
+    (FrameFlags.SyncError, "sync"),
+    (FrameFlags.Truncated, "trunc"),
+    (FrameFlags.Encrypted, "enc"),
+)
+
+
+class MonitorState:
+    """Bus-fed rolling snapshot: frames ring + latest spectrum + statuses."""
+
+    def __init__(self, max_frames: int = 256, spectrum_bins: int = 512):
+        self.max_frames = max_frames
+        self.spectrum_bins = spectrum_bins
+        self._lock = threading.Lock()
+        self._frames: deque = deque(maxlen=max_frames)
+        self._count = 0
+        self._prev_time = None
+        self._spectrum: list | None = None
+        self._spectrum_rate = 0
+        self._unsubs = [
+            Subject.name("radio.decoder.frame").subscribe(
+                self._on_frame, replay=False
+            ),
+            Subject.name("logic.decoder.frame").subscribe(
+                self._on_frame, replay=False
+            ),
+            Subject.name("signal.fft").subscribe(
+                self._on_fft, replay=False
+            ),
+        ]
+
+    def close(self):
+        for u in self._unsubs:
+            u()
+
+    def _on_frame(self, frame):
+        if frame is None:  # stream boundary sentinel
+            return
+        with self._lock:
+            self._count += 1
+            delta = (
+                frame.time_start - self._prev_time
+                if self._prev_time is not None else 0.0
+            )
+            self._prev_time = frame.time_start
+            flags = [n for f, n in _FLAG_NAMES if frame.has_flags(f)]
+            self._frames.append({
+                "id": self._count,
+                "time": round(frame.time_start, 6),
+                "delta": round(delta, 6),
+                "rate": int(frame.frame_rate),
+                "tech": _TECHS.get(int(frame.tech_type), "?"),
+                "event": _EVENTS.get(int(frame.frame_type), "?"),
+                "flags": flags,
+                "data": frame.data.hex(":") if frame.data else "",
+            })
+
+    def _on_fft(self, buf):
+        if buf is None or not getattr(buf, "valid", False):
+            return
+        mag = np.asarray(buf.data, np.float32).reshape(-1)
+        k = max(1, len(mag) // self.spectrum_bins)
+        if k > 1:
+            mag = mag[: (len(mag) // k) * k].reshape(-1, k).max(axis=1)
+        with self._lock:
+            self._spectrum = [round(float(v), 4) for v in mag]
+            self._spectrum_rate = int(buf.sample_rate)
+
+    def snapshot(self) -> dict:
+        status = {}
+        for name, subj in Subject.registry_items():
+            if name.endswith(".status"):
+                v = subj.value
+                if isinstance(v, dict):
+                    status[name[: -len(".status")]] = v
+        with self._lock:
+            return {
+                "frames": list(self._frames),
+                "total_frames": self._count,
+                "spectrum": self._spectrum,
+                "spectrum_rate": self._spectrum_rate,
+                "status": status,
+            }
+
+
+# single-series spectrum (no legend needed), neutral dark surface, text in
+# ink tokens (never the series color), recessive grid, hover crosshair with
+# a tooltip; the frame table IS the table view
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>nfclab live monitor</title>
+<style>
+:root { --surface:#16181d; --panel:#1e2127; --ink:#e8eaed; --ink2:#9aa0a6;
+        --muted:#5f6368; --series:#7cacf8; --grid:#2a2e36; }
+body { background:var(--surface); color:var(--ink);
+       font:13px/1.5 system-ui,sans-serif; margin:16px; }
+h1 { font-size:15px; font-weight:600; margin:0 0 12px; }
+.row { display:flex; gap:16px; flex-wrap:wrap; }
+.panel { background:var(--panel); border-radius:8px; padding:12px;
+         margin-bottom:16px; }
+.status { display:flex; gap:8px; flex-wrap:wrap; }
+.chip { background:var(--surface); border-radius:6px; padding:4px 10px;
+        color:var(--ink2); }
+.chip b { color:var(--ink); font-weight:600; }
+table { border-collapse:collapse; width:100%; }
+th { text-align:left; color:var(--ink2); font-weight:500; padding:2px 10px;
+     border-bottom:1px solid var(--grid); position:sticky; top:0;
+     background:var(--panel); }
+td { padding:2px 10px; border-bottom:1px solid var(--grid);
+     font-variant-numeric:tabular-nums; white-space:nowrap; }
+td.data { font-family:ui-monospace,monospace; color:var(--ink);
+          white-space:normal; word-break:break-all; }
+#tablewrap { max-height:45vh; overflow-y:auto; }
+#spec { width:100%; height:180px; display:block; }
+#tip { position:absolute; display:none; background:var(--surface);
+       color:var(--ink); border:1px solid var(--grid); border-radius:6px;
+       padding:4px 8px; pointer-events:none; }
+.empty { color:var(--muted); padding:18px; text-align:center; }
+</style></head><body>
+<h1>nfclab live monitor</h1>
+<div class="panel"><div class="status" id="status"></div></div>
+<div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
+Spectrum (dB, full span)</div>
+<svg id="spec" preserveAspectRatio="none"></svg><div id="tip"></div></div>
+<div class="panel"><div id="tablewrap"><table>
+<thead><tr><th>Id</th><th>Time</th><th>Delta</th><th>Rate</th><th>Tech</th>
+<th>Event</th><th>Flags</th><th>Data</th></tr></thead>
+<tbody id="frames"><tr><td colspan="8" class="empty">waiting for frames…
+</td></tr></tbody></table></div></div>
+<script>
+const fmt = (x, d) => Number(x).toFixed(d);
+let lastSpec = null;
+async function tick() {
+  try {
+    const r = await fetch('/data'); const d = await r.json();
+    const st = document.getElementById('status');
+    st.innerHTML = Object.entries(d.status).map(([k, v]) => {
+      const extra = Object.entries(v).filter(([a]) => a != 'status')
+        .map(([a, b]) => `${a}=${b}`).join(' ');
+      return `<span class="chip"><b>${k}</b> ${v.status} ${extra}</span>`;
+    }).join('') +
+      `<span class="chip"><b>frames</b> ${d.total_frames}</span>`;
+    const tb = document.getElementById('frames');
+    if (d.frames.length) {
+      tb.innerHTML = d.frames.slice().reverse().map(f =>
+        `<tr><td>${f.id}</td><td>${fmt(f.time, 4)}</td>` +
+        `<td>${fmt(f.delta, 4)}</td><td>${f.rate || ''}</td>` +
+        `<td>${f.tech}</td><td>${f.event}</td>` +
+        `<td>${f.flags.join(' ')}</td><td class="data">${f.data}</td></tr>`
+      ).join('');
+    }
+    lastSpec = d.spectrum;
+    drawSpec();
+  } catch (e) {}
+  setTimeout(tick, 500);
+}
+function drawSpec() {
+  const svg = document.getElementById('spec');
+  const s = lastSpec;
+  if (!s || !s.length) { svg.innerHTML = ''; return; }
+  const W = svg.clientWidth || 800, H = svg.clientHeight || 180;
+  svg.setAttribute('viewBox', `0 0 ${W} ${H}`);
+  const lo = Math.min(...s), hi = Math.max(...s), span = (hi - lo) || 1;
+  const pts = s.map((v, i) =>
+    `${(i / (s.length - 1) * W).toFixed(1)},` +
+    `${(H - 6 - (v - lo) / span * (H - 12)).toFixed(1)}`).join(' ');
+  let grid = '';
+  for (let g = 1; g < 4; g++)
+    grid += `<line x1="0" x2="${W}" y1="${H * g / 4}" y2="${H * g / 4}"
+             stroke="var(--grid)" stroke-width="1"/>`;
+  svg.innerHTML = grid +
+    `<polyline points="${pts}" fill="none" stroke="var(--series)"
+      stroke-width="2"/>` +
+    `<line id="xh" y1="0" y2="${H}" stroke="var(--muted)"
+      stroke-width="1" visibility="hidden"/>`;
+}
+document.getElementById('spec').addEventListener('mousemove', ev => {
+  const s = lastSpec; if (!s || !s.length) return;
+  const svg = ev.currentTarget, r = svg.getBoundingClientRect();
+  const fx = (ev.clientX - r.left) / r.width;
+  const i = Math.max(0, Math.min(s.length - 1,
+    Math.round(fx * (s.length - 1))));
+  const xh = document.getElementById('xh');
+  if (xh) { xh.setAttribute('x1', fx * r.width);
+            xh.setAttribute('x2', fx * r.width);
+            xh.setAttribute('visibility', 'visible'); }
+  const tip = document.getElementById('tip');
+  tip.style.display = 'block';
+  tip.style.left = (ev.pageX + 12) + 'px';
+  tip.style.top = (ev.pageY - 10) + 'px';
+  tip.textContent = `bin ${i}: ${fmt(s[i], 2)} dB`;
+});
+document.getElementById('spec').addEventListener('mouseleave', () => {
+  document.getElementById('tip').style.display = 'none';
+  const xh = document.getElementById('xh');
+  if (xh) xh.setAttribute('visibility', 'hidden');
+});
+tick();
+</script></body></html>
+"""
+
+
+class MonitorServer:
+    """Threaded HTTP server around a MonitorState."""
+
+    def __init__(self, port: int = 0, host: str = "127.0.0.1",
+                 state: MonitorState | None = None):
+        self.state = state or MonitorState()
+        monitor = self.state
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path.split("?")[0] == "/data":
+                    body = json.dumps(monitor.snapshot()).encode()
+                    ctype = "application/json"
+                elif self.path.split("?")[0] == "/":
+                    body = _PAGE.encode()
+                    ctype = "text/html; charset=utf-8"
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self) -> "MonitorServer":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.state.close()

@@ -575,12 +575,17 @@ class FourierTask(Task):
                 continue
             if not buf.valid:
                 continue  # stream boundary; keep serving the next session
+            data = np.asarray(buf.data, np.float32)
+            if data.ndim == 1:
+                # live sources publish interleaved IQ; the processor takes
+                # [N, 2] pairs
+                data = data[: len(data) // 2 * 2].reshape(-1, 2)
             need = self.processor.length * max(
                 1, int(buf.sample_rate / self.processor.bandwidth)
             )
-            if buf.elements < need:
+            if len(data) < need:
                 continue
-            mag = self.processor.process(buf.data, buf.sample_rate)
+            mag = self.processor.process(data, buf.sample_rate)
             self.out.next(
                 SignalBuffer(
                     mag,

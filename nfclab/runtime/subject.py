@@ -66,6 +66,19 @@ class Subject:
         with cls._registry_lock:
             cls._registry.clear()
 
+    @classmethod
+    def registry_items(cls) -> list[tuple[str, "Subject"]]:
+        """Snapshot of (name, subject) pairs — observability consumers
+        (the live monitor) walk this for ``*.status`` subjects."""
+        with cls._registry_lock:
+            return list(cls._registry.items())
+
+    @property
+    def value(self):
+        """The retained last value, or None (Subject.h retained slot)."""
+        with self._lock:
+            return self._retained if self._has_retained else None
+
     def next(self, value: Any, retain: bool = False):
         """Publish on the caller's thread (Subject.h:66-88)."""
         with self._lock:

@@ -90,13 +90,18 @@ def _mask_val(env, filt, boxes, power_thr, thr, plan):
     return mval
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def _sharded_step(params_tuple, mask_params, sample_rate: int,
-                  n_devices: int, nb_loc: int, L: int, H: int, devices=None):
+                  n_devices: int, nb_loc: int, L: int, H: int, devices=None,
+                  no_collective: bool = False):
     """jit: rows[NB, L] sharded over a 1-D `blocks` mesh -> channel dict
     with the same sharding.  Halos travel by ppermute inside shard_map.
     Rate-parametric: the channel widths/delays come from
-    dsp.tpu_channels.channel_plan(sample_rate)."""
+    dsp.tpu_channels.channel_plan(sample_rate).
+
+    no_collective=True replaces the ppermute halo with a locally-sourced
+    stand-in of identical shape/compute — WRONG values, used only by the
+    scaling harness to isolate the collective's share of step time."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -142,7 +147,10 @@ def _sharded_step(params_tuple, mask_params, sample_rate: int,
         # first block's halo arrives from the left neighbour (ring ppermute;
         # the wrap into device 0 is replaced by the zero halo of stream
         # start below)
-        recv = halo_exchange(rows[-1], H, "blocks")
+        if no_collective:  # timing-isolation variant (scaling harness)
+            recv = rows[-1, L - H:]
+        else:
+            recv = halo_exchange(rows[-1], H, "blocks")
         halos = jnp.concatenate(
             [recv[None], rows[:-1, L - H:]], axis=0
         )  # [nb_loc, H]

@@ -1,0 +1,105 @@
+"""Live monitor view: the one-page web app served from the stream bus must
+show freshly decoded frames (StreamModel columns), the live spectrum, and
+task status while a capture runs (the reference GUI's live-monitoring
+capability, headless)."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from nfclab.hw.device import PARAM_SAMPLE_RATE
+
+
+def _native_ok():
+    from nfclab.native.binding import native_available
+
+    return native_available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_ok(), reason="native library unavailable"
+)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.read()
+
+
+def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
+    """End-to-end: mock rtl_tcp -> live source -> decoder + fourier ->
+    MonitorServer; /data must contain freshly decoded POLL frames with the
+    StreamModel columns, a spectrum, and task statuses; / serves the page."""
+    from test_sdr_bridge import MockRtlTcpServer
+
+    from nfclab.apps.monitor import MonitorServer
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import (
+        Executor,
+        FourierTask,
+        LiveRadioSourceTask,
+        RadioDecoderTask,
+    )
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    n = len(samples)
+    iq = np.empty(2 * n, np.uint8)
+    iq[0::2] = np.clip(
+        np.round(samples * 127.5 + 127.5), 0, 255
+    ).astype(np.uint8)
+    iq[1::2] = 128
+    server = MockRtlTcpServer(payload=iq, min_commands=1)
+
+    # compile the FFT program outside the polling deadline (first compile
+    # through the remote-attached chip can exceed it)
+    from nfclab.dsp.spectrum import SpectrumProcessor
+
+    SpectrumProcessor().process(
+        np.zeros((1024, 2), np.float32), info.sample_rate
+    )
+
+    monitor = MonitorServer(port=0).start()
+    source = LiveRadioSourceTask(
+        f"rtltcp://127.0.0.1:{server.port}",
+        {PARAM_SAMPLE_RATE: info.sample_rate},
+    )
+    decoder = RadioDecoderTask()
+    fourier = FourierTask()
+    ex = Executor(pool_size=3)
+    ex.submit(decoder)
+    ex.submit(fourier)
+    ex.submit(source)
+    try:
+        base = f"http://127.0.0.1:{monitor.port}"
+        page = _get(base + "/").decode()
+        assert "nfclab live monitor" in page
+        assert "/data" in page
+
+        deadline = time.time() + 60
+        snap = None
+        while time.time() < deadline:
+            snap = json.loads(_get(base + "/data"))
+            polls = [f for f in snap["frames"] if f["event"] == "Poll"]
+            if polls and snap["spectrum"]:
+                break
+            time.sleep(0.3)
+        assert snap is not None
+        polls = [f for f in snap["frames"] if f["event"] == "Poll"]
+        assert polls, f"no POLL frames in monitor: {snap['frames'][:5]}"
+        first = polls[0]
+        # StreamModel columns (StreamModel.h:55-58)
+        assert first["data"] == "52"
+        assert first["tech"] == "NfcA"
+        assert first["rate"] > 0
+        assert {"id", "time", "delta", "flags"} <= set(first)
+        assert snap["spectrum"] and len(snap["spectrum"]) >= 64
+        assert "radio.decoder" in snap["status"]
+        assert "radio.receiver" in snap["status"]
+    finally:
+        ex.shutdown()
+        monitor.stop()
