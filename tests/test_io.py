@@ -55,3 +55,70 @@ def test_frame_equality_semantics():
     assert a == b
     b.sample_start = 1
     assert a != b
+
+
+def test_trz_sample_header_matches_reference_struct_layout(tmp_path):
+    """Byte-level pin of the APCM SampleHdr against the reference's C
+    struct (TraceStorageTask.cpp:55-60: char magic[4]; uint32 version;
+    uint32 info[6] — little-endian x86, no padding, 32 bytes), so a trace
+    written here parses in the reference implementation and vice versa."""
+    import io as _io
+    import struct
+    import tarfile
+
+    import numpy as np
+
+    from nfclab.io.trz import (
+        INFO_SAMPLE_RATE,
+        INFO_START_OFFSET,
+        INFO_STREAM_ID,
+        INFO_TOTAL_SAMPLES,
+        SignalStream,
+        read_trace,
+        write_trace,
+    )
+
+    offsets = np.array([100, 150, 220], np.int64)
+    values = np.array([1.0, 0.0, 1.0], np.float32)
+    s = SignalStream(3, 10_000_000, "logic", offsets, values, 100)
+    path = tmp_path / "t.trz"
+    write_trace(str(path), [], [s])
+
+    with tarfile.open(path, "r:gz") as tar:
+        names = tar.getnames()
+        entry = [n for n in names if n.endswith(".apcm")][0]
+        raw = tar.extractfile(entry).read()
+
+    # exactly the reference struct: 4s magic + u32 version + 6 u32 info
+    assert len(raw) >= 32
+    magic, version = struct.unpack_from("<4sI", raw, 0)
+    info = struct.unpack_from("<6I", raw, 8)
+    assert magic == b"APCM"
+    assert version == 2
+    assert info[INFO_START_OFFSET] == 100
+    assert info[INFO_TOTAL_SAMPLES] == 3
+    assert info[INFO_STREAM_ID] == 3
+    assert info[INFO_SAMPLE_RATE] == 10_000_000
+    # logic payload: 2 bytes per sample (u8 offset delta, u8 value)
+    assert len(raw) == 32 + 2 * 3
+
+    # and a hand-built reference-layout entry parses back identically
+    hand = struct.pack(
+        "<4sI6I", b"APCM", 2, 0, 100, 3, 3, 10_000_000, 0
+    ) + bytes([0, 1, 50, 0, 70, 1])
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+        ti = tarfile.TarInfo("logic-3.apcm")
+        ti.size = len(hand)
+        tar.addfile(ti, _io.BytesIO(hand))
+        ti = tarfile.TarInfo("frame.json")
+        payload = b'{"frames": []}'
+        ti.size = len(payload)
+        tar.addfile(ti, _io.BytesIO(payload))
+    (tmp_path / "ref.trz").write_bytes(buf.getvalue())
+    frames, streams = read_trace(str(tmp_path / "ref.trz"))
+    assert not frames and len(streams) == 1
+    r = streams[0]
+    assert r.stream_id == 3 and r.sample_rate == 10_000_000
+    np.testing.assert_array_equal(r.offsets, offsets)
+    np.testing.assert_array_equal(r.values, values)
