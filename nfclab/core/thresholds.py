@@ -73,16 +73,14 @@ class DecoderThresholds:
             float(self.nfcv.correlation),
         )
 
-    @classmethod
-    def from_protocol_config(cls, proto: dict) -> "DecoderThresholds":
-        """Merge a ``protocol`` JSON config subtree onto the defaults
+    def merge_protocol_config(self, proto: dict) -> "DecoderThresholds":
+        """Merge a ``protocol`` JSON config subtree onto the CURRENT values
         (RadioDecoderTask.cpp:240-345 semantics: correlationThreshold
         applies alone; minimumModulationDeep/maximumModulationDeep apply
-        only when both are present)."""
-        th = cls()
+        only when both are present).  Mutates and returns self."""
         for name in ("nfca", "nfcb", "nfcf", "nfcv"):
             sect = proto.get(name) or {}
-            tech = th.for_tech(name)
+            tech = self.for_tech(name)
             if "correlationThreshold" in sect:
                 tech.correlation = float(sect["correlationThreshold"])
             lo = sect.get("minimumModulationDeep")
@@ -90,4 +88,9 @@ class DecoderThresholds:
             if lo is not None and hi is not None:
                 tech.min_modulation_deep = float(lo)
                 tech.max_modulation_deep = float(hi)
-        return th
+        return self
+
+    @classmethod
+    def from_protocol_config(cls, proto: dict) -> "DecoderThresholds":
+        """Defaults + a ``protocol`` JSON config subtree."""
+        return cls().merge_protocol_config(proto)

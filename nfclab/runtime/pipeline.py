@@ -271,17 +271,95 @@ class RadioDecoderTask(Task):
     """radio.signal.raw -> radio.decoder.frame (RadioDecoderTask parity).
 
     Truly streaming: each block feeds the incremental decoder and completed
-    frames are published immediately."""
+    frames are published immediately.  The ``radio.decoder.command``
+    subject carries the reference's control plane
+    (RadioDecoderTask.cpp:92-151): Start/Stop gate whether signal buffers
+    are consumed, Query resolves the current config, Configure merge-
+    patches decoder settings (enables, powerLevelThreshold, per-tech
+    protocol thresholds — configDecoder :207-366 semantics) applied from
+    the next decode session on."""
 
     def __init__(self, window: int | None = 1 << 21, **decoder_kwargs):
         super().__init__("worker.RadioDecoder", "radio.decoder")
         self.window = window
         self.decoder_kwargs = decoder_kwargs
+        self.streaming = True
         self.frame_stream = Subject.name("radio.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("radio.signal.raw").subscribe(
             self.signal_queue.put, replay=False
         )
+
+    # ------------------------------------------------------------- commands
+
+    def _config_snapshot(self) -> dict:
+        """Current config as the reference's Query/status JSON shape
+        (RadioDecoderTask.cpp:405-455)."""
+        from ..core.thresholds import DecoderThresholds
+
+        kw = self.decoder_kwargs
+        th = kw.get("thresholds") or DecoderThresholds()
+        proto = {}
+        for name in ("nfca", "nfcb", "nfcf", "nfcv"):
+            tech = th.for_tech(name)
+            proto[name] = {
+                "enabled": bool(kw.get(f"enable_{name}", True)),
+                "correlationThreshold": tech.correlation,
+                "minimumModulationDeep": tech.min_modulation_deep,
+                "maximumModulationDeep": tech.max_modulation_deep,
+            }
+        return {
+            "status": "streaming" if self.streaming else "idle",
+            "powerLevelThreshold": kw.get("power_level_threshold", 0.01),
+            "protocol": proto,
+        }
+
+    def _configure(self, cfg: dict):
+        """Configure merge-patch (configDecoder semantics)."""
+        from ..core.thresholds import DecoderThresholds
+
+        kw = self.decoder_kwargs
+        if "powerLevelThreshold" in cfg:
+            kw["power_level_threshold"] = float(cfg["powerLevelThreshold"])
+        proto = cfg.get("protocol") or {}
+        for name in ("nfca", "nfcb", "nfcf", "nfcv"):
+            sect = proto.get(name)
+            if sect and "enabled" in sect:
+                kw[f"enable_{name}"] = bool(sect["enabled"])
+        th = kw.get("thresholds") or DecoderThresholds()
+        kw["thresholds"] = th.merge_protocol_config(proto)
+
+    def _handle_commands(self):
+        from .subject import Event
+
+        while True:
+            try:
+                cmd = self.commands.get_nowait()
+            except queue.Empty:
+                return
+            code = cmd.code if isinstance(cmd, Event) else str(cmd)
+            try:
+                if code == "start":
+                    self.streaming = True
+                    self.update_status("streaming")
+                elif code == "stop":
+                    self.streaming = False
+                    self._stop_flush = True  # end the current session
+                    self.update_status("idle")
+                elif code == "configure":
+                    if isinstance(cmd, Event):
+                        self._configure(cmd.params)
+                elif code == "query":
+                    pass  # resolve carries the snapshot below
+                else:
+                    if isinstance(cmd, Event):
+                        cmd.reject(f"unknown command {code!r}")
+                    continue
+                if isinstance(cmd, Event):
+                    cmd.resolve(self._config_snapshot())
+            except Exception as e:
+                if isinstance(cmd, Event):
+                    cmd.reject(repr(e))
 
     def run(self):
         from .streaming import StreamingNfcDecoder
@@ -299,7 +377,14 @@ class RadioDecoderTask(Task):
             # until a Stop command, not until an EOF buffer)
             self.frame_stream.next(None)
 
+        self._stop_flush = False
         while not self.terminated:
+            self._handle_commands()
+            if self._stop_flush:  # Stop ends the current decode session
+                self._stop_flush = False
+                if dec is not None:
+                    flush(dec)
+                    dec = None
             try:
                 buf = self.signal_queue.get(timeout=0.1)
             except queue.Empty:
@@ -309,6 +394,8 @@ class RadioDecoderTask(Task):
                 dec = None
                 self.update_status("idle", frames=self.throughput.total)
                 continue
+            if not self.streaming:
+                continue  # Stopped: drop buffers (RadioDecoderTask.cpp:76-79)
             if dec is None:
                 dec = StreamingNfcDecoder(
                     buf.sample_rate, window=self.window, **self.decoder_kwargs
@@ -333,11 +420,48 @@ class LogicDecoderTask(Task):
         # probe->role mapping (the reference LogicDecoderTask's channel
         # config): dict io/clk/rst/vcc or [io, clk, rst, vcc] probe indices
         self.channel_map = channel_map
+        self.streaming = True
         self.frame_stream = Subject.name("logic.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("logic.signal.raw").subscribe(
             self.signal_queue.put, replay=False
         )
+
+    def _handle_commands(self):
+        """Start/Stop/Query/Configure control plane (LogicDecoderTask
+        command parity; Configure accepts the channel map)."""
+        from .subject import Event
+
+        while True:
+            try:
+                cmd = self.commands.get_nowait()
+            except queue.Empty:
+                return
+            code = cmd.code if isinstance(cmd, Event) else str(cmd)
+            try:
+                if code == "start":
+                    self.streaming = True
+                    self.update_status("streaming")
+                elif code == "stop":
+                    self.streaming = False
+                    self.update_status("idle")
+                elif code == "configure":
+                    if isinstance(cmd, Event) and "channelMap" in cmd.params:
+                        self.channel_map = cmd.params["channelMap"]
+                elif code != "query":
+                    if isinstance(cmd, Event):
+                        cmd.reject(f"unknown command {code!r}")
+                    continue
+                if isinstance(cmd, Event):
+                    cmd.resolve({
+                        "status": (
+                            "streaming" if self.streaming else "idle"
+                        ),
+                        "channelMap": self.channel_map,
+                    })
+            except Exception as e:
+                if isinstance(cmd, Event):
+                    cmd.reject(repr(e))
 
     def run(self):
         from .logic_decoder import StreamingIsoDecoder
@@ -352,6 +476,7 @@ class LogicDecoderTask(Task):
             self.frame_stream.next(None)
 
         while not self.terminated:
+            self._handle_commands()
             try:
                 buf = self.signal_queue.get(timeout=0.1)
             except queue.Empty:
@@ -361,6 +486,8 @@ class LogicDecoderTask(Task):
                 dec = None
                 self.update_status("idle")
                 continue
+            if not self.streaming:
+                continue  # Stopped: drop buffers (reference gating)
             block = np.asarray(buf.data, np.float32)
             if dec is None:
                 dec = StreamingIsoDecoder(

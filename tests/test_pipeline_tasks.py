@@ -88,3 +88,112 @@ def test_storage_and_trace_tasks(tmp_path, fixture_dir):
     assert len(got_signals) == len(signals)
     total_points = sum(len(s.offsets) for s in signals)
     assert sum(len(b.data) for b in got_signals) == total_points
+
+
+def test_decoder_command_control_plane(fixture_dir):
+    """RadioDecoderTask's command surface (RadioDecoderTask.cpp:92-151):
+    Query resolves the config snapshot, Configure merge-patches per-tech
+    thresholds/enables with effect on the next session, Stop gates signal
+    consumption, Start resumes."""
+    import queue as _queue
+    import time
+
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import RadioDecoderTask
+
+    Subject.clear_registry()
+    samples, info = read_wav(
+        str(fixture_dir / "test_NFC-A_106kbps_002.wav")
+    )
+    frames_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(
+        frames_q.put, replay=False
+    )
+    raw = Subject.name("radio.signal.raw")
+    cmd = Subject.name("radio.decoder.command")
+
+    decoder = RadioDecoderTask()
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+
+    def send(code, params=None, timeout=5.0):
+        done = threading.Event()
+        out = {}
+
+        def ok(snap):
+            out["snap"] = snap
+            done.set()
+
+        def bad(err):
+            out["err"] = err
+            done.set()
+
+        cmd.next(Event(code, params, on_resolve=ok, on_reject=bad))
+        assert done.wait(timeout), f"command {code} not handled"
+        assert "err" not in out, out
+        return out["snap"]
+
+    def session(expect_polls: bool):
+        raw.next(SignalBuffer(
+            samples, info.sample_rate, 0,
+            signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+        ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+        polls = 0
+        while True:
+            f = frames_q.get(timeout=30)
+            if f is None:
+                break
+            polls += f.frame_type == 0x102
+        assert (polls > 0) == expect_polls, polls
+
+    try:
+        # Query reflects the defaults
+        snap = send("query")
+        assert snap["protocol"]["nfca"]["correlationThreshold"] == 0.75
+        assert snap["protocol"]["nfcb"]["enabled"] is True
+
+        session(expect_polls=True)
+
+        # Configure an impossible NfcA threshold -> next session decodes
+        # no POLL frames (carrier events only)
+        snap = send("configure", {"protocol": {
+            "nfca": {"correlationThreshold": 5.0},
+            "nfcb": {"enabled": False},
+            "nfcf": {"enabled": False},
+            "nfcv": {"enabled": False},
+        }})
+        assert snap["protocol"]["nfca"]["correlationThreshold"] == 5.0
+        assert snap["protocol"]["nfcb"]["enabled"] is False
+        session(expect_polls=False)
+
+        # restore and verify the merge kept other defaults intact
+        snap = send("configure", {"protocol": {
+            "nfca": {"correlationThreshold": 0.75},
+            "nfcb": {"enabled": True},
+            "nfcf": {"enabled": True},
+            "nfcv": {"enabled": True},
+        }})
+        assert snap["protocol"]["nfca"]["minimumModulationDeep"] == 0.90
+
+        # Stop drops buffers entirely (no frames, no EOF session)
+        send("stop")
+        raw.next(SignalBuffer(
+            samples, info.sample_rate, 0,
+            signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+        ))
+        time.sleep(0.5)
+        assert frames_q.empty()
+
+        # Start resumes
+        send("start")
+        session(expect_polls=True)
+
+        # unknown command rejects
+        done = threading.Event()
+        err = []
+        cmd.next(Event("bogus", on_resolve=lambda *a: done.set(),
+                       on_reject=lambda e: (err.append(e), done.set())))
+        assert done.wait(5) and err
+    finally:
+        ex.shutdown()
