@@ -246,6 +246,46 @@ def cmd_run(args) -> int:
     return 0
 
 
+def reconcile_decoder(command_subject, desired: dict,
+                      timeout: float = 5.0) -> dict:
+    """app-rx's desired-vs-actual reconciliation (main.cpp:225-345):
+    Query the decoder task's current config, diff against `desired`
+    (detect_changes), send Configure with ONLY the changed subset, and
+    return the converged snapshot.  `desired` uses the task's status
+    shape: {"powerLevelThreshold": ..., "protocol": {nfca: {...}, ...}}."""
+    import threading as _threading
+
+    from ..runtime.config import detect_changes
+    from ..runtime.subject import Event
+
+    def call(code, params=None):
+        done = _threading.Event()
+        out: dict = {}
+
+        def ok(snap):
+            out["snap"] = snap
+            done.set()
+
+        def bad(err):
+            out["err"] = err
+            done.set()
+
+        command_subject.next(
+            Event(code, params, on_resolve=ok, on_reject=bad)
+        )
+        if not done.wait(timeout):
+            raise TimeoutError(f"decoder command {code!r} unanswered")
+        if "err" in out:
+            raise RuntimeError(out["err"])
+        return out["snap"]
+
+    snap = call("query")
+    diff = detect_changes(snap, desired)
+    if diff:
+        snap = call("configure", diff)
+    return snap
+
+
 def cmd_live(args) -> int:
     """Live capture + decode (app-rx's receiver role, main.cpp:189-345):
     a native-bridge SDR device streams into the incremental decoder; frames
@@ -310,20 +350,38 @@ def cmd_live(args) -> int:
             thresholds=_thresholds_from_args(args),
         )
     monitor = None
-    ex = Executor(pool_size=3)
+    ex = Executor(pool_size=4)
     if getattr(args, "monitor", None) is not None:
-        # live monitoring view: spectrum task + one-page web app off the bus
-        from ..runtime.pipeline import FourierTask
+        # live monitoring view: spectrum + adaptive-wave tasks + one-page
+        # web app off the bus
+        from ..runtime.pipeline import FourierTask, ResamplingTask
 
         from .monitor import MonitorServer
 
         ex.submit(FourierTask())
+        ex.submit(ResamplingTask())
         monitor = MonitorServer(port=args.monitor).start()
         print(
             f"# monitor: http://127.0.0.1:{monitor.port}/", file=sys.stderr
         )
     ex.submit(decoder)
     ex.submit(source)
+
+    if getattr(args, "config", None):
+        # app-rx reconciliation: desired config file -> Query/diff/Configure
+        import json as _json
+
+        with open(args.config, encoding="utf-8") as fh:
+            desired = _json.load(fh).get("decoder", {})
+        if desired and not isinstance(decoder, RadioDecoderTask):
+            print("# --config decoder section applies to radio capture",
+                  file=sys.stderr)
+        elif desired:
+            snap = reconcile_decoder(
+                Subject.name("radio.decoder.command"), desired
+            )
+            print(f"# decoder configured: {_json.dumps(snap)}",
+                  file=sys.stderr)
 
     count = 0
     try:
@@ -420,6 +478,12 @@ def main(argv=None) -> int:
         "--monitor", type=int, metavar="PORT", default=None,
         help="serve the live monitor view (frame table + spectrum + task "
         "status) on this port (0 = ephemeral; URL printed to stderr)",
+    )
+    p.add_argument(
+        "--config", metavar="JSON",
+        help="desired decoder config file (app-rx reconciliation: Query "
+        "the running task, diff, Configure only the changes; 'decoder' "
+        "section with powerLevelThreshold + protocol subtree)",
     )
     p.set_defaults(fn=cmd_live)
     args = ap.parse_args(argv)

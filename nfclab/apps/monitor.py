@@ -52,7 +52,8 @@ _FLAG_NAMES = (
 class MonitorState:
     """Bus-fed rolling snapshot: frames ring + latest spectrum + statuses."""
 
-    def __init__(self, max_frames: int = 256, spectrum_bins: int = 512):
+    def __init__(self, max_frames: int = 256, spectrum_bins: int = 512,
+                 wave_points: int = 2048):
         self.max_frames = max_frames
         self.spectrum_bins = spectrum_bins
         self._lock = threading.Lock()
@@ -61,6 +62,10 @@ class MonitorState:
         self._prev_time = None
         self._spectrum: list | None = None
         self._spectrum_rate = 0
+        # rolling wave strip from the adaptive render stream
+        # (SignalResamplingTask parity: value+offset pairs)
+        self._wave: deque = deque(maxlen=wave_points)
+        self._wave_rate = 0
         self._unsubs = [
             Subject.name("radio.decoder.frame").subscribe(
                 self._on_frame, replay=False
@@ -70,6 +75,9 @@ class MonitorState:
             ),
             Subject.name("signal.fft").subscribe(
                 self._on_fft, replay=False
+            ),
+            Subject.name("adaptive.signal").subscribe(
+                self._on_wave, replay=False
             ),
         ]
 
@@ -110,6 +118,26 @@ class MonitorState:
             self._spectrum = [round(float(v), 4) for v in mag]
             self._spectrum_rate = int(buf.sample_rate)
 
+    def _on_wave(self, buf):
+        if buf is None or not getattr(buf, "valid", False):
+            return
+        data = np.asarray(buf.data, np.float32)
+        if data.ndim != 2 or data.shape[1] != 2 or not len(data):
+            return
+        # adaptive pairs are (value, offset-within-block); make absolute
+        # seconds, cap points per block so bursts don't flush the window
+        vals = data[:, 0]
+        offs = data[:, 1] + buf.offset
+        k = max(1, len(vals) // 256)
+        rate = buf.sample_rate or 1
+        pts = [
+            (round(float(o) / rate, 6), round(float(v), 4))
+            for o, v in zip(offs[::k], vals[::k])
+        ]
+        with self._lock:
+            self._wave.extend(pts)
+            self._wave_rate = int(buf.sample_rate)
+
     def snapshot(self) -> dict:
         status = {}
         for name, subj in Subject.registry_items():
@@ -123,6 +151,7 @@ class MonitorState:
                 "total_frames": self._count,
                 "spectrum": self._spectrum,
                 "spectrum_rate": self._spectrum_rate,
+                "wave": list(self._wave),
                 "status": status,
             }
 
@@ -165,6 +194,10 @@ td.data { font-family:ui-monospace,monospace; color:var(--ink);
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
 Spectrum (dB, full span)</div>
 <svg id="spec" preserveAspectRatio="none"></svg><div id="tip"></div></div>
+<div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
+Signal (adaptive render stream, trailing window)</div>
+<svg id="wave" preserveAspectRatio="none" style="width:100%;height:120px;
+display:block"></svg></div>
 <div class="panel"><div id="tablewrap"><table>
 <thead><tr><th>Id</th><th>Time</th><th>Delta</th><th>Rate</th><th>Tech</th>
 <th>Event</th><th>Flags</th><th>Data</th></tr></thead>
@@ -194,8 +227,30 @@ async function tick() {
     }
     lastSpec = d.spectrum;
     drawSpec();
+    drawWave(d.wave);
   } catch (e) {}
   setTimeout(tick, 500);
+}
+function drawWave(w) {
+  const svg = document.getElementById('wave');
+  if (!w || w.length < 2) { svg.innerHTML = ''; return; }
+  const W = svg.clientWidth || 800, H = svg.clientHeight || 120;
+  svg.setAttribute('viewBox', `0 0 ${W} ${H}`);
+  const t0 = w[0][0], t1 = w[w.length - 1][0], ts = (t1 - t0) || 1;
+  const vs = w.map(p => p[1]);
+  const lo = Math.min(...vs), hi = Math.max(...vs), span = (hi - lo) || 1;
+  const pts = w.map(p =>
+    `${((p[0] - t0) / ts * W).toFixed(1)},` +
+    `${(H - 6 - (p[1] - lo) / span * (H - 12)).toFixed(1)}`).join(' ');
+  svg.innerHTML =
+    `<line x1="0" x2="${W}" y1="${H / 2}" y2="${H / 2}"
+      stroke="var(--grid)" stroke-width="1"/>` +
+    `<polyline points="${pts}" fill="none" stroke="var(--series)"
+      stroke-width="2"/>` +
+    `<text x="4" y="${H - 4}" fill="var(--ink2)" font-size="11">
+      ${t0.toFixed(3)}s</text>` +
+    `<text x="${W - 60}" y="${H - 4}" fill="var(--ink2)" font-size="11">
+      ${t1.toFixed(3)}s</text>`;
 }
 function drawSpec() {
   const svg = document.getElementById('spec');

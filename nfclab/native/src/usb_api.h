@@ -8,10 +8,12 @@
 // mock device stack and exercise the full USB driver paths without
 // hardware.
 //
-// Only synchronous transfers are exposed: the drivers run their own reader
-// threads around libusb_bulk_transfer instead of the reference's
-// async-transfer + event-loop scheme, which needs no dedicated event
-// thread and maps 1:1 onto the bridge's callback contract (bridge.h).
+// Both transfer models are exposed: the reference's asynchronous
+// multi-transfer engine (Usb.cpp:22-616 transferHandler — a pool of queued
+// bulk transfers serviced by a libusb event loop, resubmitted from the
+// completion callback) is the streaming default when the bound library
+// exports the async surface; a synchronous libusb_bulk_transfer reader
+// remains as the fallback (and is selectable with NFCLAB_USB_SYNC=1).
 
 #pragma once
 
@@ -20,7 +22,35 @@
 
 #include <dlfcn.h>
 
+#include <sys/time.h>
 #include <sys/types.h>
+
+// Public, ABI-stable layout of struct libusb_transfer (libusb.h; the fill
+// helpers are header-inlines, so the struct itself is the wire contract).
+struct NfclabUsbTransfer {
+    void *dev_handle;
+    uint8_t flags;
+    unsigned char endpoint;
+    unsigned char type;
+    unsigned int timeout;
+    int status;  // enum libusb_transfer_status
+    int length;
+    int actual_length;
+    void (*callback)(NfclabUsbTransfer *);
+    void *user_data;
+    unsigned char *buffer;
+    int num_iso_packets;
+};
+
+enum {
+    NFCLAB_USB_TRANSFER_COMPLETED = 0,
+    NFCLAB_USB_TRANSFER_ERROR = 1,
+    NFCLAB_USB_TRANSFER_TIMED_OUT = 2,
+    NFCLAB_USB_TRANSFER_CANCELLED = 3,
+    NFCLAB_USB_TRANSFER_STALL = 4,
+    NFCLAB_USB_TRANSFER_NO_DEVICE = 5,
+    NFCLAB_USB_TRANSFER_TYPE_BULK = 2,
+};
 
 struct NfclabUsbApi {
     void *handle = nullptr;
@@ -43,6 +73,22 @@ struct NfclabUsbApi {
                             unsigned char *, uint16_t, unsigned int) = nullptr;
     int (*bulk_transfer)(void *, unsigned char, unsigned char *, int, int *,
                          unsigned int) = nullptr;
+
+    // async surface (optional — null when the bound library lacks it;
+    // drivers then use the synchronous reader)
+    NfclabUsbTransfer *(*alloc_transfer)(int) = nullptr;
+    void (*free_transfer)(NfclabUsbTransfer *) = nullptr;
+    int (*submit_transfer)(NfclabUsbTransfer *) = nullptr;
+    int (*cancel_transfer)(NfclabUsbTransfer *) = nullptr;
+    int (*handle_events_timeout_completed)(void *, struct timeval *,
+                                           int *) = nullptr;
+
+    bool async_ok() const
+    {
+        return alloc_transfer && free_transfer && submit_transfer &&
+               cancel_transfer && handle_events_timeout_completed &&
+               !getenv("NFCLAB_USB_SYNC");
+    }
 };
 
 // libusb constants used by the drivers (stable ABI values)
@@ -92,6 +138,20 @@ inline NfclabUsbApi &nfclab_usb_api()
             && bind("libusb_bulk_transfer", a.bulk_transfer);
         if (!ok)
             return a;
+        // async surface is optional: bind what's there (all or nothing)
+        bool async = bind("libusb_alloc_transfer", a.alloc_transfer)
+            && bind("libusb_free_transfer", a.free_transfer)
+            && bind("libusb_submit_transfer", a.submit_transfer)
+            && bind("libusb_cancel_transfer", a.cancel_transfer)
+            && bind("libusb_handle_events_timeout_completed",
+                    a.handle_events_timeout_completed);
+        if (!async) {
+            a.alloc_transfer = nullptr;
+            a.free_transfer = nullptr;
+            a.submit_transfer = nullptr;
+            a.cancel_transfer = nullptr;
+            a.handle_events_timeout_completed = nullptr;
+        }
         if (a.init(&a.ctx) != 0)
             return a;
         a.handle = h;

@@ -26,6 +26,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
@@ -45,6 +47,8 @@ enum {
 
 // ------------------------------------------------------------ shared layer
 
+struct AsyncBulkPump;
+
 struct LogicUsbDevice {
     void *handle = nullptr;     // libusb_device_handle
     int iface = 0;
@@ -55,8 +59,115 @@ struct LogicUsbDevice {
     void *user = nullptr;
     std::atomic<bool> running {false};
     std::thread worker;
+    AsyncBulkPump *pump = nullptr;
     int64_t offset = 0;  // in samples
 };
+
+// Reference-parity asynchronous transfer engine (hw::usb Usb.cpp:22-616
+// transferHandler): a pool of queued bulk-IN transfers serviced by one
+// event thread; each completion delivers its payload (libusb preserves
+// per-endpoint submission order) and resubmits itself.  Used whenever the
+// bound libusb exports the async surface; the synchronous reader remains
+// the fallback (and NFCLAB_USB_SYNC=1 forces it).
+struct AsyncBulkPump {
+    NfclabUsbApi *api = nullptr;
+    std::function<void(const uint8_t *, int)> on_data;
+    std::function<void()> on_end;
+    std::vector<NfclabUsbTransfer *> transfers;
+    std::vector<std::vector<uint8_t>> buffers;
+    std::atomic<bool> running {false};
+    std::atomic<int> inflight {0};
+    bool ended = false;  // event-thread only
+    std::thread events;
+
+    static void completion(NfclabUsbTransfer *t)
+    {
+        auto *p = static_cast<AsyncBulkPump *>(t->user_data);
+        p->inflight.fetch_sub(1, std::memory_order_relaxed);
+        if (t->status == NFCLAB_USB_TRANSFER_COMPLETED && p->running.load()) {
+            if (t->actual_length > 0)
+                p->on_data(t->buffer, t->actual_length);
+            if (p->api->submit_transfer(t) == 0) {
+                p->inflight.fetch_add(1, std::memory_order_relaxed);
+                return;
+            }
+        }
+        if (t->status != NFCLAB_USB_TRANSFER_CANCELLED && !p->ended &&
+            p->running.load()) {
+            p->ended = true;  // device gone / fatal: signal EOF once
+            p->on_end();
+        }
+    }
+
+    bool start(NfclabUsbApi &a, void *handle, unsigned char ep,
+               std::function<void(const uint8_t *, int)> data_fn,
+               std::function<void()> end_fn,
+               int n_transfers = 16, int size = 1 << 16)
+    {
+        api = &a;
+        on_data = std::move(data_fn);
+        on_end = std::move(end_fn);
+        buffers.resize(n_transfers);
+        running.store(true);
+        for (int i = 0; i < n_transfers; i++) {
+            NfclabUsbTransfer *t = a.alloc_transfer(0);
+            if (!t)
+                break;
+            buffers[i].resize(size);
+            t->dev_handle = handle;
+            t->flags = 0;
+            t->endpoint = ep;
+            t->type = NFCLAB_USB_TRANSFER_TYPE_BULK;
+            t->timeout = 0;
+            t->length = size;
+            t->callback = completion;
+            t->user_data = this;
+            t->buffer = buffers[i].data();
+            t->num_iso_packets = 0;
+            if (a.submit_transfer(t) != 0) {
+                a.free_transfer(t);
+                break;
+            }
+            transfers.push_back(t);
+            inflight.fetch_add(1, std::memory_order_relaxed);
+        }
+        if (transfers.empty()) {
+            running.store(false);
+            return false;
+        }
+        events = std::thread([this] {
+            while (running.load(std::memory_order_relaxed) ||
+                   inflight.load(std::memory_order_relaxed) > 0) {
+                struct timeval tv {0, 100000};
+                api->handle_events_timeout_completed(api->ctx, &tv, nullptr);
+            }
+        });
+        return true;
+    }
+
+    void stop()
+    {
+        running.store(false);
+        for (NfclabUsbTransfer *t : transfers)
+            api->cancel_transfer(t);  // benign on already-completed ones
+        if (events.joinable())
+            events.join();
+        for (NfclabUsbTransfer *t : transfers)
+            api->free_transfer(t);
+        transfers.clear();
+    }
+};
+
+void pump_stop(LogicUsbDevice *d)
+{
+    if (d->pump) {
+        d->pump->stop();
+        delete d->pump;
+        d->pump = nullptr;
+    }
+    if (d->worker.joinable())
+        d->worker.join();
+}
 
 // enumerate "scheme://bus:addr" for each vid:pid match
 int usb_enumerate_matching(uint16_t vid, uint16_t pid, const char *scheme,
@@ -230,6 +341,19 @@ int sipeed_start(void *vd, nfclab_stream_cb cb, void *user)
         d->running.store(false);
         return -1;
     }
+    if (a.async_ok()) {
+        // reference-parity async engine: 16 queued 128 KB bulk transfers
+        d->pump = new AsyncBulkPump();
+        if (d->pump->start(
+                a, d->handle, SIPEED_EP_IN,
+                [d](const uint8_t *raw, int n) { deliver_packed(d, raw, n); },
+                [d] { if (d->running.load()) deliver_eof(d); },
+                16, 256 * 512)) {
+            return 0;
+        }
+        delete d->pump;
+        d->pump = nullptr;  // fall back to the synchronous reader
+    }
     d->worker = std::thread([d, &a] {
         std::vector<uint8_t> raw(256 * 512);  // 256 high-speed EP packets
         while (d->running.load()) {
@@ -259,8 +383,7 @@ int sipeed_stop(void *vd)
         return -1;
     a.control_transfer(d->handle, NFCLAB_USB_DIR_OUT | NFCLAB_USB_TYPE_VENDOR,
                        SIPEED_CMD_STOP, 0, 0, nullptr, 0, 3000);
-    if (d->worker.joinable())
-        d->worker.join();
+    pump_stop(d);
     return 0;
 }
 
@@ -585,6 +708,22 @@ int dslogic_start(void *vd, nfclab_stream_cb cb, void *user)
         d->running.store(false);
         return -1;
     }
+    if (a.async_ok()) {
+        // async engine with the stream-chunk carry held by the callbacks
+        auto carry = std::make_shared<std::vector<uint8_t>>();
+        d->pump = new AsyncBulkPump();
+        if (d->pump->start(
+                a, d->handle, DSL_EP_IN,
+                [d, carry](const uint8_t *raw, int n) {
+                    dsl_deliver_chunks(d, raw, n, *carry);
+                },
+                [d] { if (d->running.load()) deliver_eof(d); },
+                16, 1 << 16)) {
+            return 0;
+        }
+        delete d->pump;
+        d->pump = nullptr;  // fall back to the synchronous reader
+    }
     d->worker = std::thread([d, &a] {
         std::vector<uint8_t> raw(1 << 16);  // CHANNEL_BUFFER_SIZE
         std::vector<uint8_t> carry;
@@ -612,8 +751,7 @@ int dslogic_stop(void *vd)
     if (!d->running.exchange(false))
         return -1;
     dsl_write(d, DSL_CTL_STOP, 0, nullptr, 0);
-    if (d->worker.joinable())
-        d->worker.join();
+    pump_stop(d);
     return 0;
 }
 

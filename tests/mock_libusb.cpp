@@ -15,8 +15,11 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <vector>
+
+#include <unistd.h>
 
 namespace {
 
@@ -202,6 +205,123 @@ int libusb_bulk_transfer(void *handle, unsigned char endpoint,
     memcpy(data, d->payload.data() + d->pos, n);
     d->pos += n;
     *actual = (int)n;
+    return 0;
+}
+
+// ------------------------------------------------------- async surface
+//
+// Mirrors the public struct libusb_transfer ABI (see usb_api.h
+// NfclabUsbTransfer).  submit queues; handle_events_timeout_completed
+// services queued transfers from the same payload stream as the sync
+// path (same ragged chunks), invoking completion callbacks on the
+// caller's thread exactly like libusb's event loop.
+
+struct MockTransfer {
+    void *dev_handle;
+    uint8_t flags;
+    unsigned char endpoint;
+    unsigned char type;
+    unsigned int timeout;
+    int status;
+    int length;
+    int actual_length;
+    void (*callback)(MockTransfer *);
+    void *user_data;
+    unsigned char *buffer;
+    int num_iso_packets;
+};
+
+namespace {
+
+enum {
+    XFER_COMPLETED = 0, XFER_ERROR = 1, XFER_CANCELLED = 3,
+    XFER_NO_DEVICE = 5,
+};
+
+std::mutex g_async_mu;
+std::deque<MockTransfer *> g_pending;
+
+}  // namespace
+
+MockTransfer *libusb_alloc_transfer(int)
+{
+    return new MockTransfer {};
+}
+
+void libusb_free_transfer(MockTransfer *t)
+{
+    delete t;
+}
+
+int libusb_submit_transfer(MockTransfer *t)
+{
+    std::lock_guard<std::mutex> lock(g_async_mu);
+    g_pending.push_back(t);
+    return 0;
+}
+
+int libusb_cancel_transfer(MockTransfer *t)
+{
+    std::lock_guard<std::mutex> lock(g_async_mu);
+    for (MockTransfer *p : g_pending)
+        if (p == t) {
+            t->status = XFER_CANCELLED;
+            return 0;
+        }
+    return -5;  // LIBUSB_ERROR_NOT_FOUND (not currently submitted)
+}
+
+int libusb_handle_events_timeout_completed(void *, struct timeval *, int *)
+{
+    // service a bounded batch per call (the real event loop wakes per URB)
+    for (int served = 0; served < 4; served++) {
+        MockTransfer *t;
+        {
+            std::lock_guard<std::mutex> lock(g_async_mu);
+            if (g_pending.empty()) {
+                if (served == 0)  // idle: don't let callers busy-spin
+                    usleep(2000);
+                return 0;
+            }
+            t = g_pending.front();
+            g_pending.pop_front();
+        }
+        if (t->status != XFER_CANCELLED) {
+            auto *d = static_cast<MockDevice *>(t->dev_handle);
+            std::lock_guard<std::mutex> lock(d->mu);
+            t->actual_length = 0;
+            if (!(t->endpoint & 0x80)) {
+                d->bulk_out_bytes += t->length;
+                t->actual_length = t->length;
+                t->status = XFER_COMPLETED;
+            } else if (!d->started) {
+                // no data yet: keep it queued like a pending URB
+                {
+                    std::lock_guard<std::mutex> qlock(g_async_mu);
+                    g_pending.push_back(t);
+                }
+                usleep(2000);
+                return 0;
+            } else {
+                d->load_payload();
+                if (d->pos >= d->payload.size()) {
+                    t->status = XFER_NO_DEVICE;  // stream exhausted
+                } else {
+                    size_t n = 3333;
+                    if (n > (size_t)t->length)
+                        n = t->length;
+                    if (n > d->payload.size() - d->pos)
+                        n = d->payload.size() - d->pos;
+                    memcpy(t->buffer, d->payload.data() + d->pos, n);
+                    d->pos += n;
+                    t->actual_length = (int)n;
+                    t->status = XFER_COMPLETED;
+                }
+            }
+        }
+        if (t->callback)
+            t->callback(t);
+    }
     return 0;
 }
 

@@ -42,6 +42,7 @@ def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
         FourierTask,
         LiveRadioSourceTask,
         RadioDecoderTask,
+        ResamplingTask,
     )
     from nfclab.runtime.subject import Subject
 
@@ -70,9 +71,10 @@ def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
     )
     decoder = RadioDecoderTask()
     fourier = FourierTask()
-    ex = Executor(pool_size=3)
+    ex = Executor(pool_size=4)
     ex.submit(decoder)
     ex.submit(fourier)
+    ex.submit(ResamplingTask())
     ex.submit(source)
     try:
         base = f"http://127.0.0.1:{monitor.port}"
@@ -98,6 +100,9 @@ def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
         assert first["rate"] > 0
         assert {"id", "time", "delta", "flags"} <= set(first)
         assert snap["spectrum"] and len(snap["spectrum"]) >= 64
+        assert snap["wave"] and len(snap["wave"]) >= 16  # render stream
+        t, v = snap["wave"][0]
+        assert t >= 0.0 and isinstance(v, float)
         assert "radio.decoder" in snap["status"]
         assert "radio.receiver" in snap["status"]
     finally:

@@ -197,3 +197,36 @@ def test_decoder_command_control_plane(fixture_dir):
         assert done.wait(5) and err
     finally:
         ex.shutdown()
+
+
+def test_reconcile_decoder_app_rx_loop():
+    """app-rx parity (main.cpp:225-345): reconcile_decoder queries the
+    running task, diffs the desired config, Configures only the changes,
+    and converges (a second reconcile sends nothing)."""
+    from nfclab.apps.decode_cli import reconcile_decoder
+    from nfclab.runtime.config import detect_changes
+    from nfclab.runtime.pipeline import RadioDecoderTask
+
+    Subject.clear_registry()
+    decoder = RadioDecoderTask()
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+    try:
+        desired = {
+            "powerLevelThreshold": 0.02,
+            "protocol": {
+                "nfcv": {"enabled": False},
+                "nfca": {"correlationThreshold": 0.8},
+            },
+        }
+        cmd = Subject.name("radio.decoder.command")
+        snap = reconcile_decoder(cmd, desired)
+        assert snap["powerLevelThreshold"] == 0.02
+        assert snap["protocol"]["nfcv"]["enabled"] is False
+        assert snap["protocol"]["nfca"]["correlationThreshold"] == 0.8
+        # converged: nothing left to change
+        assert detect_changes(snap, desired) is None
+        snap2 = reconcile_decoder(cmd, desired)
+        assert snap2 == snap
+    finally:
+        ex.shutdown()

@@ -74,13 +74,16 @@ def pack_dslogic(capture: np.ndarray) -> bytes:
 
 
 def run_child(mock: Path, ident: str, payload_env: str,
-              payload: bytes, tmp_path: Path) -> list[dict]:
+              payload: bytes, tmp_path: Path,
+              sync: bool = False) -> list[dict]:
     payload_file = tmp_path / "payload.bin"
     payload_file.write_bytes(payload)
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env["NFCLAB_LIBUSB"] = str(mock)
     env[payload_env] = str(payload_file)
+    if sync:  # force the synchronous bulk reader (async engine otherwise)
+        env["NFCLAB_USB_SYNC"] = "1"
     proc = subprocess.run(
         [sys.executable, str(Path(__file__).parent / "usb_logic_child.py"),
          ident, str(SAMPLE_RATE)],
@@ -104,17 +107,24 @@ def check_frames(got: list[dict], want) -> None:
         assert g["sample_rate"] == w.sample_rate
 
 
-def test_sipeed_e2e_decodes_iso7816(mock_libusb, session_capture, tmp_path):
+@pytest.mark.parametrize("sync", [False, True], ids=["async", "sync"])
+def test_sipeed_e2e_decodes_iso7816(mock_libusb, session_capture, tmp_path,
+                                    sync):
+    """Both transfer engines: the async multi-transfer pool (reference
+    Usb.cpp transferHandler parity, default) and the synchronous fallback
+    (NFCLAB_USB_SYNC=1) must stream + decode identically."""
     capture, want = session_capture
     got = run_child(mock_libusb, "sipeed://", "NFCLAB_MOCK_PAYLOAD_SIPEED",
-                    pack_sipeed(capture), tmp_path)
+                    pack_sipeed(capture), tmp_path, sync=sync)
     check_frames(got, want)
 
 
-def test_dslogic_e2e_decodes_iso7816(mock_libusb, session_capture, tmp_path):
+@pytest.mark.parametrize("sync", [False, True], ids=["async", "sync"])
+def test_dslogic_e2e_decodes_iso7816(mock_libusb, session_capture, tmp_path,
+                                     sync):
     capture, want = session_capture
     got = run_child(mock_libusb, "dslogic://", "NFCLAB_MOCK_PAYLOAD_DSLOGIC",
-                    pack_dslogic(capture), tmp_path)
+                    pack_dslogic(capture), tmp_path, sync=sync)
     check_frames(got, want)
 
 
