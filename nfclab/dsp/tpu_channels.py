@@ -29,6 +29,7 @@ gated at clock >= 1024 exactly like the host index channels
 from __future__ import annotations
 
 import functools
+import threading
 
 import numpy as np
 
@@ -39,6 +40,12 @@ DEFAULT_L = 24576
 DEFAULT_H = 8192
 
 _WARMUP = 1024  # detect indices start here (channels.py / NfcA.cpp:220-221)
+
+# relative loosening of the A/F/V SD trigger thresholds in the MASK-ONLY
+# frontend, covering the kernel-f32 vs host-f64 box-sum roundoff divergence
+# with orders-of-magnitude headroom (measured divergence is ~1e-5 relative;
+# extra trigger candidates are always safe, missing ones never are)
+MASK_ONLY_MARGIN = 1.0 / 256
 
 def channel_plan(sample_rate: int) -> dict:
     """Rate-parametric derivation of the decode channel set — the general
@@ -165,18 +172,20 @@ def fetch_arrays(arrays: dict) -> dict[str, np.ndarray]:
     return out
 
 
-_STAGING: dict[tuple, np.ndarray] = {}
+_STAGING = threading.local()
 
 
 def _staging_buffer(shape: tuple) -> np.ndarray:
-    buf = _STAGING.get(shape)
-    if buf is None:
-        # keep at most one buffer alive (shapes are bucketed, so churn is
-        # rare and the largest suite batch is ~100 MB)
-        _STAGING.clear()
-        buf = np.zeros(shape, np.float32)
-        _STAGING[shape] = buf
-    return buf
+    """Per-THREAD staging: the buffer is filled and uploaded after return,
+    so a shared cache would let concurrent fused_* callers (farm chunk +
+    batch-decode background thread) corrupt each other's in-flight rows.
+    Keeps at most one buffer per thread (shapes are bucketed, so churn is
+    rare and the largest suite batch is ~130 MB)."""
+    cached = getattr(_STAGING, "buf", None)
+    if cached is None or cached.shape != shape:
+        cached = np.zeros(shape, np.float32)
+        _STAGING.buf = cached
+    return cached
 
 
 def _run_batch_blocks(
@@ -187,6 +196,7 @@ def _run_batch_blocks(
     H: int,
     fetch: tuple,
     thresholds=None,
+    mask_margin: float = 0.0,
 ) -> list[dict[str, np.ndarray]]:
     """Run MANY captures through the fused TPU frontend in ONE device
     dispatch + ONE (split-pipelined) fetch: every capture's overlap-save
@@ -194,7 +204,17 @@ def _run_batch_blocks(
     pays the ~30 ms tunnel latency once instead of per capture, and the
     batch row count buckets to a power of two so repeated batch decodes hit
     the jit/persistent-compile cache.  Returns one channel dict (host
-    arrays, len(samples)) per capture."""
+    arrays, len(samples)) per capture.
+
+    mask_margin > 0 loosens the A/F/V SD trigger thresholds by that
+    relative amount in the kernel's detect mask ONLY (the fetched channels
+    are unchanged).  The mask-only frontend needs this: its triggers come
+    from the kernel's f32 running-sum box family while the walk reads host
+    f64 boxes, so an unmargined kernel mask could miss a host-side
+    threshold crossing by sub-ulp roundoff.  The margin makes the mask a
+    conservative superset (extra candidates are always safe — the FSMs
+    re-check every condition; B's edge and the power gate read the
+    bit-exact conditioning, so they need no margin)."""
     import jax.numpy as jnp
 
     from .frontend import _params_tuple
@@ -248,6 +268,10 @@ def _run_batch_blocks(
     mask_params = (thresholds or DecoderThresholds()).detect_mask_tuple(
         power_level_threshold
     )
+    if mask_margin:
+        p, a, b_deep, f, v = mask_params
+        m = 1.0 - mask_margin
+        mask_params = (p, a * m, b_deep, f * m, v * m)
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
     )
@@ -406,10 +430,13 @@ def fused_capture_masks(
     device frontend: 1 byte/sample over the link (vs 37 for the full
     channel set), replacing exactly the host's trigger-index construction
     (the dominant non-walk host cost); conditioning and box channels build
-    natively on the host."""
+    natively on the host.  The SD triggers carry MASK_ONLY_MARGIN so the
+    kernel-f32-derived mask stays a conservative superset of the host-f64
+    channels the walk reads (see _run_batch_blocks)."""
     return _run_batch_blocks(
         [samples], sample_rate, power_level_threshold, L, H,
         ("detect_mask",), thresholds=thresholds,
+        mask_margin=MASK_ONLY_MARGIN,
     )[0]
 
 
@@ -421,10 +448,12 @@ def fused_batch_masks(
     H: int = DEFAULT_H,
     thresholds=None,
 ) -> list[dict[str, np.ndarray]]:
-    """Packed detect masks for MANY captures in one dispatch + one fetch."""
+    """Packed detect masks for MANY captures in one dispatch + one fetch
+    (superset-margined like fused_capture_masks)."""
     return _run_batch_blocks(
         captures, sample_rate, power_level_threshold, L, H,
         ("detect_mask",), thresholds=thresholds,
+        mask_margin=MASK_ONLY_MARGIN,
     )
 
 

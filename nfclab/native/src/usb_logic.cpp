@@ -77,13 +77,16 @@ struct AsyncBulkPump {
     std::vector<std::vector<uint8_t>> buffers;
     std::atomic<bool> running {false};
     std::atomic<int> inflight {0};
-    bool ended = false;  // event-thread only
+    bool ended = false;        // event-thread only
+    bool error_seen = false;   // event-thread only
+    bool device_gone = false;  // event-thread only
     std::thread events;
 
     static void completion(NfclabUsbTransfer *t)
     {
         auto *p = static_cast<AsyncBulkPump *>(t->user_data);
-        p->inflight.fetch_sub(1, std::memory_order_relaxed);
+        const int left = p->inflight.fetch_sub(1,
+                                               std::memory_order_relaxed) - 1;
         if (t->status == NFCLAB_USB_TRANSFER_COMPLETED && p->running.load()) {
             if (t->actual_length > 0)
                 p->on_data(t->buffer, t->actual_length);
@@ -91,10 +94,20 @@ struct AsyncBulkPump {
                 p->inflight.fetch_add(1, std::memory_order_relaxed);
                 return;
             }
+            p->error_seen = true;  // resubmit refused
+        } else if (t->status != NFCLAB_USB_TRANSFER_CANCELLED) {
+            p->error_seen = true;  // transfer-level error
+            if (t->status == NFCLAB_USB_TRANSFER_NO_DEVICE)
+                p->device_gone = true;
         }
-        if (t->status != NFCLAB_USB_TRANSFER_CANCELLED && !p->ended &&
-            p->running.load()) {
-            p->ended = true;  // device gone / fatal: signal EOF once
+        if (!p->running.load() || p->ended)
+            return;
+        // EOF policy: a single failed transfer must not abort a live
+        // capture while its 15 siblings are still streaming — the queue
+        // drains in order first.  Only an unplugged device ends the stream
+        // immediately; otherwise EOF fires when the last transfer retires.
+        if (p->device_gone || (p->error_seen && left == 0)) {
+            p->ended = true;  // event-thread only: signal EOF once
             p->on_end();
         }
     }

@@ -56,6 +56,8 @@ def decode_batch(
     from ..dsp.conditioner import condition_jax
     from ..native import condition_exact
 
+    if not paths:
+        return {}
     power_thr = decoder_kwargs.get("power_level_threshold", 0.01)
     thresholds = decoder_kwargs.get("thresholds")
 
@@ -133,9 +135,10 @@ def decode_batch(
     ):
         params = SignalParams(rate, power_level_threshold=power_thr)
         cond_arrays = None
-        if frontend != "fused" and conditioner == "jax":
+        if frontend == "host" and conditioner == "jax":
             # accelerator conditioning must run in the parent (workers
-            # never touch the device)
+            # never touch the device); the mask frontend already
+            # conditioned natively while the fetch was in flight
             cond = condition_jax(samples, params)
         # otherwise native conditioning runs IN the workers
         # (cond_arrays=None): it is the dominant host cost, so serializing

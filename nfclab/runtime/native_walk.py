@@ -328,7 +328,7 @@ def _build_detect_args(ctx, carrier, techs):
     # Python walk's next_interesting consults) + carrier crossing run
     # starts.  When every FSM is idle, the native loop binary-searches this
     # instead of re-deriving engage conditions per sample.
-    cand = _candidate_union(carrier, techs)
+    cand, cand_srcs = _candidate_union(carrier, techs)
     if cand is not None and len(cand):
         args += [_ptr_i64(cand), ctypes.c_int64(len(cand))]
     else:
@@ -339,32 +339,37 @@ def _build_detect_args(ctx, carrier, techs):
         "args": args,
         "scalars": (t0_c, t1_c, on_c, off_c),
         "packs": packs,
-        # param + candidate arrays stay alive with the cache entry
-        "keep": (a_keep, b_keep, f_keep, v_keep, cand),
+        # param + candidate arrays stay alive with the cache entry.  The
+        # union's SOURCE arrays are retained too: _detect_key identifies
+        # them by (address, length), which is only collision-free while the
+        # originals stay allocated (a freed array's block could be recycled
+        # for a same-size replacement with different clocks, silently
+        # reusing a stale union)
+        "keep": (a_keep, b_keep, f_keep, v_keep, cand, cand_srcs),
     }
 
 
 def _candidate_union(carrier, techs):
-    """Sorted int64 union of every idle-engage candidate clock: per-tech
-    detect-trigger indices + carrier hysteresis run starts.  None when any
-    tech's mask indices are unavailable (the C++ IdleScan then re-derives
-    engage conditions per sample, the pre-candidate behavior)."""
-    parts = [
-        np.asarray(carrier._above_idx, np.int64),
-        np.asarray(carrier._below_idx, np.int64),
-    ]
+    """(union, sources): sorted int64 union of every idle-engage candidate
+    clock — per-tech detect-trigger indices + carrier hysteresis run starts
+    — plus the source arrays (retained by the caller so the address-keyed
+    cache stays sound).  (None, ()) when any tech's mask indices are
+    unavailable (the C++ IdleScan then re-derives engage conditions per
+    sample, the pre-candidate behavior)."""
+    srcs = [carrier._above_idx, carrier._below_idx]
     for te in techs:
         mi = getattr(te, "_mask_idx", None)
         if mi is None:
-            return None
+            return None, ()
         if isinstance(mi, np.ndarray):
-            parts.append(np.asarray(mi, np.int64))
+            srcs.append(mi)
         else:
             if not mi:
-                return None
-            parts.extend(np.asarray(a, np.int64) for a in mi)
+                return None, ()
+            srcs.extend(mi)
+    parts = [np.asarray(a, np.int64) for a in srcs]
     out = np.sort(np.concatenate(parts))  # duplicates are harmless
-    return np.ascontiguousarray(out)
+    return np.ascontiguousarray(out), tuple(srcs)
 
 
 def _detect_key(ctx, techs, carrier=None):

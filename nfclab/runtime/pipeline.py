@@ -74,10 +74,54 @@ class Task:
         self.commands: "queue.Queue[dict]" = queue.Queue()
         self.command.subscribe(self.commands.put, replay=False)
         self.throughput = Throughput()
+        self.streaming = True
+        self._stop_flush = False
         self._terminated = threading.Event()
 
     def update_status(self, status: str, **fields):
         self.status.next({"status": status, **fields}, retain=True)
+
+    # ------------------------------------------------- command control plane
+    #
+    # The reference's per-task Start/Stop/Query/Configure commands
+    # (AbstractTask + RadioDecoderTask.cpp:92-151) in one place; tasks call
+    # handle_commands() in their loop and override the two hooks.
+
+    def handle_commands(self):
+        from .subject import Event
+
+        while True:
+            try:
+                cmd = self.commands.get_nowait()
+            except queue.Empty:
+                return
+            code = cmd.code if isinstance(cmd, Event) else str(cmd)
+            try:
+                if code == "start":
+                    self.streaming = True
+                    self.update_status("streaming")
+                elif code == "stop":
+                    self.streaming = False
+                    self._stop_flush = True  # end the current session
+                    self.update_status("idle")
+                elif code == "configure":
+                    if isinstance(cmd, Event):
+                        self._on_configure(cmd.params)
+                elif code != "query":
+                    if isinstance(cmd, Event):
+                        cmd.reject(f"unknown command {code!r}")
+                    continue
+                if isinstance(cmd, Event):
+                    cmd.resolve(self._command_snapshot())
+            except Exception as e:
+                if isinstance(cmd, Event):
+                    cmd.reject(repr(e))
+
+    def _on_configure(self, params: dict):  # hook
+        pass
+
+    def _command_snapshot(self) -> dict:  # hook
+        return {"status": "streaming" if self.streaming else "idle"}
 
     def terminate(self):
         self._terminated.set()
@@ -283,7 +327,6 @@ class RadioDecoderTask(Task):
         super().__init__("worker.RadioDecoder", "radio.decoder")
         self.window = window
         self.decoder_kwargs = decoder_kwargs
-        self.streaming = True
         self.frame_stream = Subject.name("radio.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("radio.signal.raw").subscribe(
@@ -292,7 +335,7 @@ class RadioDecoderTask(Task):
 
     # ------------------------------------------------------------- commands
 
-    def _config_snapshot(self) -> dict:
+    def _command_snapshot(self) -> dict:
         """Current config as the reference's Query/status JSON shape
         (RadioDecoderTask.cpp:405-455)."""
         from ..core.thresholds import DecoderThresholds
@@ -314,7 +357,7 @@ class RadioDecoderTask(Task):
             "protocol": proto,
         }
 
-    def _configure(self, cfg: dict):
+    def _on_configure(self, cfg: dict):
         """Configure merge-patch (configDecoder semantics)."""
         from ..core.thresholds import DecoderThresholds
 
@@ -328,38 +371,6 @@ class RadioDecoderTask(Task):
                 kw[f"enable_{name}"] = bool(sect["enabled"])
         th = kw.get("thresholds") or DecoderThresholds()
         kw["thresholds"] = th.merge_protocol_config(proto)
-
-    def _handle_commands(self):
-        from .subject import Event
-
-        while True:
-            try:
-                cmd = self.commands.get_nowait()
-            except queue.Empty:
-                return
-            code = cmd.code if isinstance(cmd, Event) else str(cmd)
-            try:
-                if code == "start":
-                    self.streaming = True
-                    self.update_status("streaming")
-                elif code == "stop":
-                    self.streaming = False
-                    self._stop_flush = True  # end the current session
-                    self.update_status("idle")
-                elif code == "configure":
-                    if isinstance(cmd, Event):
-                        self._configure(cmd.params)
-                elif code == "query":
-                    pass  # resolve carries the snapshot below
-                else:
-                    if isinstance(cmd, Event):
-                        cmd.reject(f"unknown command {code!r}")
-                    continue
-                if isinstance(cmd, Event):
-                    cmd.resolve(self._config_snapshot())
-            except Exception as e:
-                if isinstance(cmd, Event):
-                    cmd.reject(repr(e))
 
     def run(self):
         from .streaming import StreamingNfcDecoder
@@ -377,9 +388,8 @@ class RadioDecoderTask(Task):
             # until a Stop command, not until an EOF buffer)
             self.frame_stream.next(None)
 
-        self._stop_flush = False
         while not self.terminated:
-            self._handle_commands()
+            self.handle_commands()
             if self._stop_flush:  # Stop ends the current decode session
                 self._stop_flush = False
                 if dec is not None:
@@ -420,48 +430,23 @@ class LogicDecoderTask(Task):
         # probe->role mapping (the reference LogicDecoderTask's channel
         # config): dict io/clk/rst/vcc or [io, clk, rst, vcc] probe indices
         self.channel_map = channel_map
-        self.streaming = True
         self.frame_stream = Subject.name("logic.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
         Subject.name("logic.signal.raw").subscribe(
             self.signal_queue.put, replay=False
         )
 
-    def _handle_commands(self):
-        """Start/Stop/Query/Configure control plane (LogicDecoderTask
-        command parity; Configure accepts the channel map)."""
-        from .subject import Event
+    def _on_configure(self, params: dict):
+        """LogicDecoderTask Configure parity: the channel map (applies from
+        the next decode session)."""
+        if "channelMap" in params:
+            self.channel_map = params["channelMap"]
 
-        while True:
-            try:
-                cmd = self.commands.get_nowait()
-            except queue.Empty:
-                return
-            code = cmd.code if isinstance(cmd, Event) else str(cmd)
-            try:
-                if code == "start":
-                    self.streaming = True
-                    self.update_status("streaming")
-                elif code == "stop":
-                    self.streaming = False
-                    self.update_status("idle")
-                elif code == "configure":
-                    if isinstance(cmd, Event) and "channelMap" in cmd.params:
-                        self.channel_map = cmd.params["channelMap"]
-                elif code != "query":
-                    if isinstance(cmd, Event):
-                        cmd.reject(f"unknown command {code!r}")
-                    continue
-                if isinstance(cmd, Event):
-                    cmd.resolve({
-                        "status": (
-                            "streaming" if self.streaming else "idle"
-                        ),
-                        "channelMap": self.channel_map,
-                    })
-            except Exception as e:
-                if isinstance(cmd, Event):
-                    cmd.reject(repr(e))
+    def _command_snapshot(self) -> dict:
+        return {
+            "status": "streaming" if self.streaming else "idle",
+            "channelMap": self.channel_map,
+        }
 
     def run(self):
         from .logic_decoder import StreamingIsoDecoder
@@ -476,7 +461,12 @@ class LogicDecoderTask(Task):
             self.frame_stream.next(None)
 
         while not self.terminated:
-            self._handle_commands()
+            self.handle_commands()
+            if self._stop_flush:  # Stop ends the current decode session
+                self._stop_flush = False
+                if dec is not None:
+                    flush(dec)
+                    dec = None
             try:
                 buf = self.signal_queue.get(timeout=0.1)
             except queue.Empty:
