@@ -69,3 +69,49 @@ def test_halo_exchange_ring(cpu_mesh):
     # device 1 receives device 0's tail, device 0 receives device 1's (ring)
     np.testing.assert_array_equal(out[1], data[0, -halo:])
     np.testing.assert_array_equal(out[0], data[1, -halo:])
+
+
+def test_multihost_launch_helpers(fixture_dir):
+    """Multi-host launch pieces on the single-process virtual mesh:
+    host-major device ordering, the global blocks mesh feeding the
+    production sharded step unchanged, and file-level path partitioning."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import jax
+
+    from nfclab.shard.launch import (
+        global_devices_host_major,
+        global_mesh,
+        host_local_paths,
+        initialize,
+    )
+
+    assert initialize() == 0  # single-process no-op
+
+    devs = global_devices_host_major(jax.devices("cpu"))
+    assert [(d.process_index, d.id) for d in devs] == sorted(
+        (d.process_index, d.id) for d in jax.devices("cpu")
+    )
+    mesh = global_mesh(jax.devices("cpu")[:4])
+    assert mesh.axis_names == ("blocks",)
+    assert mesh.devices.shape == (4,)
+
+    # the production sharded channel step accepts the mesh's devices
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.decoder import NfcDecoder
+    from nfclab.shard.multichip import decode_sharded
+
+    samples, info = read_wav(
+        str(fixture_dir / "test_NFC-A_106kbps_002.wav")
+    )
+    frames = decode_sharded(
+        samples, info.sample_rate, devices=list(mesh.devices.reshape(-1))
+    )
+    assert frames == NfcDecoder().decode(samples, info.sample_rate)
+
+    # round-robin file sharding covers every path exactly once
+    paths = [f"c{i}.wav" for i in range(7)]
+    parts = [host_local_paths(paths, pid, 3) for pid in range(3)]
+    assert sorted(sum(parts, [])) == sorted(paths)
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
