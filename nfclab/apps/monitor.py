@@ -198,7 +198,13 @@ Spectrum (dB, full span)</div>
 Signal (adaptive render stream, trailing window)</div>
 <svg id="wave" preserveAspectRatio="none" style="width:100%;height:120px;
 display:block"></svg></div>
-<div class="panel"><div id="tablewrap"><table>
+<div class="panel">
+<div style="margin-bottom:8px">
+<input id="filter" type="search" placeholder="filter frames… (tech, event, flag or hex data)"
+ style="width:320px;background:var(--surface);color:var(--ink);
+ border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
+</div>
+<div id="tablewrap"><table>
 <thead><tr><th>Id</th><th>Time</th><th>Delta</th><th>Rate</th><th>Tech</th>
 <th>Event</th><th>Flags</th><th>Data</th></tr></thead>
 <tbody id="frames"><tr><td colspan="8" class="empty">waiting for frames…
@@ -217,13 +223,19 @@ async function tick() {
     }).join('') +
       `<span class="chip"><b>frames</b> ${d.total_frames}</span>`;
     const tb = document.getElementById('frames');
+    // StreamFilter role: substring match over tech/event/flags/data
+    const q = document.getElementById('filter').value.trim().toLowerCase();
+    const rows = d.frames.filter(f => !q ||
+      `${f.tech} ${f.event} ${f.flags.join(' ')} ${f.data}`
+        .toLowerCase().includes(q));
     if (d.frames.length) {
-      tb.innerHTML = d.frames.slice().reverse().map(f =>
+      tb.innerHTML = rows.slice().reverse().map(f =>
         `<tr><td>${f.id}</td><td>${fmt(f.time, 4)}</td>` +
         `<td>${fmt(f.delta, 4)}</td><td>${f.rate || ''}</td>` +
         `<td>${f.tech}</td><td>${f.event}</td>` +
         `<td>${f.flags.join(' ')}</td><td class="data">${f.data}</td></tr>`
-      ).join('');
+      ).join('') || `<tr><td colspan="8" class="empty">no frames match
+        "${q}"</td></tr>`;
     }
     lastSpec = d.spectrum;
     drawSpec();
