@@ -62,10 +62,12 @@ class MonitorState:
         self._prev_time = None
         self._spectrum: list | None = None
         self._spectrum_rate = 0
-        # rolling wave strip from the adaptive render stream
-        # (SignalResamplingTask parity: value+offset pairs)
+        # rolling wave strips from the adaptive render stream
+        # (SignalResamplingTask parity: value+offset pairs); logic probes
+        # render as one digital lane per channel
         self._wave: deque = deque(maxlen=wave_points)
         self._wave_rate = 0
+        self._logic_wave: dict[int, deque] = {}
         self._unsubs = [
             Subject.name("radio.decoder.frame").subscribe(
                 self._on_frame, replay=False
@@ -121,6 +123,8 @@ class MonitorState:
     def _on_wave(self, buf):
         if buf is None or not getattr(buf, "valid", False):
             return
+        from ..hw.signal import SignalType
+
         data = np.asarray(buf.data, np.float32)
         if data.ndim != 2 or data.shape[1] != 2 or not len(data):
             return
@@ -135,7 +139,16 @@ class MonitorState:
             for o, v in zip(offs[::k], vals[::k])
         ]
         with self._lock:
-            self._wave.extend(pts)
+            if buf.signal_type == SignalType.SIGNAL_TYPE_LOGIC_SIGNAL:
+                # one digital lane per probe (the GUI's logicView role)
+                lane = self._logic_wave.get(buf.stream_id)
+                if lane is None:
+                    lane = self._logic_wave[buf.stream_id] = deque(
+                        maxlen=1024
+                    )
+                lane.extend(pts)
+            else:
+                self._wave.extend(pts)
             self._wave_rate = int(buf.sample_rate)
 
     def snapshot(self) -> dict:
@@ -152,6 +165,10 @@ class MonitorState:
                 "spectrum": self._spectrum,
                 "spectrum_rate": self._spectrum_rate,
                 "wave": list(self._wave),
+                "logic_wave": {
+                    ch: list(lane)
+                    for ch, lane in sorted(self._logic_wave.items())
+                },
                 "status": status,
             }
 
@@ -197,7 +214,8 @@ Spectrum (dB, full span)</div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
 Signal (adaptive render stream, trailing window)</div>
 <svg id="wave" preserveAspectRatio="none" style="width:100%;height:120px;
-display:block"></svg></div>
+display:block"></svg>
+<div id="lanes"></div></div>
 <div class="panel">
 <div style="margin-bottom:8px">
 <input id="filter" type="search" placeholder="filter frames… (tech, event, flag or hex data)"
@@ -240,8 +258,36 @@ async function tick() {
     lastSpec = d.spectrum;
     drawSpec();
     drawWave(d.wave);
+    drawLanes(d.logic_wave || {});
   } catch (e) {}
   setTimeout(tick, 500);
+}
+const LANE_NAMES = {0: 'IO', 1: 'CLK', 2: 'RST', 3: 'VCC'};
+function drawLanes(lw) {
+  const box = document.getElementById('lanes');
+  const chans = Object.keys(lw);
+  if (!chans.length) { box.innerHTML = ''; return; }
+  box.innerHTML = chans.map(ch => {
+    const w = lw[ch];
+    if (w.length < 2) return '';
+    const W = box.clientWidth || 800, H = 34;
+    const t0 = w[0][0], t1 = w[w.length - 1][0], ts = (t1 - t0) || 1;
+    // digital step rendering: hold each level until the next change point
+    let pts = [];
+    for (let i = 0; i < w.length; i++) {
+      const x = ((w[i][0] - t0) / ts * W).toFixed(1);
+      const y = (w[i][1] > 0.5 ? 5 : H - 5);
+      if (i) pts.push(`${x},${pts[pts.length-1].split(',')[1]}`);
+      pts.push(`${x},${y}`);
+    }
+    const name = LANE_NAMES[ch] !== undefined ? LANE_NAMES[ch] : 'CH' + ch;
+    return `<div style="display:flex;align-items:center;gap:8px;
+      margin-top:4px"><span style="color:var(--ink2);width:34px;
+      font-size:11px">${name}</span>
+      <svg preserveAspectRatio="none" viewBox="0 0 ${W} ${H}"
+        style="flex:1;height:${H}px"><polyline points="${pts.join(' ')}"
+        fill="none" stroke="var(--series)" stroke-width="2"/></svg></div>`;
+  }).join('');
 }
 function drawWave(w) {
   const svg = document.getElementById('wave');

@@ -108,3 +108,49 @@ def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
     finally:
         ex.shutdown()
         monitor.stop()
+
+
+def test_monitor_logic_wave_lanes():
+    """Logic captures render as per-probe digital lanes: the live logicloop
+    device through LogicDecoderTask + ResamplingTask must surface
+    per-channel change-point streams in /data (the GUI logicView role)."""
+    from nfclab.apps.monitor import MonitorServer
+    from nfclab.runtime.pipeline import (
+        Executor,
+        LiveLogicSourceTask,
+        LogicDecoderTask,
+        ResamplingTask,
+    )
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    monitor = MonitorServer(port=0).start()
+    source = LiveLogicSourceTask("logicloop://test", duration_blocks=4)
+    ex = Executor(pool_size=3)
+    ex.submit(LogicDecoderTask())
+    ex.submit(ResamplingTask())
+    ex.submit(source)
+    try:
+        base = f"http://127.0.0.1:{monitor.port}"
+        deadline = time.time() + 30
+        snap = None
+        while time.time() < deadline:
+            snap = json.loads(_get(base + "/data"))
+            lanes = snap.get("logic_wave") or {}
+            if lanes.get("0") and len(lanes["0"]) > 8:
+                break
+            time.sleep(0.3)
+        lanes = snap.get("logic_wave") or {}
+        # CLK (probe 1) is intentionally skipped by the resampler
+        # (reference processLogicSignal parity — too dense to render);
+        # IO/RST/VCC lanes must be present with digital values and
+        # monotonic absolute times
+        assert set(lanes) == {"0", "2", "3"}, lanes.keys()
+        for ch, lane in lanes.items():
+            assert len(lane) > 8, ch
+            assert {v for _, v in lane} <= {0.0, 1.0}
+            ts = [t for t, _ in lane]
+            assert ts == sorted(ts)
+    finally:
+        ex.shutdown()
+        monitor.stop()
