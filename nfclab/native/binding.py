@@ -123,7 +123,12 @@ def _load():
     if _lib is not None or _load_error is not None:
         return _lib
     try:
-        path = _build.build()
+        # NFCLAB_NATIVE_LIB points at an alternative build of the native
+        # library (sanitizer builds: compile src/*.cpp with -fsanitize=...
+        # and run under LD_PRELOAD of the sanitizer runtime)
+        import os
+
+        path = os.environ.get("NFCLAB_NATIVE_LIB") or _build.build()
         lib = ctypes.CDLL(str(path))
         f32p = ctypes.POINTER(ctypes.c_float)
         u32p = ctypes.POINTER(ctypes.c_uint32)
