@@ -140,6 +140,34 @@ class LazyChannels:
         self.base = base
         self._plan = None  # virtual pointers shifted
 
+    def warm_boxes(self, specs):
+        """Register several box channels and build them in ONE fused native
+        pass (channels.cpp nfclab_box_multi_ext).  Each box is a serial f64
+        running-sum chain, latency-bound alone (~350 MS/s); K interleaved
+        chains share the source reads and fill the FP pipelines, so the
+        whole-capture initial build costs barely more than one chain.
+        specs: ("bv", p2) | ("bq", p2) | ("bp", p1, p4).  Entries that
+        already exist (device-preloaded channels) are left untouched."""
+        for spec in specs:
+            tag = spec[0]
+            if tag == "bv":
+                key, kind, width, lag = ("bv", spec[1]), "sum", spec[1], 0
+            elif tag == "bq":
+                key, kind, width, lag = ("bq", spec[1]), "sq", spec[1], 0
+            else:
+                key = ("bp", spec[1], spec[2])
+                kind, width, lag = "bpsk", spec[2], spec[1]
+            ent = self._entry(key)
+            if ent["extend"] is None:
+                ent["kind"] = "box"
+                ent["meta"] = ({"sum": 0, "sq": 1, "bpsk": 2}[kind],
+                               width, lag)
+                ent["extend"] = (
+                    lambda k=key, kd=kind, w=width, l=lag:
+                    self._box_chan(k, kd, w, l)
+                )
+        self.extend_boxes()
+
     def extend_boxes(self):
         """Extend every running-sum (box) entry to the current stream end.
         Must run while all of its inputs are still inside the window — the

@@ -11,6 +11,7 @@
 // bit-identical to a fresh full-stream pass (the op sequence is the same).
 
 #include <cstdint>
+#include <cstring>
 
 extern "C" {
 
@@ -91,65 +92,13 @@ void nfclab_box_bpsk(const float *filt, int64_t n, int32_t lag, int32_t w,
 // Per-channel math is kept expression-identical to the individual kernels,
 // so the extended arrays stay bit-identical to a fresh full-stream pass.
 // kinds: 0 = sum(value), 1 = sq(filtered), 2 = bpsk(filtered, lag).
+// Defined after run_box_group below: same-kind jobs sharing a start clock
+// run as interleaved chain groups (the generic per-sample switch dispatch
+// measured ~40% slower on whole-capture initial builds).
 void nfclab_box_multi_ext(const float *value, const float *filt, int64_t n,
                           int32_t k, const int32_t *kinds,
                           const int32_t *widths, const int32_t *lags,
-                          const int64_t *starts, double **accs, float **outs)
-{
-    enum { MAXK = 64 };
-    if (k <= 0 || k > MAXK)
-        return;
-    double acc[MAXK];
-    int64_t t0 = n;
-    for (int32_t c = 0; c < k; c++) {
-        acc[c] = *accs[c];
-        if (starts[c] < t0)
-            t0 = starts[c];
-    }
-    for (int64_t t = t0; t < n; t++) {
-        for (int32_t c = 0; c < k; c++) {
-            if (t < starts[c])
-                continue;
-            const int32_t w = widths[c];
-            double a = acc[c];
-            switch (kinds[c]) {
-            case 0: { // sum(value) — nfclab_box_sum_ext body
-                a += value[t];
-                if (t >= w)
-                    a -= value[t - w];
-                break;
-            }
-            case 1: { // sq(filtered) — nfclab_box_sq_ext body
-                const float q = filt[t] * filt[t] * 10.0f;
-                a += q;
-                if (t >= w) {
-                    const float qo =
-                        filt[t - w] * filt[t - w] * 10.0f;
-                    a -= qo;
-                }
-                break;
-            }
-            default: { // bpsk(filtered, lag) — nfclab_box_bpsk_ext body
-                const int32_t lag = lags[c];
-                const float p =
-                    (t >= lag) ? filt[t] * filt[t - lag] * 10.0f : 0.0f;
-                a += p;
-                if (t >= w) {
-                    const int64_t j = t - w;
-                    const float po =
-                        (j >= lag) ? filt[j] * filt[j - lag] * 10.0f : 0.0f;
-                    a -= po;
-                }
-                break;
-            }
-            }
-            acc[c] = a;
-            outs[c][t] = static_cast<float>(a);
-        }
-    }
-    for (int32_t c = 0; c < k; c++)
-        *accs[c] = acc[c];
-}
+                          const int64_t *starts, double **accs, float **outs);
 
 // Fused detect-channel builders: compute the dense SD correlation channel and
 // collect threshold-crossing clock indices in one pass (replaces the numpy
@@ -162,6 +111,33 @@ void nfclab_box_multi_ext(const float *value, const float *filt, int64_t n,
 // Returns the index count (indices written relative to the whole stream).
 // sd_out may be NULL (index-only mode; the FSMs read SD on the fly from the
 // box channel via fsm_sd_af/fsm_sd_v instead of a dense array).
+// Sparse collect: append t = base_t + i for every set mask byte.  Hits are
+// sparse (<1% typical), so the u64-at-a-time zero skip makes this pass
+// nearly free; the predicate pass above it stays branch-free so the
+// compiler can vectorize it (the old fused loops' data-dependent
+// idx_out[count++] store blocked vectorization entirely).
+static inline int64_t nfclab_collect_mask(const uint8_t *mask, int64_t m,
+                                          int64_t base_t, int64_t *idx_out,
+                                          int64_t count)
+{
+    int64_t i = 0;
+    for (; i + 8 <= m; i += 8) {
+        uint64_t w;
+        memcpy(&w, mask + i, 8);
+        if (!w)
+            continue;
+        for (int j = 0; j < 8; j++)
+            if (mask[i + j])
+                idx_out[count++] = base_t + i + j;
+    }
+    for (; i < m; i++)
+        if (mask[i])
+            idx_out[count++] = base_t + i;
+    return count;
+}
+
+enum { NFCLAB_MASK_CHUNK = 4096 };
+
 int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
                                 int64_t n, int64_t start,
                                 int32_t d, int32_t p1, int32_t p2,
@@ -172,7 +148,12 @@ int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
     const int64_t gap = p1 - p2;
     const float fp2 = (float)p2;
     int64_t count = 0;
-    for (int64_t t = start; t < n; t++) {
+    // warm-up region (zero-SD / pre-1024 gates): original scalar loop
+    int64_t warm = lo > 1024 ? lo : 1024;
+    if (warm > n)
+        warm = n;
+    int64_t t = start;
+    for (; t < warm; t++) {
         float sd = 0.0f;
         if (t >= lo) {
             const int64_t u = t - d;
@@ -186,6 +167,26 @@ int64_t nfclab_detect_sd_af_ext(const float *box, const float *env,
         if (t >= 1024 && env[t] >= power_thr &&
             (sd < 0.0f ? -sd : sd) > corr_thr * env[t])
             idx_out[count++] = t;
+    }
+    // hot region: branch-free predicate (identical float ops) + sparse
+    // collect; bit-identical indices to the fused loop
+    uint8_t mask[NFCLAB_MASK_CHUNK];
+    while (t < n) {
+        const int64_t m =
+            (n - t) < NFCLAB_MASK_CHUNK ? (n - t) : NFCLAB_MASK_CHUNK;
+        const float *b0 = box + (t - d);
+        const float *b1 = box + (t - d - gap);
+        const float *b2 = box + (t - d - 1);
+        const float *e = env + t;
+        for (int64_t i = 0; i < m; i++) {
+            const float sd = ((b0[i] - b1[i]) - (b1[i] - b2[i])) / fp2;
+            if (sd_out)
+                sd_out[t + i] = sd;
+            const float a = sd < 0.0f ? -sd : sd;
+            mask[i] = (e[i] >= power_thr) & (a > corr_thr * e[i]);
+        }
+        count = nfclab_collect_mask(mask, m, t, idx_out, count);
+        t += m;
     }
     return count;
 }
@@ -211,7 +212,11 @@ int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
     const int64_t gap = p1 - p2;
     const float fp2 = (float)p2;
     int64_t count = 0;
-    for (int64_t t = start; t < n; t++) {
+    int64_t warm = lo > 1024 ? lo : 1024;
+    if (warm > n)
+        warm = n;
+    int64_t t = start;
+    for (; t < warm; t++) {
         float sd = 0.0f;
         if (t >= lo) {
             const int64_t u = t - d;
@@ -221,6 +226,22 @@ int64_t nfclab_detect_sd_v_ext(const float *box, const float *env,
             sd_out[t] = sd;
         if (t >= 1024 && env[t] >= power_thr && sd > corr_thr * env[t])
             idx_out[count++] = t;
+    }
+    uint8_t mask[NFCLAB_MASK_CHUNK];
+    while (t < n) {
+        const int64_t m =
+            (n - t) < NFCLAB_MASK_CHUNK ? (n - t) : NFCLAB_MASK_CHUNK;
+        const float *bg = box + (t - d - gap);
+        const float *b0 = box + (t - d);
+        const float *e = env + t;
+        for (int64_t i = 0; i < m; i++) {
+            const float sd = (bg[i] - b0[i]) / fp2;
+            if (sd_out)
+                sd_out[t + i] = sd;
+            mask[i] = (e[i] >= power_thr) & (sd > corr_thr * e[i]);
+        }
+        count = nfclab_collect_mask(mask, m, t, idx_out, count);
+        t += m;
     }
     return count;
 }
@@ -242,11 +263,21 @@ int64_t nfclab_edge_mask_b_ext(const float *filt, const float *env,
                                int64_t *idx_out)
 {
     int64_t count = 0;
-    const int64_t t0 = start > 1024 ? start : 1024;
-    for (int64_t t = t0; t < n; t++) {
-        const float shifted = (t >= d) ? filt[t - d] : 0.0f;
-        if (env[t] >= power_thr && shifted < -(min_deep * env[t]))
-            idx_out[count++] = t;
+    int64_t t = start > 1024 ? start : 1024;
+    for (; t < n && t < d; t++) {  // shifted == 0 region (d > 1024 never
+        if (env[t] >= power_thr && 0.0f < -(min_deep * env[t]))  // happens
+            idx_out[count++] = t;                                // at 10MS/s)
+    }
+    uint8_t mask[NFCLAB_MASK_CHUNK];
+    while (t < n) {
+        const int64_t m =
+            (n - t) < NFCLAB_MASK_CHUNK ? (n - t) : NFCLAB_MASK_CHUNK;
+        const float *f = filt + (t - d);
+        const float *e = env + t;
+        for (int64_t i = 0; i < m; i++)
+            mask[i] = (e[i] >= power_thr) & (f[i] < -(min_deep * e[i]));
+        count = nfclab_collect_mask(mask, m, t, idx_out, count);
+        t += m;
     }
     return count;
 }
@@ -306,12 +337,22 @@ int64_t nfclab_collect_lt_ext(const float *x, int64_t n, int64_t start,
                  int64_t *idx_out)                                            \
     {                                                                         \
         int64_t count = 0;                                                    \
-        bool prev = start > 0 ? (COND(x[start - 1])) : false;                 \
-        for (int64_t t = start; t < n; t++) {                                 \
-            const bool cur = COND(x[t]);                                      \
-            if (cur && !prev)                                                 \
-                idx_out[count++] = t;                                         \
-            prev = cur;                                                       \
+        uint8_t cond[NFCLAB_MASK_CHUNK];                                      \
+        uint8_t hits[NFCLAB_MASK_CHUNK];                                      \
+        uint8_t prev = start > 0 ? (uint8_t)(COND(x[start - 1])) : 0;         \
+        int64_t t = start;                                                    \
+        while (t < n) {                                                       \
+            const int64_t m =                                                 \
+                (n - t) < NFCLAB_MASK_CHUNK ? (n - t) : NFCLAB_MASK_CHUNK;    \
+            const float *xp = x + t;                                          \
+            for (int64_t i = 0; i < m; i++)                                   \
+                cond[i] = (uint8_t)(COND(xp[i]));                             \
+            hits[0] = cond[0] & (uint8_t)(prev ^ 1);                          \
+            for (int64_t i = 1; i < m; i++)                                   \
+                hits[i] = cond[i] & (uint8_t)(cond[i - 1] ^ 1);               \
+            prev = cond[m - 1];                                               \
+            count = nfclab_collect_mask(hits, m, t, idx_out, count);          \
+            t += m;                                                           \
         }                                                                     \
         return count;                                                         \
     }
@@ -608,6 +649,44 @@ void nfclab_feed_ext(const float *value, const float *filt, const float *env,
             break;
         }
         job.count = count;
+    }
+}
+
+// See the declaration near the top: K box channels in one call, grouped
+// (kind, start) so equal groups run as interleaved chains (box_*_ext_k).
+void nfclab_box_multi_ext(const float *value, const float *filt, int64_t n,
+                          int32_t k, const int32_t *kinds,
+                          const int32_t *widths, const int32_t *lags,
+                          const int64_t *starts, double **accs, float **outs)
+{
+    enum { MAXK = 64 };
+    if (k <= 0 || k > MAXK)
+        return;
+    NfcFeedJob jobs[MAXK];
+    bool done[MAXK] = {};
+    for (int32_t c = 0; c < k; c++) {
+        jobs[c] = NfcFeedJob {};
+        jobs[c].kind = kinds[c];
+        jobs[c].width = widths[c];
+        jobs[c].lag = lags[c];
+        jobs[c].start = starts[c];
+        jobs[c].acc = accs[c];
+        jobs[c].out = outs[c];
+    }
+    for (int32_t c = 0; c < k; c++) {
+        if (done[c])
+            continue;
+        NfcFeedJob *grp[MAXK];
+        int m = 0;
+        for (int32_t j = c; j < k; j++) {
+            if (!done[j] && jobs[j].kind == jobs[c].kind &&
+                jobs[j].start == jobs[c].start) {
+                grp[m++] = &jobs[j];
+                done[j] = true;
+            }
+        }
+        const float *src = jobs[c].kind == FX_BOX_SUM ? value : filt;
+        run_box_group(jobs[c].kind, src, n, jobs[c].start, grp, m);
     }
 }
 

@@ -283,6 +283,14 @@ class NfcDecoder:
                 ctx.channels, tpu_channels, sample_rate,
                 self.power_level_threshold, thresholds=self.thresholds,
             )
+        # build every always-needed box channel in one fused native pass
+        # (independent f64 chains interleave; per-tech lazy builds would
+        # run them serially, each chain-latency-bound) — no-op for entries
+        # a device frontend already preloaded
+        from ..dsp.tpu_channels import channel_plan
+
+        plan = channel_plan(sample_rate)
+        ctx.channels.warm_boxes([("bv", w) for w in plan["bv"]])
         carrier = CarrierDetector(ctx)
         techs = self._make_techs(ctx)
         for tech in techs:
