@@ -282,6 +282,18 @@ def reconcile_decoder(command_subject, desired: dict,
     snap = call("query")
     diff = detect_changes(snap, desired)
     if diff:
+        # the Configure surface applies minimum/maximumModulationDeep only
+        # as a PAIR (reference configDecoder semantics); a one-sided diff
+        # would be silently dropped and the reconcile would never converge,
+        # so complete the pair from the current snapshot
+        for tech, sect in (diff.get("protocol") or {}).items():
+            if not isinstance(sect, dict):
+                continue
+            keys = ("minimumModulationDeep", "maximumModulationDeep")
+            present = [k for k in keys if k in sect]
+            if len(present) == 1:
+                other = keys[1 - keys.index(present[0])]
+                sect[other] = snap["protocol"][tech][other]
         snap = call("configure", diff)
     return snap
 
@@ -365,10 +377,12 @@ def cmd_live(args) -> int:
             f"# monitor: http://127.0.0.1:{monitor.port}/", file=sys.stderr
         )
     ex.submit(decoder)
-    ex.submit(source)
 
     if getattr(args, "config", None):
-        # app-rx reconciliation: desired config file -> Query/diff/Configure
+        # app-rx reconciliation: desired config file -> Query/diff/Configure.
+        # Must complete BEFORE the source starts streaming: Configure takes
+        # effect at the next decode session, and a live capture is one
+        # session from its first buffer on.
         import json as _json
 
         with open(args.config, encoding="utf-8") as fh:
@@ -382,6 +396,8 @@ def cmd_live(args) -> int:
             )
             print(f"# decoder configured: {_json.dumps(snap)}",
                   file=sys.stderr)
+
+    ex.submit(source)
 
     count = 0
     try:

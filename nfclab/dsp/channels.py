@@ -157,6 +157,11 @@ class LazyChannels:
             else:
                 key = ("bp", spec[1], spec[2])
                 kind, width, lag = "bpsk", spec[2], spec[1]
+            if key in self._cache:
+                # existing entry — possibly a device-preloaded channel with
+                # extend=None by design; attaching an extend closure to it
+                # would arm a zero-f64-carry extension over kernel-f32 data
+                continue
             ent = self._entry(key)
             if ent["extend"] is None:
                 ent["kind"] = "box"

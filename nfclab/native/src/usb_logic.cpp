@@ -87,14 +87,27 @@ struct AsyncBulkPump {
         auto *p = static_cast<AsyncBulkPump *>(t->user_data);
         const int left = p->inflight.fetch_sub(1,
                                                std::memory_order_relaxed) - 1;
-        if (t->status == NFCLAB_USB_TRANSFER_COMPLETED && p->running.load()) {
+        // TIMED_OUT = idle endpoint, not an error (the sync reader's
+        // ERR_TIMEOUT-continue semantics): deliver any partial data and
+        // resubmit like a completion
+        const bool ok = t->status == NFCLAB_USB_TRANSFER_COMPLETED ||
+                        t->status == NFCLAB_USB_TRANSFER_TIMED_OUT;
+        if (ok && p->running.load()) {
             if (t->actual_length > 0)
                 p->on_data(t->buffer, t->actual_length);
             if (p->api->submit_transfer(t) == 0) {
                 p->inflight.fetch_add(1, std::memory_order_relaxed);
+                // stop() may have raced between our running check and the
+                // resubmit: its cancel pass saw this transfer unsubmitted
+                // (a no-op), so cancel it ourselves or events.join() would
+                // wait forever on an infinite-timeout transfer
+                if (!p->running.load(std::memory_order_relaxed))
+                    p->api->cancel_transfer(t);
                 return;
             }
             p->error_seen = true;  // resubmit refused
+        } else if (ok) {
+            // stopping: reaped without resubmission
         } else if (t->status != NFCLAB_USB_TRANSFER_CANCELLED) {
             p->error_seen = true;  // transfer-level error
             if (t->status == NFCLAB_USB_TRANSFER_NO_DEVICE)
@@ -131,7 +144,10 @@ struct AsyncBulkPump {
             t->flags = 0;
             t->endpoint = ep;
             t->type = NFCLAB_USB_TRANSFER_TYPE_BULK;
-            t->timeout = 0;
+            // finite timeout: an idle endpoint cycles through TIMED_OUT
+            // resubmits (handled above) instead of pinning a transfer
+            // forever, which also bounds shutdown latency
+            t->timeout = 500;
             t->length = size;
             t->callback = completion;
             t->user_data = this;

@@ -369,8 +369,10 @@ class RadioDecoderTask(Task):
             sect = proto.get(name)
             if sect and "enabled" in sect:
                 kw[f"enable_{name}"] = bool(sect["enabled"])
+        # copy before merging: the incoming DecoderThresholds may be shared
+        # with the caller (CLI args object, another task)
         th = kw.get("thresholds") or DecoderThresholds()
-        kw["thresholds"] = th.merge_protocol_config(proto)
+        kw["thresholds"] = th.copy().merge_protocol_config(proto)
 
     def run(self):
         from .streaming import StreamingNfcDecoder

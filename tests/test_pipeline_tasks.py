@@ -228,5 +228,14 @@ def test_reconcile_decoder_app_rx_loop():
         assert detect_changes(snap, desired) is None
         snap2 = reconcile_decoder(cmd, desired)
         assert snap2 == snap
+
+        # one-sided modulation-deep config: the Configure surface applies
+        # min/max only as a pair; the reconciler must complete the pair
+        # from the snapshot so the change lands and converges
+        one_sided = {"protocol": {"nfcf": {"minimumModulationDeep": 0.22}}}
+        snap3 = reconcile_decoder(cmd, one_sided)
+        assert snap3["protocol"]["nfcf"]["minimumModulationDeep"] == 0.22
+        assert snap3["protocol"]["nfcf"]["maximumModulationDeep"] == 0.90
+        assert detect_changes(snap3, one_sided) is None
     finally:
         ex.shutdown()
