@@ -361,6 +361,19 @@ def cmd_live(args) -> int:
             power_level_threshold=args.power_threshold,
             thresholds=_thresholds_from_args(args),
         )
+    # SIGTERM (systemd stop, `timeout`) should shut the capture chain down
+    # like ^C: Python's default action kills the process mid-stream with
+    # native reader threads still in recv(), which aborts at teardown
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # non-main thread (embedded use): keep default
+
     monitor = None
     ex = Executor(pool_size=4)
     if getattr(args, "monitor", None) is not None:
