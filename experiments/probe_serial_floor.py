@@ -106,23 +106,32 @@ def main():
 
         return jax.jit(run)
 
-    g, t = 1, 65536
+    g, t = int(os.environ.get("G", "1")), 65536
+    K = int(os.environ.get("K", "8"))  # chained calls per dispatch
     rng = np.random.default_rng(0)
     x = jax.device_put(
         (rng.random((g, t, sub, 128), dtype=np.float32) * 0.4)
     )
-    f = build(g, t)
-    outs = f(x)
-    float(jnp.sum(outs[0][:, -1]))
+    base = build(g, t)
+
+    def chain(v):
+        total = jnp.float32(0.0)
+        for _ in range(K):
+            outs = base(v)
+            total = total + jnp.sum(outs[0][:, -1])
+            v = outs[0]  # feed forward so calls cannot be elided
+        return total
+
+    f = jax.jit(chain)
+    float(f(x))
     best = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = f(x)
-        s = float(jnp.sum(outs[0][:, -1]))
+        s_ = float(f(x))
         best = min(best, time.perf_counter() - t0)
-    n_samples = g * t * sub * 128
+    n_samples = K * g * t * sub * 128
     print(f"conditioning-only serial loop: {n_samples/best/1e9:.2f} GS/s "
-          f"({best/(g*t)*1e9:.0f} ns/step over {sub*128} lanes)")
+          f"({best/(K*g*t)*1e9:.0f} ns/step, g={g} groups x {sub*128} lanes)")
 
 
 if __name__ == "__main__":
