@@ -135,3 +135,23 @@ def test_python_fsm_agrees_on_adversarial_signals(monkeypatch):
     assert pure == native
     assert any(f.has_flags(FrameFlags.ParityError) for f in pure)
     assert any(f.has_flags(FrameFlags.CrcError) for f in pure)
+
+
+def test_decode_under_noise():
+    """Detection sensitivity guard: well-formed frames keep decoding with
+    moderate additive noise on the field (sigma = 6% of the carrier
+    level); a sensitivity regression in the detect thresholds or
+    conditioning chain fails this before any golden changes."""
+    rng = np.random.default_rng(7)
+    w = PollWriter()
+    w.frame(b"\x26", short=True)
+    w.gap()
+    hlta = b"\x50\x00" + crc_a(b"\x50\x00")
+    w.frame(hlta)
+    sig = w.build()
+    noisy = sig + rng.normal(0.0, 0.03, len(sig)).astype(np.float32)
+    polls = decode(np.maximum(noisy, 0.0))
+    assert [f.data for f in polls] == [b"\x26", hlta]
+    for f in polls:
+        assert not f.has_flags(FrameFlags.ParityError)
+        assert not f.has_flags(FrameFlags.CrcError)
