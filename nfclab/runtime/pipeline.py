@@ -785,16 +785,7 @@ class TraceStorageTask(Task):
         else:
             self._adaptive_done.set()
 
-    def run(self):
-        self.update_status("accumulating")
-        # wait for the frame-stream EOF, then for the adaptive-stream
-        # boundary (the resampler runs on its own thread, so frame EOF alone
-        # doesn't order us after the render stream); terminate always wins
-        # and writes whatever accumulated (reference Stop semantics)
-        while not self.terminated and not self._done.wait(0.1):
-            pass
-        while not self.terminated and not self._adaptive_done.wait(0.1):
-            pass
+    def _write(self, path: str, sample_range=None):
         from ..io.trz import SignalStream, write_trace
 
         streams = []
@@ -814,10 +805,43 @@ class TraceStorageTask(Task):
                     buf.offset,
                 )
             )
-        write_trace(
-            self.path, self.frames, streams, sample_range=self.sample_range
-        )
+        write_trace(path, self.frames, streams, sample_range=sample_range)
+
+    def _on_configure(self, params: dict):
+        """Write command parity (TraceStorageTask doWriteFile flow,
+        QtControl -> Event{Write,{fileName,sampleStart,sampleEnd}}): dump
+        whatever has accumulated to the given file immediately."""
+        if "fileName" in params:
+            rng = None
+            if "sampleStart" in params and "sampleEnd" in params:
+                rng = (int(params["sampleStart"]), int(params["sampleEnd"]))
+            self._write(params["fileName"], rng)
+
+    def _command_snapshot(self) -> dict:
+        return {
+            "status": "accumulating",
+            "frames": len(self.frames),
+            "signals": len(self.signals),
+        }
+
+    def run(self):
+        self.update_status("accumulating")
+        # wait for the frame-stream EOF, then for the adaptive-stream
+        # boundary (the resampler runs on its own thread, so frame EOF alone
+        # doesn't order us after the render stream); terminate always wins
+        # and writes whatever accumulated (reference Stop semantics).
+        # Commands (mid-capture Write snapshots) are served throughout.
+        while not self.terminated and not self._done.wait(0.1):
+            self.handle_commands()
+        while not self.terminated and not self._adaptive_done.wait(0.1):
+            self.handle_commands()
+        self._write(self.path, self.sample_range)
         self.update_status("complete", frames=len(self.frames))
+        # worker semantics: stay alive serving Write commands (snapshot
+        # saves) until Stop/terminate, like the reference storage task
+        while not self.terminated:
+            self.handle_commands()
+            self._terminated.wait(0.05)
 
 
 class TraceReplayTask(Task):

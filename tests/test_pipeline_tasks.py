@@ -239,3 +239,53 @@ def test_reconcile_decoder_app_rx_loop():
         assert detect_changes(snap3, one_sided) is None
     finally:
         ex.shutdown()
+
+
+def test_trace_storage_write_command(tmp_path, fixture_dir):
+    """Write command (the reference GUI's save flow:
+    Event{Write,{fileName,...}} on storage.command) dumps the accumulated
+    trace on demand; the storage worker stays alive serving commands until
+    Stop/terminate."""
+    import time
+
+    from nfclab.hw import RecordDevice
+    from nfclab.runtime.pipeline import RadioDecoderTask, TraceStorageTask
+
+    Subject.clear_registry()
+    wav = str(fixture_dir / "test_NFC-A_106kbps_001.wav")
+    final_path = str(tmp_path / "final.trz")
+    snap_path = str(tmp_path / "snapshot.trz")
+
+    from nfclab.runtime.pipeline import RadioSourceTask
+
+    source = RadioSourceTask(RecordDevice(wav))
+    decoder = RadioDecoderTask()
+    resampler = ResamplingTask()
+    storage = TraceStorageTask(final_path)
+    ex = Executor(pool_size=4)
+    ex.submit(storage)
+    ex.submit(decoder)
+    ex.submit(resampler)
+    ex.submit(source)
+    try:
+        # wait until some frames accumulated, then snapshot via command
+        deadline = time.time() + 30
+        while time.time() < deadline and not storage.frames:
+            time.sleep(0.05)
+        assert storage.frames, "no frames accumulated"
+
+        done = threading.Event()
+        err = []
+        Subject.name("storage.command").next(
+            Event("configure", {"fileName": snap_path},
+                  on_resolve=lambda snap: done.set(),
+                  on_reject=lambda e: (err.append(e), done.set()))
+        )
+        assert done.wait(15) and not err, err
+        frames, streams = read_trace(snap_path)
+        assert frames  # the mid-capture snapshot carries decoded frames
+    finally:
+        ex.shutdown()
+    # the normal end-of-stream write still happened
+    frames2, _ = read_trace(final_path)
+    assert len(frames2) >= len(frames)
