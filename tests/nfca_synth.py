@@ -108,3 +108,51 @@ def crc_a(data: bytes) -> bytes:
 
     v = crc16_ccitt(data, 0, len(data), 0x6363, True)
     return bytes((v & 0xFF, (v >> 8) & 0xFF))
+
+
+SUB = 16 * SAMPLE_RATE / 13.56e6 / 2  # half-period of the 848 kHz subcarrier
+
+
+def _subcarrier(n: int, start_phase: int = 0) -> np.ndarray:
+    """±1 square wave at fs/16 (load-modulation ripple), sample-accurate."""
+    idx = (np.arange(n) / SUB).astype(np.int64) + start_phase
+    return np.where(idx & 1, -1.0, 1.0).astype(np.float32)
+
+
+class ListenWriter(PollWriter):
+    """Extends the poll writer with tag responses: ASK load modulation
+    (848 kHz subcarrier, Manchester halves: logic 1 = subcarrier in the
+    first half, 0 = second half; SOC = one full-bit burst; EOC = silent
+    bit)."""
+
+    AMP = np.float32(0.04)
+
+    def _sub_span(self, on_first: bool | None):
+        """One bit period; on_first None = full-bit burst."""
+        b = np.full(BIT, LEVEL, np.float32)
+        if on_first is None:
+            b += self.AMP * _subcarrier(BIT)
+        elif on_first:
+            b[:HALF] += self.AMP * _subcarrier(HALF)
+        else:
+            b[HALF:] += self.AMP * _subcarrier(BIT - HALF)
+        self.chunks.append(b)
+
+    def listen_frame(self, data: bytes, delay: int = 900,
+                     flip_parity_at: int | None = None):
+        """Tag response `delay` samples after the last poll bit (must land
+        inside the decoder's guard..waiting window)."""
+        self.chunks.append(np.full(delay, LEVEL, np.float32))
+        self._sub_span(True)  # SOC = D pattern (half-bit burst)
+        for bi, byte in enumerate(data):
+            ones = 0
+            for i in range(8):
+                bit = (byte >> i) & 1
+                ones += bit
+                self._sub_span(bool(bit))
+            parity = (ones & 1) ^ 1
+            if flip_parity_at == bi:
+                parity ^= 1
+            self._sub_span(bool(parity))
+        self._idle_bit()  # EOC: silent bit
+        self._idle_bit()
