@@ -474,7 +474,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("live", help="live SDR capture + decode")
     p.add_argument(
         "device",
-        help="loopback://test | rtltcp://host:port | spyserver://host:port "
+        help="auto (hotplug-scan USB radios, attach when one appears) | "
+             "auto://scheme1,scheme2 | "
+             "loopback://test | rtltcp://host:port | spyserver://host:port "
              "| airspy:// hydrasdr:// rtlsdr:// mirisdr:// (USB radio) "
              "| logicloop://test | logictcp://host:port | dslogic:// | "
              "sipeed:// (ISO7816)",

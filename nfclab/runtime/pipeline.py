@@ -183,18 +183,35 @@ class LiveRadioSourceTask(Task):
     both streams.  `config` maps param ids -> values applied before start
     (RadioDeviceTask.cpp `setup`)."""
 
+    #: device types the reference's RadioDeviceTask registers and hotplug-
+    #: scans (RadioDeviceTask.cpp:101-104)
+    SCAN_SCHEMES = ("airspy", "hydrasdr", "rtlsdr", "mirisdr")
+
     def __init__(self, ident: str, config: dict | None = None,
                  duration_blocks: int | None = None,
                  reconnect: bool = False, rescan_interval: float = 1.0):
         super().__init__("worker.LiveRadioSource", "radio.receiver")
         self.ident = ident
+        # hotplug DISCOVERY (RadioDeviceTask.cpp:194-246 `refresh`): ident
+        # "auto" (or "auto://scheme1,scheme2") attaches to whatever the
+        # device factory enumerates, re-scanning every rescan_interval while
+        # absent and after a disconnect — the reference task never takes a
+        # fixed device either; it opens the first enumerated receiver.
+        self._scan: tuple[str, ...] | None = None
+        if ident == "auto":
+            self._scan = self.SCAN_SCHEMES
+        elif ident.startswith("auto://"):
+            self._scan = tuple(
+                s for s in ident[len("auto://"):].split(",") if s
+            ) or self.SCAN_SCHEMES
         self.config = dict(config or {})
         self.duration_blocks = duration_blocks
         # hotplug recovery (RadioDeviceTask.cpp:167-246 refresh loop): keep
         # rescanning/reopening an absent or disconnected device instead of
         # completing on the first EOF.  Off by default so the one-shot CLI
-        # exits promptly on server disconnect.
-        self.reconnect = reconnect
+        # exits promptly on server disconnect; discovery mode always
+        # rescans (waiting for a device to appear is its whole point).
+        self.reconnect = reconnect or self._scan is not None
         self.rescan_interval = rescan_interval
         self.iq_stream = Subject.name("radio.signal.iq")
         self.raw_stream = Subject.name("radio.signal.raw")
@@ -203,14 +220,12 @@ class LiveRadioSourceTask(Task):
         self.samples_lost = 0
 
     def run(self):
-        from ..hw.sdr import NativeSdrDevice
-
         rate = 0
         offset = 0
         blocks = 0
         while not self.terminated:
-            dev = NativeSdrDevice(self.ident)
-            if not dev.open():
+            dev = self._attach()
+            if dev is None or not dev.open():
                 self.update_status("absent")
                 if not self.reconnect:
                     self.iq_stream.next(
@@ -245,6 +260,22 @@ class LiveRadioSourceTask(Task):
             "complete", samples=self.throughput.total, lost=self.samples_lost
         )
 
+    def _attach(self):
+        """Resolve the device for this session: the fixed ident, or (in
+        discovery mode) the first device any scanned scheme enumerates
+        (RadioDeviceTask.cpp:194-246).  None while nothing is plugged in."""
+        from ..hw.device import DeviceFactory
+        from ..hw.sdr import NativeSdrDevice
+
+        if self._scan is None:
+            return NativeSdrDevice(self.ident)
+        for scheme in self._scan:
+            for ident in DeviceFactory.enumerate(scheme):
+                dev = DeviceFactory.new_instance(ident)
+                if dev is not None:
+                    return dev
+        return None
+
     def _stream(self, dev, offset: int, blocks: int):
         """Configure + drain one device session; returns (rate, offset,
         blocks, disconnected)."""
@@ -270,7 +301,7 @@ class LiveRadioSourceTask(Task):
         if stype is not None:
             is_iq = int(stype) == SignalType.SIGNAL_TYPE_RADIO_IQ
         else:
-            is_iq = not self.ident.startswith("loopback")
+            is_iq = not dev.ident.startswith("loopback")
         # software AGC (RadioDeviceTask.cpp:660-686): every gain-capable
         # driver unless the gain mode was explicitly set to manual (1)
         agc_on = self.config.get(PARAM_GAIN_MODE) != 1

@@ -675,3 +675,80 @@ def test_usb_wrapper_probe():
         lib.nfclab_usb_device_list.restype = ctypes.c_int
         n = lib.nfclab_usb_device_list(buf, len(buf))
         assert n >= 0
+
+
+def test_auto_discovery_attaches_and_rescans():
+    """Hotplug discovery (RadioDeviceTask.cpp:194-246): ident "auto://<t>"
+    attaches to whatever the device factory enumerates for the scanned
+    schemes, stays "absent" while nothing is plugged, and re-scans after
+    the device vanishes mid-stream."""
+    import threading
+
+    from nfclab.hw.device import DeviceFactory
+    from nfclab.hw.sdr import NativeSdrDevice
+    from nfclab.runtime.pipeline import LiveRadioSourceTask
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    plugged = threading.Event()
+    built = []
+
+    def enumerate_fake():
+        return ["fakesdr://0"] if plugged.is_set() else []
+
+    def construct(ident):
+        dev = NativeSdrDevice("loopback://test")
+        built.append(dev)
+        return dev
+
+    DeviceFactory.register_device("fakesdr", enumerate_fake, construct)
+    try:
+        task = LiveRadioSourceTask(
+            "auto://fakesdr", {PARAM_SAMPLE_RATE: 10_000_000},
+            rescan_interval=0.05,
+        )
+        assert task.reconnect  # discovery implies rescan
+        statuses = []
+        Subject.name("radio.receiver.status").subscribe(
+            lambda s: statuses.append(s.get("status")), replay=False
+        )
+        th = threading.Thread(target=task.run, daemon=True)
+        th.start()
+
+        # nothing plugged: the scanner reports absent and keeps polling
+        deadline = time.time() + 5
+        while "absent" not in statuses and time.time() < deadline:
+            time.sleep(0.02)
+        assert "absent" in statuses
+        assert not built
+
+        # plug the device: the task attaches and streams
+        plugged.set()
+        deadline = time.time() + 10
+        while "streaming" not in statuses and time.time() < deadline:
+            time.sleep(0.02)
+        assert "streaming" in statuses
+        assert len(built) == 1
+
+        # unplug: loopback streams forever, so force the session to end the
+        # way a vanished USB device does (driver EOF) and verify re-scan
+        plugged.clear()
+        built[0]._eof = True
+        deadline = time.time() + 10
+        while statuses.count("absent") < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert statuses.count("absent") >= 2
+
+        # re-plug: a SECOND device instance is constructed and streams
+        plugged.set()
+        deadline = time.time() + 10
+        while statuses.count("streaming") < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert statuses.count("streaming") >= 2
+        assert len(built) == 2
+
+        task.terminate()
+        th.join(timeout=10)
+        assert not th.is_alive()
+    finally:
+        DeviceFactory._registry.pop("fakesdr", None)
