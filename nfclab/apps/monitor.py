@@ -68,6 +68,13 @@ class MonitorState:
         self._wave: deque = deque(maxlen=wave_points)
         self._wave_rate = 0
         self._logic_wave: dict[int, deque] = {}
+        # per-frame protocol detail trees (the GUI's ParserNfcA/B/F/V +
+        # ISO7816 inspect view): the parser is stateful (selection chains,
+        # exchange pairing), so frames feed it in arrival order and a
+        # stream-boundary sentinel resets it like a new capture session
+        from ..protocol.parser import ProtocolParser
+
+        self._parser = ProtocolParser()
         self._unsubs = [
             Subject.name("radio.decoder.frame").subscribe(
                 self._on_frame, replay=False
@@ -88,9 +95,15 @@ class MonitorState:
             u()
 
     def _on_frame(self, frame):
-        if frame is None:  # stream boundary sentinel
-            return
         with self._lock:
+            if frame is None:  # stream boundary sentinel: new session
+                self._parser.reset()
+                return
+            try:
+                node = self._parser.parse(frame)
+                detail = node.to_json() if node is not None else None
+            except Exception:
+                detail = None
             self._count += 1
             delta = (
                 frame.time_start - self._prev_time
@@ -107,6 +120,7 @@ class MonitorState:
                 "event": _EVENTS.get(int(frame.frame_type), "?"),
                 "flags": flags,
                 "data": frame.data.hex(":") if frame.data else "",
+                "detail": detail,
             })
 
     def _on_fft(self, buf):
@@ -205,6 +219,15 @@ td.data { font-family:ui-monospace,monospace; color:var(--ink);
        color:var(--ink); border:1px solid var(--grid); border-radius:6px;
        padding:4px 8px; pointer-events:none; }
 .empty { color:var(--muted); padding:18px; text-align:center; }
+tr.exp { cursor:pointer; }
+tr.exp:hover td { background:var(--surface); }
+td.tree { font-family:ui-monospace,monospace; white-space:normal; }
+.node { padding:1px 0; }
+.kids { margin-left:18px; border-left:1px solid var(--grid);
+        padding-left:10px; }
+.nname { color:var(--ink); }
+.ndata { color:var(--series); }
+.nflags { color:#f28b82; }
 </style></head><body>
 <h1>nfclab live monitor</h1>
 <div class="panel"><div class="status" id="status"></div></div>
@@ -230,6 +253,23 @@ display:block"></svg>
 <script>
 const fmt = (x, d) => Number(x).toFixed(d);
 let lastSpec = null;
+// per-frame protocol detail trees (ParserNfcA/B/F/V + ISO7816 view):
+// click a row to expand its parse tree
+const expanded = new Set(), details = {};
+function toggle(id) {
+  if (!details[id]) return;
+  if (expanded.has(id)) expanded.delete(id); else expanded.add(id);
+  tickNow();
+}
+const esc = s => String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;');
+function renderTree(n) {
+  const flags = (n.flags || []).length
+    ? ` <span class="nflags">[${n.flags.join(' ')}]</span>` : '';
+  const data = n.data ? ` <span class="ndata">${esc(n.data)}</span>` : '';
+  const kids = (n.children || []).map(renderTree).join('');
+  return `<div class="node"><span class="nname">${esc(n.name)}</span>` +
+    `${data}${flags}${kids ? `<div class="kids">${kids}</div>` : ''}</div>`;
+}
 async function tick() {
   try {
     const r = await fetch('/data'); const d = await r.json();
@@ -240,6 +280,18 @@ async function tick() {
       return `<span class="chip"><b>${k}</b> ${v.status} ${extra}</span>`;
     }).join('') +
       `<span class="chip"><b>frames</b> ${d.total_frames}</span>`;
+    lastData = d;
+    renderTable(d);
+    lastSpec = d.spectrum;
+    drawSpec();
+    drawWave(d.wave);
+    drawLanes(d.logic_wave || {});
+  } catch (e) {}
+  setTimeout(tick, 500);
+}
+let lastData = null;
+function tickNow() { if (lastData) renderTable(lastData); }
+function renderTable(d) {
     const tb = document.getElementById('frames');
     // StreamFilter role: substring match over tech/event/flags/data
     const q = document.getElementById('filter').value.trim().toLowerCase();
@@ -247,20 +299,22 @@ async function tick() {
       `${f.tech} ${f.event} ${f.flags.join(' ')} ${f.data}`
         .toLowerCase().includes(q));
     if (d.frames.length) {
-      tb.innerHTML = rows.slice().reverse().map(f =>
-        `<tr><td>${f.id}</td><td>${fmt(f.time, 4)}</td>` +
-        `<td>${fmt(f.delta, 4)}</td><td>${f.rate || ''}</td>` +
-        `<td>${f.tech}</td><td>${f.event}</td>` +
-        `<td>${f.flags.join(' ')}</td><td class="data">${f.data}</td></tr>`
-      ).join('') || `<tr><td colspan="8" class="empty">no frames match
+      tb.innerHTML = rows.slice().reverse().map(f => {
+        const hasD = !!f.detail;
+        details[f.id] = f.detail;
+        const open = expanded.has(f.id) && hasD;
+        let h = `<tr${hasD ? ` class="exp" onclick="toggle(${f.id})"` : ''}>` +
+          `<td>${hasD ? (open ? '▾ ' : '▸ ') : ''}${f.id}</td>` +
+          `<td>${fmt(f.time, 4)}</td>` +
+          `<td>${fmt(f.delta, 4)}</td><td>${f.rate || ''}</td>` +
+          `<td>${f.tech}</td><td>${f.event}</td>` +
+          `<td>${f.flags.join(' ')}</td><td class="data">${f.data}</td></tr>`;
+        if (open) h += `<tr><td></td><td colspan="7" class="tree">` +
+          renderTree(f.detail) + `</td></tr>`;
+        return h;
+      }).join('') || `<tr><td colspan="8" class="empty">no frames match
         "${q}"</td></tr>`;
     }
-    lastSpec = d.spectrum;
-    drawSpec();
-    drawWave(d.wave);
-    drawLanes(d.logic_wave || {});
-  } catch (e) {}
-  setTimeout(tick, 500);
 }
 const LANE_NAMES = {0: 'IO', 1: 'CLK', 2: 'RST', 3: 'VCC'};
 function drawLanes(lw) {

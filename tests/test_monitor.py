@@ -99,6 +99,11 @@ def test_monitor_serves_live_frames_and_spectrum(fixture_dir):
         assert first["tech"] == "NfcA"
         assert first["rate"] > 0
         assert {"id", "time", "delta", "flags"} <= set(first)
+        # the inspect view: each decodable frame carries its ParserNfcA
+        # detail tree (WUPA parses to a named node with the command field)
+        assert first["detail"] is not None
+        assert "WUPA" in first["detail"]["name"]
+        assert first["detail"].get("flags") == ["REQUEST"]
         assert snap["spectrum"] and len(snap["spectrum"]) >= 64
         assert snap["wave"] and len(snap["wave"]) >= 16  # render stream
         t, v = snap["wave"][0]
