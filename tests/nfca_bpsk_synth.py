@@ -29,13 +29,24 @@ PAUSE = 8                             # ~0.8 us poll field pause
 SUBH = SAMPLE_RATE / 13.56e6 * 8      # half-period of the 848 kHz subcarrier
 LEVEL = np.float32(0.5)
 AMP = np.float32(0.04)
+GLOBAL_ETU = SAMPLE_RATE / 13.56e6 * 128  # 106k etu the SoF window uses
 
 
 class A424Writer:
     """Event-based writer: poll pauses and BPSK spans are placed on a float
-    sample cursor so the 23.6-sample etu grid never accumulates rounding."""
+    sample cursor so the fractional etu grid never accumulates rounding.
 
-    def __init__(self, lead: int = 8192):
+    rate_type 2 = 424 kbps (default, fixture-validated), 1 = 212 kbps —
+    both share the modified-Miller poll coding (pause ~0.34 etu) and the
+    BPSK listen structure; the TR1 preamble is ~4 GLOBAL (106k) etu of
+    absolute time regardless of rate (the integrator rise eats ~0.5 etu,
+    landing the measured length inside the decoder's 3..4-etu SoF
+    window), so its slot count scales with the bit period."""
+
+    def __init__(self, lead: int = 8192, rate_type: int = 2):
+        self.etu = SAMPLE_RATE / 13.56e6 * (128 >> rate_type)
+        self.pause = max(4, int(round(0.34 * self.etu)))
+        self.preamble_slots = int(round(4.0 * GLOBAL_ETU / self.etu))
         self._w = float(lead)
         self._pauses: list[int] = []          # pause start samples
         self._bpsk: list[tuple[float, list[int]]] = []  # (start, phases)
@@ -45,21 +56,21 @@ class A424Writer:
 
     def _bit(self, v: int):
         if v:                                  # X: pause at bit middle
-            self._pauses.append(int(round(self._w + ETU / 2)))
+            self._pauses.append(int(round(self._w + self.etu / 2)))
             self._last_bit = 1
         elif self._last_bit:                   # Y: idle bit
             self._last_bit = 0
         else:                                  # Z: pause at bit start
             self._pauses.append(int(round(self._w)))
             self._last_bit = 0
-        self._w += ETU
+        self._w += self.etu
 
     def frame(self, data: bytes, flip_parity_at: int | None = None):
         """One standard poll frame (SOC + LSB-first bytes with odd parity +
         EOC)."""
         self._pauses.append(int(round(self._w)))   # SOC = Z
         self._last_bit = 0
-        self._w += ETU
+        self._w += self.etu
         for bi, byte in enumerate(data):
             ones = 0
             for i in range(8):
@@ -72,7 +83,7 @@ class A424Writer:
             self._bit(parity)
         self._bit(0)                               # EOC: logic 0 + idle
         self._last_bit = 0
-        self._w += 2 * ETU
+        self._w += 2 * self.etu
 
     # ----------------------------------------------------------- listen side
 
@@ -83,7 +94,7 @@ class A424Writer:
         flip_parity_at inverts byte i's parity bit; trailing_bits appends
         extra value-toggle bits after the last parity (malformed tail)."""
         start = self._w + delay
-        phases = [1] * 16 + [-1]       # TR1 preamble + SOF flip (= logic 0)
+        phases = [1] * self.preamble_slots + [-1]       # TR1 preamble + SOF flip (= logic 0)
         value, cur = 0, -1
 
         def push(v: int):
@@ -108,7 +119,7 @@ class A424Writer:
         for _ in range(trailing_bits):
             push(value ^ 1)
         self._bpsk.append((start, phases))
-        self._w = start + len(phases) * ETU
+        self._w = start + len(phases) * self.etu
 
     # --------------------------------------------------------------- render
 
@@ -119,12 +130,12 @@ class A424Writer:
         n = int(self._w) + tail
         sig = np.full(n, LEVEL, np.float32)
         for p in self._pauses:
-            sig[p : p + PAUSE] = 0.004
+            sig[p : p + self.pause] = 0.004
         t = np.arange(n)
         sub = np.where((t / SUBH).astype(np.int64) & 1, -AMP, AMP)
         for start, phases in self._bpsk:
             for s, ph in enumerate(phases):
-                a = int(round(start + s * ETU))
-                b = int(round(start + (s + 1) * ETU))
+                a = int(round(start + s * self.etu))
+                b = int(round(start + (s + 1) * self.etu))
                 sig[a:b] += np.float32(ph) * sub[a:b]
         return sig

@@ -128,6 +128,25 @@ def test_listen_trailing_bits_tolerated():
     assert frames[1].data == resp
 
 
+def test_212kbps_roundtrip_and_parity():
+    """The same BPSK structure at rateType 1 (211875 Hz) — NO bundled
+    fixture covers NFC-A 212 kbps at all, so this is the only exercise of
+    that poll correlator + BPSK bitrate pair."""
+    poll = _iblock(0x0A, bytes.fromhex("00a40400"))
+    resp = _iblock(0x0A, bytes.fromhex("6e00"))
+    w = A424Writer(rate_type=1)
+    w.frame(poll)
+    w.listen_frame(resp, delay=900)
+    w.gap()
+    w.frame(poll)
+    w.listen_frame(resp, delay=900, flip_parity_at=1)
+    frames = decode(w.build())
+    assert [f.data for f in frames] == [poll, resp, poll, resp]
+    assert all(f.frame_rate == 211875 for f in frames)
+    assert not frames[1].has_flags(FrameFlags.ParityError)
+    assert frames[3].has_flags(FrameFlags.ParityError)
+
+
 def test_python_fsm_agrees_on_bpsk_signals(monkeypatch):
     """The pure-Python BPSK walker must produce identical frames (flags
     included) for the error-injected waveforms — it is the live reference
