@@ -41,6 +41,14 @@ class FPollWriter:
         low = np.where(half, ~first_low, first_low)
         self.chunks.append(np.where(low, LOW, HIGH).astype(np.float32))
 
+    def listen_frame(self, data: bytes, delay: int = 5000,
+                     polarity: int = 0):
+        """Tag response `delay` samples after the poll: FeliCa listen uses
+        the same Manchester coding as the poll (NfcF.cpp:749-1046); the
+        decoder types it by the guard..waiting response window."""
+        self.chunks.append(np.full(delay, HIGH, np.float32))
+        self.frame(data, polarity)
+
     def gap(self, samples: int = 800_000):
         self.chunks.append(np.full(samples, HIGH, np.float32))
 

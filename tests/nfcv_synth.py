@@ -82,6 +82,61 @@ class VPollWriter:
         return sig
 
 
+HB = SLOT_F                          # half-bit = 256 carrier cycles
+SUBP = SAMPLE_RATE / 13.56e6 * 16    # half-period of the 423.75 kHz sc
+AMP = np.float32(0.015)              # load-mod ripple (~3% of level)
+DIP = np.float32(0.012)              # mean dip while the sc is on
+
+
+class VListenWriter(VPollWriter):
+    """Extends the poll writer with single-subcarrier tag responses
+    (NfcV.cpp:800-1085 decode; structure measured from the bundled 26k
+    capture): all times in half-bits (256 fc cycles),
+
+      SOF:  3 hb unmodulated + 3 hb subcarrier + logic 1 (idle, ON)
+      bits: LSB-first; 0 = (ON, idle), 1 = (idle, ON)
+      EOF:  logic 0 (ON, idle) + 3 hb subcarrier, then off
+
+    The subcarrier renders as a +-AMP square at fs/32 in absolute sample
+    time, with a DIP mean drop while on (mirrors the capture's load
+    modulation)."""
+
+    def __init__(self, lead: int = 8192):
+        super().__init__(lead)
+        self._bursts: list[tuple[int, int]] = []  # (start, end) samples
+
+    def _on(self, start_hb: float, n_hb: float, base: float):
+        a = int(round(base + start_hb * HB))
+        b = int(round(base + (start_hb + n_hb) * HB))
+        self._bursts.append((a, b))
+
+    def listen_frame(self, data: bytes, delay: int = 3000):
+        base = float(self.n + delay)
+        hb = 3.0                    # 3 hb unmodulated lead-in
+        self._on(hb, 3, base); hb += 3          # SOF burst
+        hb += 1                                  # SOF logic 1: idle
+        self._on(hb, 1, base); hb += 1           #              ON
+        for byte in data:
+            for i in range(8):
+                if (byte >> i) & 1:
+                    hb += 1
+                    self._on(hb, 1, base); hb += 1
+                else:
+                    self._on(hb, 1, base); hb += 1
+                    hb += 1
+        self._on(hb, 1, base); hb += 2           # EOF logic 0
+        self._on(hb, 3, base); hb += 3           # EOF burst
+        self.n = int(round(base + hb * HB)) + 512
+
+    def build(self, tail: int = 16384) -> np.ndarray:
+        sig = super().build(tail)
+        t = np.arange(len(sig), dtype=np.int64)
+        sub = np.where((t / SUBP).astype(np.int64) & 1, -AMP, AMP) - DIP
+        for a, b in self._bursts:
+            sig[a:b] += sub[a:b]
+        return sig
+
+
 def crc_b(data: bytes) -> bytes:
     """ISO15693 CRC16 bytes to append (init 0xFFFF, reflected, inverted)."""
     from nfclab.protocol.crc import crc16_ccitt

@@ -86,3 +86,85 @@ def test_sync_error_flagged():
     polls = decode(w.build())
     assert polls, "frame should still decode (sync tolerated with flag)"
     assert polls[0].has_flags(FrameFlags.SyncError)
+
+
+def _decode_all(sig):
+    frames = NfcDecoder(
+        enable_nfca=False, enable_nfcb=False, enable_nfcv=False
+    ).decode(np.asarray(sig, np.float32), RATE)
+    return [
+        f for f in frames
+        if f.frame_type in (int(FrameType.NfcPollFrame),
+                            int(FrameType.NfcListenFrame))
+    ]
+
+
+def _atqc():
+    body = bytes([0x12, 0x01]) + bytes(range(1, 17))
+    return body + crc_f(body)
+
+
+def test_listen_roundtrip_reqc_atqc():
+    """REQC poll + ATQC tag response: the response inside the guard..
+    waiting window decodes as a LISTEN frame, byte-exact with no flags
+    (the bundled F fixtures carry only well-formed listen frames)."""
+    body = bytes.fromhex("0600ffff0000")
+    poll = body + crc_f(body)
+    resp = _atqc()
+    w = FPollWriter()
+    w.frame(poll)
+    w.listen_frame(resp)
+    frames = _decode_all(w.build())
+    assert [(f.frame_type, f.data) for f in frames] == [
+        (int(FrameType.NfcPollFrame), poll),
+        (int(FrameType.NfcListenFrame), resp),
+    ]
+    assert all(not f.has_flags(FrameFlags.CrcError) for f in frames)
+    assert frames[1].frame_rate == frames[0].frame_rate
+
+
+def test_listen_crc_error_flagged():
+    body = bytes.fromhex("0600ffff0000")
+    poll = body + crc_f(body)
+    bad = bytearray(_atqc())
+    bad[-2] ^= 0x08
+    w = FPollWriter()
+    w.frame(poll)
+    w.listen_frame(bytes(bad))
+    frames = _decode_all(w.build())
+    assert len(frames) == 2
+    assert frames[1].data == bytes(bad)
+    assert frames[1].has_flags(FrameFlags.CrcError)
+    assert not frames[0].has_flags(FrameFlags.CrcError)
+
+
+def test_python_fsm_agrees_on_listen_signals(monkeypatch):
+    """Pure-Python NfcF walker must produce identical listen frames
+    (flags included) for the error-injected response."""
+    body = bytes.fromhex("0600ffff0000")
+    poll = body + crc_f(body)
+    bad = bytearray(_atqc())
+    bad[-2] ^= 0x08
+    w = FPollWriter()
+    w.frame(poll)
+    w.listen_frame(bytes(bad))
+    w.gap()
+    w.frame(poll)
+    w.listen_frame(_atqc(), polarity=1)
+    sig = w.build()
+
+    native = _decode_all(sig)
+
+    from nfclab.runtime import native_walk
+
+    monkeypatch.setattr(native_walk, "native_decode_lib", lambda: None)
+    monkeypatch.setattr(
+        native_walk, "run_native_detect_all", lambda ctx, c, t, t0, t1: t0
+    )
+    monkeypatch.setattr(
+        native_walk, "run_native_span", lambda ctx, d, t0, t1: t0
+    )
+    pure = _decode_all(sig)
+    assert pure == native
+    assert len(pure) == 4
+    assert pure[1].has_flags(FrameFlags.CrcError)

@@ -83,3 +83,86 @@ def test_one_of_256_code_path():
     assert not polls[0].has_flags(FrameFlags.CrcError)
     # 1-of-256: ~1.65 kbps nominal rate
     assert polls[0].frame_rate < 2000
+
+
+def _decode_all(sig):
+    frames = NfcDecoder(
+        enable_nfca=False, enable_nfcb=False, enable_nfcf=False
+    ).decode(np.asarray(sig, np.float32), RATE)
+    return [
+        f for f in frames
+        if f.frame_type in (int(FrameType.NfcPollFrame),
+                            int(FrameType.NfcListenFrame))
+    ]
+
+
+INVENTORY = b"\x26\x01\x00" + crc_b(b"\x26\x01\x00")
+UID_BODY = bytes.fromhex("000003dda3b1140104e0")
+UID_RESP = UID_BODY + crc_b(UID_BODY)
+
+
+def test_listen_roundtrip_inventory():
+    """INVENTORY poll + single-subcarrier UID response decode byte-exact
+    (structure measured from the bundled capture; CRC matches its bytes).
+    The bundled V fixtures carry only well-formed listen frames."""
+    from nfcv_synth import VListenWriter
+
+    w = VListenWriter()
+    w.frame(INVENTORY)
+    w.listen_frame(UID_RESP)
+    frames = _decode_all(w.build())
+    assert [(f.frame_type, f.data) for f in frames] == [
+        (int(FrameType.NfcPollFrame), INVENTORY),
+        (int(FrameType.NfcListenFrame), UID_RESP),
+    ]
+    for f in frames:
+        assert f.frame_rate == 26484
+        assert not f.has_flags(FrameFlags.CrcError)
+
+
+def test_listen_crc_error_flagged():
+    from nfcv_synth import VListenWriter
+
+    bad = bytearray(UID_RESP)
+    bad[-1] ^= 0x20
+    w = VListenWriter()
+    w.frame(INVENTORY)
+    w.listen_frame(bytes(bad))
+    frames = _decode_all(w.build())
+    assert len(frames) == 2
+    assert frames[1].data == bytes(bad)
+    assert frames[1].has_flags(FrameFlags.CrcError)
+    assert not frames[0].has_flags(FrameFlags.CrcError)
+
+
+def test_python_fsm_agrees_on_v_listen_signals(monkeypatch):
+    """Pure-Python NfcV walker produces identical listen frames (flags
+    included) for the error-injected response."""
+    from nfcv_synth import VListenWriter
+
+    bad = bytearray(UID_RESP)
+    bad[-1] ^= 0x20
+    w = VListenWriter()
+    w.frame(INVENTORY)
+    w.listen_frame(bytes(bad))
+    w.gap()
+    w.frame(INVENTORY)
+    w.listen_frame(UID_RESP)
+    sig = w.build()
+
+    native = _decode_all(sig)
+
+    from nfclab.runtime import native_walk
+
+    monkeypatch.setattr(native_walk, "native_decode_lib", lambda: None)
+    monkeypatch.setattr(
+        native_walk, "run_native_detect_all", lambda ctx, c, t, t0, t1: t0
+    )
+    monkeypatch.setattr(
+        native_walk, "run_native_span", lambda ctx, d, t0, t1: t0
+    )
+    pure = _decode_all(sig)
+    assert pure == native
+    assert len(pure) == 4
+    assert pure[1].has_flags(FrameFlags.CrcError)
+    assert not pure[3].has_flags(FrameFlags.CrcError)
