@@ -23,11 +23,20 @@ def bench_frontend(batch: int, span: int, reps: int) -> dict:
     rng = np.random.default_rng(0)
     blocks = (rng.random((batch, span), dtype=np.float32) * 0.4).astype(np.float32)
     dev = jax.device_put(blocks)
-    jax.block_until_ready(fn(dev))
+
+    def sync(res):
+        # block_until_ready does NOT block through a tunnel-attached chip
+        # (CLAUDE.md env notes): force completion by fetching a device-side
+        # scalar — in-order execution makes earlier dispatches complete too
+        leaf = jax.tree_util.tree_leaves(res)[0]
+        return float(leaf.sum())
+
+    sync(fn(dev))
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
         out = fn(dev)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     rate = batch * span / dt
     return {
@@ -66,6 +75,9 @@ def bench_decode(
 
 
 def main(argv=None) -> int:
+    from ..core.malloc_tune import malloc_tune
+
+    malloc_tune()  # bench-only: recycle large buffers without refaulting
     ap = argparse.ArgumentParser(prog="nfclab-bench")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--span", type=int, default=81920)

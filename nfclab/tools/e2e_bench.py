@@ -64,6 +64,9 @@ def main(argv=None) -> int:
     import glob
 
     from ..apps.bench_cli import bench_decode
+    from ..core.malloc_tune import malloc_tune
+
+    malloc_tune()  # bench-only: recycle large buffers without refaulting
 
     ap = argparse.ArgumentParser(prog="nfclab-e2e-bench")
     ap.add_argument("wav_dir", nargs="?", default="/root/reference/wav")

@@ -115,3 +115,10 @@ def test_decode_cli_logic_wav(tmp_path):
     assert atr and atr[0]["data"] == "3b:00"
     page = out.read_text()
     assert page.count("probe stream") == 4  # one wave strip per probe
+
+
+def test_malloc_tune_applies_and_is_idempotent():
+    from nfclab.core.malloc_tune import malloc_tune
+
+    assert malloc_tune() is True   # glibc on CI
+    assert malloc_tune() is True   # second call is a no-op
