@@ -187,7 +187,21 @@ def _decode(path: str, args):
     return dec.decode(samples, info.sample_rate), samples, info
 
 
+def _check_paths(paths) -> str | None:
+    """First missing input path, or None (friendly error beats a WAV-read
+    traceback; app-rx errors the same way)."""
+    for p in paths:
+        if not Path(p).exists():
+            return str(p)
+    return None
+
+
 def cmd_test(args) -> int:
+    missing = _check_paths(args.paths)
+    if missing:
+        print(f"error: no such file or directory: {missing}",
+              file=sys.stderr)
+        return 1
     paths: list[Path] = []
     for p in args.paths:
         p = Path(p)
@@ -214,6 +228,11 @@ def cmd_test(args) -> int:
 
 
 def cmd_run(args) -> int:
+    missing = _check_paths(args.paths)
+    if missing:
+        print(f"error: no such file or directory: {missing}",
+              file=sys.stderr)
+        return 1
     sections = []
     all_frames: list[Frame] = []
     for wav in args.paths:

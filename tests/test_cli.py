@@ -122,3 +122,12 @@ def test_malloc_tune_applies_and_is_idempotent():
 
     assert malloc_tune() is True   # glibc on CI
     assert malloc_tune() is True   # second call is a no-op
+
+
+def test_missing_input_friendly_error(capsys):
+    from nfclab.apps.decode_cli import main
+
+    assert main(["run", "/no/such/file.wav"]) == 1
+    assert main(["test", "/no/such/dir/"]) == 1
+    err = capsys.readouterr().err
+    assert "no such file or directory" in err
