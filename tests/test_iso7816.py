@@ -497,3 +497,31 @@ def test_channel_map_permuted_capture_decodes_identically():
         normalize_channel_map([0, 0, 1, 2], 4)
     with pytest.raises(ValueError):
         normalize_channel_map({"io": 9}, 4)
+
+
+def test_fuzz_t0_tpdu_exchanges():
+    """Randomized T=0 property sweep: random CLA/P1/P2, random data of
+    P3 length, random SW — every exchange must reassemble byte-exact with
+    clean flags (seeded; failures reproduce)."""
+    rng = np.random.default_rng(7)
+    w = _session_head()
+    for b in (0x3B, 0x00):
+        w.character(b)
+    w.hold(80_000)
+    sent = []
+    for _ in range(6):
+        ins = 0xA4            # even, != 0x60/0x6X per ISO7816-3 T=0
+        p3 = int(rng.integers(1, 12))
+        data = [int(x) for x in rng.integers(0, 256, p3)]
+        sw = [0x90, int(rng.integers(0, 256))]
+        tpdu = [int(rng.integers(0, 256)) & 0xFE, ins,
+                int(rng.integers(0, 256)), int(rng.integers(0, 256)),
+                p3, ins] + data + sw
+        for b in tpdu:
+            w.character(b)
+        w.hold(80_000)
+        sent.append(bytes(tpdu))
+    frames = IsoDecoder().decode(w.build(), SAMPLE_RATE)
+    ex = [f for f in frames if f.frame_type == int(FrameType.IsoExchangeFrame)]
+    assert [f.data for f in ex] == sent
+    assert all(not f.has_flags(FrameFlags.ParityError) for f in ex)
