@@ -288,6 +288,11 @@ def _load():
             ctypes.POINTER(NfcFeedJob),
         ]
         lib.nfclab_feed_ext.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.nfclab_merge_sorted.argtypes = [
+            ctypes.POINTER(i64p), i64p, ctypes.c_int32, i64p, i64p,
+        ]
+        lib.nfclab_merge_sorted.restype = None
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -773,3 +778,36 @@ def collect_cross_ext_native(x, start, n, thr, op):
     return idx[:count]  # scratch view; consume before the next scan
 
 
+
+
+_MERGE_SCRATCH: np.ndarray | None = None
+
+
+def _merge_scratch(n: int) -> np.ndarray:
+    """Reused int64 scratch for the k-way merge (fresh pages would refault
+    every call on this host — see CLAUDE.md env notes)."""
+    global _MERGE_SCRATCH
+    if _MERGE_SCRATCH is None or len(_MERGE_SCRATCH) < n:
+        _MERGE_SCRATCH = np.empty(max(n, 1 << 16), np.int64)
+    return _MERGE_SCRATCH
+
+
+def merge_sorted_native(parts: list[np.ndarray]) -> np.ndarray | None:
+    """K-way merge of sorted int64 index arrays (the detect-candidate
+    union) — O(n log k) sequential passes, no concatenate copy + sort.
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    k = len(parts)
+    total = sum(len(p) for p in parts)
+    out = np.empty(total, np.int64)
+    scratch = _merge_scratch(total)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ptrs = (i64p * k)(*(p.ctypes.data_as(i64p) for p in parts))
+    lens = np.array([len(p) for p in parts], np.int64)
+    lib.nfclab_merge_sorted(
+        ptrs, lens.ctypes.data_as(i64p), ctypes.c_int32(k),
+        out.ctypes.data_as(i64p), scratch.ctypes.data_as(i64p),
+    )
+    return out

@@ -10,8 +10,10 @@
 // extend a channel over newly conditioned samples in O(block) while staying
 // bit-identical to a fresh full-stream pass (the op sequence is the same).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -688,6 +690,55 @@ void nfclab_box_multi_ext(const float *value, const float *filt, int64_t n,
         const float *src = jobs[c].kind == FX_BOX_SUM ? value : filt;
         run_box_group(jobs[c].kind, src, n, jobs[c].start, grp, m);
     }
+}
+
+// k-way merge of sorted int64 arrays (the detect-candidate union: per-tech
+// trigger indices + carrier run starts are each ascending).  Iterative
+// pairwise std::merge passes between out and scratch — O(n log k) fully
+// sequential, replacing the host's concatenate-copy + comparison sort.
+// Duplicates are kept (harmless to the idle scan).  Result lands in out.
+void nfclab_merge_sorted(const int64_t **srcs, const int64_t *lens,
+                         int32_t k, int64_t *out, int64_t *scratch)
+{
+    if (k <= 0)
+        return;
+    // round 0 merges straight from the sources (no gather pass)
+    std::vector<int64_t> off(1, 0);
+    int64_t *a = out;
+    int64_t *b = scratch;
+    int32_t nseg = 0;
+    {
+        int64_t w = 0;
+        for (int32_t i = 0; i < k; i += 2) {
+            if (i + 1 < k)
+                std::merge(srcs[i], srcs[i] + lens[i],
+                           srcs[i + 1], srcs[i + 1] + lens[i + 1], a + w),
+                    w += lens[i] + lens[i + 1];
+            else
+                std::copy(srcs[i], srcs[i] + lens[i], a + w), w += lens[i];
+            off.push_back(w);
+            nseg++;
+        }
+    }
+    while (nseg > 1) {
+        int32_t w = 0;
+        std::vector<int64_t> noff(1, 0);
+        for (int32_t i = 0; i < nseg; i += 2) {
+            if (i + 1 < nseg) {
+                std::merge(a + off[i], a + off[i + 1],
+                           a + off[i + 1], a + off[i + 2], b + off[i]);
+            } else {
+                std::copy(a + off[i], a + off[i + 1], b + off[i]);
+            }
+            noff.push_back(off[std::min(i + 2, nseg)]);
+            w++;
+        }
+        off = std::move(noff);
+        std::swap(a, b);
+        nseg = w;
+    }
+    if (a != out)
+        std::copy(a, a + off[nseg], out);
 }
 
 } // extern "C"

@@ -367,8 +367,12 @@ def _candidate_union(carrier, techs):
             if not mi:
                 return None, ()
             srcs.extend(mi)
-    parts = [np.asarray(a, np.int64) for a in srcs]
-    out = np.sort(np.concatenate(parts))  # duplicates are harmless
+    parts = [np.ascontiguousarray(a, np.int64) for a in srcs]
+    from ..native.binding import merge_sorted_native
+
+    out = merge_sorted_native(parts)  # k-way merge of the sorted sources
+    if out is None:
+        out = np.sort(np.concatenate(parts))  # duplicates are harmless
     return np.ascontiguousarray(out), tuple(srcs)
 
 
