@@ -62,6 +62,11 @@ class MonitorState:
         self._prev_time = None
         self._spectrum: list | None = None
         self._spectrum_rate = 0
+        # rolling waterfall (GUI frequencyView role): u8-quantized rows,
+        # newest last; fixed dB window over the linear FFT magnitudes
+        self._wf_bins = 128
+        self._wf_floor, self._wf_ceil = -70.0, 46.0
+        self._waterfall: deque = deque(maxlen=180)
         # rolling wave strips from the adaptive render stream
         # (SignalResamplingTask parity: value+offset pairs); logic probes
         # render as one digital lane per channel
@@ -130,9 +135,17 @@ class MonitorState:
         k = max(1, len(mag) // self.spectrum_bins)
         if k > 1:
             mag = mag[: (len(mag) // k) * k].reshape(-1, k).max(axis=1)
+        # waterfall row: coarser bins, quantized to u8 over a fixed dB
+        # span (the GUI's QuantizeView role) so rows serialize compactly
+        wk = max(1, len(mag) // self._wf_bins)
+        row = mag[: (len(mag) // wk) * wk].reshape(-1, wk).max(axis=1)
+        db = 20.0 * np.log10(row + 1e-9)
+        q = np.clip((db - self._wf_floor) *
+                    (255.0 / (self._wf_ceil - self._wf_floor)), 0, 255)
         with self._lock:
             self._spectrum = [round(float(v), 4) for v in mag]
             self._spectrum_rate = int(buf.sample_rate)
+            self._waterfall.append(q.astype(np.uint8).tolist())
 
     def _on_wave(self, buf):
         if buf is None or not getattr(buf, "valid", False):
@@ -178,6 +191,7 @@ class MonitorState:
                 "total_frames": self._count,
                 "spectrum": self._spectrum,
                 "spectrum_rate": self._spectrum_rate,
+                "waterfall": list(self._waterfall),
                 "wave": list(self._wave),
                 "logic_wave": {
                     ch: list(lane)
@@ -233,7 +247,11 @@ td.tree { font-family:ui-monospace,monospace; white-space:normal; }
 <div class="panel"><div class="status" id="status"></div></div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
 Spectrum (dB, full span)</div>
-<svg id="spec" preserveAspectRatio="none"></svg><div id="tip"></div></div>
+<svg id="spec" preserveAspectRatio="none"></svg><div id="tip"></div>
+<div style="color:var(--ink2);margin:8px 0 6px">Waterfall (trailing
+frames, newest at bottom)</div>
+<canvas id="wf" style="width:100%;height:140px;display:block;
+image-rendering:pixelated;border-radius:4px"></canvas></div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
 Signal (adaptive render stream, trailing window)</div>
 <svg id="wave" preserveAspectRatio="none" style="width:100%;height:120px;
@@ -284,10 +302,38 @@ async function tick() {
     renderTable(d);
     lastSpec = d.spectrum;
     drawSpec();
+    drawWaterfall(d.waterfall || []);
     drawWave(d.wave);
     drawLanes(d.logic_wave || {});
   } catch (e) {}
   setTimeout(tick, 500);
+}
+// sequential single-hue ramp (dark surface -> series hue -> white) over
+// the u8-quantized dB rows; identity is magnitude, so one hue only
+function wfColor(v) {
+  const t = v / 255;
+  if (t < 0.5) { const u = t * 2;
+    return [22 + u * (62 - 22), 24 + u * (114 - 24), 29 + u * (196 - 29)]; }
+  const u = (t - 0.5) * 2;
+  return [62 + u * (255 - 62), 114 + u * (255 - 114), 196 + u * (255 - 196)];
+}
+function drawWaterfall(rows) {
+  const cv = document.getElementById('wf');
+  if (!rows.length) { return; }
+  const W = rows[0].length, H = rows.length;
+  if (cv.width != W || cv.height != H) { cv.width = W; cv.height = H; }
+  const ctx = cv.getContext('2d');
+  const img = ctx.createImageData(W, H);
+  for (let y = 0; y < H; y++) {
+    const row = rows[y];
+    for (let x = 0; x < W; x++) {
+      const [r, g, b] = wfColor(row[x]);
+      const o = (y * W + x) * 4;
+      img.data[o] = r; img.data[o + 1] = g; img.data[o + 2] = b;
+      img.data[o + 3] = 255;
+    }
+  }
+  ctx.putImageData(img, 0, 0);
 }
 let lastData = null;
 function tickNow() { if (lastData) renderTable(lastData); }

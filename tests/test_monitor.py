@@ -159,3 +159,32 @@ def test_monitor_logic_wave_lanes():
     finally:
         ex.shutdown()
         monitor.stop()
+
+
+def test_monitor_waterfall_rows():
+    """FFT buffers accumulate u8-quantized waterfall rows (frequencyView
+    role): bounded history, fixed bin count, newest last."""
+    from nfclab.apps.monitor import MonitorState
+    from nfclab.hw import SignalBuffer, SignalType
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    state = MonitorState()
+    try:
+        fft = Subject.name("signal.fft")
+        rng = np.random.default_rng(0)
+        for i in range(200):   # beyond the history cap
+            mag = rng.random(1024).astype(np.float32) * (0.01 + i * 0.01)
+            fft.next(SignalBuffer(
+                mag, 10_000_000, 0,
+                signal_type=SignalType.SIGNAL_TYPE_FFT_BIN,
+            ))
+        snap = state.snapshot()
+        wf = snap["waterfall"]
+        assert len(wf) == 180          # deque cap
+        assert all(len(r) == 128 for r in wf)
+        assert all(0 <= v <= 255 for v in wf[-1])
+        # louder rows quantize higher: last row's mean above first's
+        assert (sum(wf[-1]) / 128) > (sum(wf[0]) / 128)
+    finally:
+        state.close()
