@@ -144,3 +144,24 @@ def test_python_fsm_agrees_on_b_listen_signals(monkeypatch):
     # poll + truncated listen, then poll; the final cut wedges the tech
     assert len(pure) == 3
     assert pure[1].has_flags(FrameFlags.Truncated)
+
+
+def test_bad_stop_on_zero_byte_reads_as_eof():
+    """A logic-0 stop bit on a ZERO byte forms exactly the B EOF
+    character (start 0 + 8 zero bits + 0), so the frame ends CLEANLY
+    with the bytes so far — no Truncated flag, just the failing CRC
+    (NfcB.cpp:604-608 checks frame-end before stream-error)."""
+    w = BListenWriter()
+    w.frame(REQB)
+    w.listen_frame(ATQB, bad_stop_at=1)   # ATQB[1] == 0x56 -> truncates
+    w.gap()
+    w.frame(REQB)
+    # REQB-like response: byte 2 is 0x00 -> bad stop there = EOF
+    w.listen_frame(REQB, bad_stop_at=2)
+    frames = decode(w.build())
+    assert len(frames) == 4
+    assert frames[1].data == ATQB[:1]
+    assert frames[1].has_flags(FrameFlags.Truncated)
+    assert frames[3].data == REQB[:2]
+    assert not frames[3].has_flags(FrameFlags.Truncated)
+    assert frames[3].has_flags(FrameFlags.CrcError)

@@ -163,3 +163,60 @@ def test_fused_extend_matches_lazy(fixture_dir, monkeypatch):
     assert set(chans_f) == set(chans_l)
     for key in chans_f:
         assert np.array_equal(chans_f[key], chans_l[key]), key
+
+
+def test_windowed_matches_batch_on_adversarial_errors():
+    """Windowed streaming must reproduce the BATCH decode exactly on
+    error-injected waveforms (flags included) — error-path state must
+    survive window compaction, not just the fixtures' happy paths."""
+    from nfca_bpsk_synth import A424Writer
+    from nfca_synth import PollWriter, crc_a
+    from nfcb_synth import BListenWriter, crc_b
+
+    from nfclab.runtime.decoder import NfcDecoder
+    from nfclab.runtime.streaming import StreamingNfcDecoder
+
+    # A: parity-flipped poll; A BPSK: parity + trailing bits; B: bad stop
+    wa = PollWriter()
+    wa.frame(b"\x52\x77", flip_parity_at=1)
+    wa.gap()
+    bad = bytearray(b"\x50\x00" + crc_a(b"\x50\x00"))
+    bad[-1] ^= 0x01
+    wa.frame(bytes(bad))
+
+    wb = A424Writer()
+    body = b"\x0a\x00" + crc_a(b"\x0a\x00")
+    wb.frame(body)
+    wb.listen_frame(body, delay=900, flip_parity_at=1)
+
+    wc = BListenWriter()
+    reqb = b"\x05\x00\x00" + crc_b(b"\x05\x00\x00")
+    wc.frame(reqb)
+    # bad stop on a NONZERO byte: a zero byte with a 0 stop bit is
+    # indistinguishable from the B EOF character (clean end, no error)
+    wc.listen_frame(reqb, delay=2000, bad_stop_at=3)
+
+    sig = np.concatenate([
+        wa.build(), wb.build(), wc.build(),
+        np.full(200_000, np.float32(0.5)),
+    ])
+
+    from nfclab.core.frame import FrameType
+
+    batch = NfcDecoder().decode(sig, 10_000_000)
+
+    stream = StreamingNfcDecoder(10_000_000, window=1 << 20)
+    got = []
+    for off in range(0, len(sig), 40_000):
+        got.extend(stream.feed(sig[off : off + 40_000]))
+    got.extend(stream.finish())
+    # the live path ends with a carrier-status frame at EOF (reference
+    # NfcDecoder.cpp invalid-buffer branch, which the offline test-sdr
+    # loop never reaches — batch matches test-sdr, streaming the task)
+    assert got[-1].frame_type == int(FrameType.NfcCarrierOn)
+    assert got[-1].sample_start == len(sig) - 1
+    assert got[:-1] == batch
+    from nfclab.core.frame import FrameFlags
+
+    assert any(f.has_flags(FrameFlags.ParityError) for f in got)
+    assert any(f.has_flags(FrameFlags.Truncated) for f in got)
