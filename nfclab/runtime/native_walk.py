@@ -328,7 +328,7 @@ def _build_detect_args(ctx, carrier, techs):
     # Python walk's next_interesting consults) + carrier crossing run
     # starts.  When every FSM is idle, the native loop binary-searches this
     # instead of re-deriving engage conditions per sample.
-    cand, cand_srcs = _candidate_union(carrier, techs)
+    cand, cand_srcs = _candidate_union(carrier, techs, ctx)
     if cand is not None and len(cand):
         args += [_ptr_i64(cand), ctypes.c_int64(len(cand))]
     else:
@@ -349,13 +349,30 @@ def _build_detect_args(ctx, carrier, techs):
     }
 
 
-def _candidate_union(carrier, techs):
+def _merge_parts(parts):
+    from ..native.binding import merge_sorted_native
+
+    out = merge_sorted_native(parts)  # k-way merge of the sorted sources
+    if out is None:
+        out = np.sort(np.concatenate(parts))  # duplicates are harmless
+    return np.ascontiguousarray(out)
+
+
+def _candidate_union(carrier, techs, ctx=None):
     """(union, sources): sorted int64 union of every idle-engage candidate
     clock — per-tech detect-trigger indices + carrier hysteresis run starts
     — plus the source arrays (retained by the caller so the address-keyed
     cache stays sound).  (None, ()) when any tech's mask indices are
     unavailable (the C++ IdleScan then re-derives engage conditions per
-    sample, the pre-candidate behavior)."""
+    sample, the pre-candidate behavior).
+
+    Streaming fast path: index channels only ever APPEND entries beyond the
+    previous feed's clocks, so when every source kept its buffer and only
+    grew, the new tails merge among themselves and append to the cached
+    union — O(new) per feed instead of a full O(total) rebuild (which made
+    the union ~2/3 of dense live-decode time).  A monotonicity guard (tail
+    head must exceed the cached union's last clock) falls back to the full
+    rebuild, so correctness never rests on the append-only invariant."""
     srcs = [carrier._above_idx, carrier._below_idx]
     for te in techs:
         mi = getattr(te, "_mask_idx", None)
@@ -368,12 +385,51 @@ def _candidate_union(carrier, techs):
                 return None, ()
             srcs.extend(mi)
     parts = [np.ascontiguousarray(a, np.int64) for a in srcs]
-    from ..native.binding import merge_sorted_native
 
-    out = merge_sorted_native(parts)  # k-way merge of the sorted sources
-    if out is None:
-        out = np.sort(np.concatenate(parts))  # duplicates are harmless
-    return np.ascontiguousarray(out), tuple(srcs)
+    state = getattr(ctx, "_nw_union", None) if ctx is not None else None
+    if state is not None and len(state["sig"]) == len(parts):
+        tails = []
+        ok = True
+        for (ptr, n0), p in zip(state["sig"], parts):
+            if p.ctypes.data != ptr or len(p) < n0:
+                ok = False
+                break
+            if len(p) > n0:
+                tails.append(p[n0:])
+        if ok:
+            used = state["used"]
+            if tails:
+                heads = min(int(t[0]) for t in tails)
+                if used and heads <= int(state["buf"][used - 1]):
+                    ok = False  # invariant violated: full rebuild
+                else:
+                    add = (
+                        tails[0] if len(tails) == 1 else _merge_parts(tails)
+                    )
+                    buf = state["buf"]
+                    if used + len(add) > len(buf):
+                        nbuf = np.empty(
+                            max(len(buf) * 2, used + len(add)), np.int64
+                        )
+                        nbuf[:used] = buf[:used]
+                        buf = state["buf"] = nbuf
+                    buf[used : used + len(add)] = add
+                    state["used"] = used + len(add)
+            if ok:
+                state["sig"] = [(p.ctypes.data, len(p)) for p in parts]
+                return state["buf"][: state["used"]], tuple(srcs)
+
+    out = _merge_parts(parts)
+    if ctx is not None:
+        buf = np.empty(max(len(out) * 2, 1024), np.int64)
+        buf[: len(out)] = out
+        ctx._nw_union = {
+            "sig": [(p.ctypes.data, len(p)) for p in parts],
+            "buf": buf,
+            "used": len(out),
+        }
+        return buf[: len(out)], tuple(srcs)
+    return out, tuple(srcs)
 
 
 def _detect_key(ctx, techs, carrier=None):
