@@ -335,13 +335,15 @@ def _build_detect_args(ctx, carrier, techs):
         args += [_ptr_i64(_EMPTY_I64), ctypes.c_int64(0)]
 
     return {
-        "key": _detect_key(ctx, techs, carrier),
+        "stable": _detect_stable_key(ctx, techs),
+        "vol": _detect_volatile_key(carrier, techs),
         "args": args,
+        "cand_pos": len(args) - 2,
         "scalars": (t0_c, t1_c, on_c, off_c),
         "packs": packs,
         # param + candidate arrays stay alive with the cache entry.  The
-        # union's SOURCE arrays are retained too: _detect_key identifies
-        # them by (address, length), which is only collision-free while the
+        # union's SOURCE arrays are retained too: the keys identify them
+        # by (address, length), which is only collision-free while the
         # originals stay allocated (a freed array's block could be recycled
         # for a same-size replacement with different clocks, silently
         # reusing a stale union)
@@ -432,7 +434,11 @@ def _candidate_union(carrier, techs, ctx=None):
     return out, tuple(srcs)
 
 
-def _detect_key(ctx, techs, carrier=None):
+def _detect_stable_key(ctx, techs):
+    """Pointers the prepared ctypes argument list bakes in: cond + box
+    channel bases.  Unchanged across streaming appends (growable buffers
+    keep their base); any window shift / reallocation changes it and
+    forces a full rebuild."""
     cond = ctx.cond
     key = [id(techs)]
     for arr in (cond.envelope, cond.filtered, cond.mod_depth, cond.value,
@@ -449,14 +455,20 @@ def _detect_key(ctx, techs, carrier=None):
                 key.append(_vaddr(te._box[1]))
         elif name == "NfcVTech":
             key.append(_vaddr(te._box))
-        # the candidate union is rebuilt whenever any trigger-index channel
-        # is replaced or extended (streaming rebind / feed growth)
+    return tuple(key)
+
+
+def _detect_volatile_key(carrier, techs):
+    """The candidate-union inputs: trigger-index channels grow every feed,
+    so only the union slots of the cached args refresh when this part
+    changes (the full ctypes rebuild was ~3 ms/feed of live decode)."""
+    key = []
+    for te in techs:
         mi = getattr(te, "_mask_idx", None)
         if isinstance(mi, np.ndarray):
             key.append((mi.ctypes.data, len(mi)))
         elif mi:
             key.extend((a.ctypes.data, len(a)) for a in mi)
-    # carrier crossing channels (run starts) feed the union too
     if carrier is not None:
         key.append((carrier._above_idx.ctypes.data, len(carrier._above_idx)))
         key.append((carrier._below_idx.ctypes.data, len(carrier._below_idx)))
@@ -474,10 +486,24 @@ def run_native_detect_all(ctx, carrier, techs, t0: int, t1: int) -> int:
         return t0
 
     cache = getattr(ctx, "_nw_detect", None)
-    if cache is None or cache["key"] != _detect_key(ctx, techs, carrier):
+    if cache is None or cache["stable"] != _detect_stable_key(ctx, techs):
         cache = _build_detect_args(ctx, carrier, techs)
         ctx._nw_detect = cache
     else:
+        vol = _detect_volatile_key(carrier, techs)
+        if cache["vol"] != vol:
+            # index channels grew: refresh only the union argument slots
+            cand, cand_srcs = _candidate_union(carrier, techs, ctx)
+            args = cache["args"]
+            pos = cache["cand_pos"]
+            if cand is not None and len(cand):
+                args[pos] = _ptr_i64(cand)
+                args[pos + 1] = ctypes.c_int64(len(cand))
+            else:
+                args[pos] = _ptr_i64(_EMPTY_I64)
+                args[pos + 1] = ctypes.c_int64(0)
+            cache["keep"] = cache["keep"][:4] + (cand, cand_srcs)
+            cache["vol"] = vol
         for st, mods, _ in cache["packs"]:
             _pack_into(st, mods)
 
