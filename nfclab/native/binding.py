@@ -780,16 +780,22 @@ def collect_cross_ext_native(x, start, n, thr, op):
 
 
 
-_MERGE_SCRATCH: np.ndarray | None = None
+_merge_tls = None
 
 
 def _merge_scratch(n: int) -> np.ndarray:
-    """Reused int64 scratch for the k-way merge (fresh pages would refault
-    every call on this host — see CLAUDE.md env notes)."""
-    global _MERGE_SCRATCH
-    if _MERGE_SCRATCH is None or len(_MERGE_SCRATCH) < n:
-        _MERGE_SCRATCH = np.empty(max(n, 1 << 16), np.int64)
-    return _MERGE_SCRATCH
+    """Reused per-thread int64 scratch for the k-way merge (fresh pages
+    would refault every call on this host — see CLAUDE.md env notes).
+    Thread-local: decode_batch merges from concurrent workers."""
+    global _merge_tls
+    if _merge_tls is None:
+        import threading
+
+        _merge_tls = threading.local()
+    buf = getattr(_merge_tls, "buf", None)
+    if buf is None or len(buf) < n:
+        buf = _merge_tls.buf = np.empty(max(n, 1 << 16), np.int64)
+    return buf
 
 
 def merge_sorted_native(parts: list[np.ndarray]) -> np.ndarray | None:

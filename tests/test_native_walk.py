@@ -32,3 +32,33 @@ def test_merge_sorted_native_property():
         ]
         got = merge_sorted_native(parts)
         assert np.array_equal(got, np.sort(np.concatenate(parts))), trial
+
+
+def test_merge_sorted_native_concurrent():
+    """Per-thread scratch: concurrent merges (decode_batch workers) must
+    not alias each other's buffers."""
+    import threading
+
+    from nfclab.native.binding import merge_sorted_native
+
+    errs = []
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(100):
+            parts = [
+                np.sort(r.integers(0, 100_000, int(r.integers(100, 5000))))
+                .astype(np.int64)
+                for _ in range(int(r.integers(2, 9)))
+            ]
+            got = merge_sorted_native(parts)
+            if not np.array_equal(got, np.sort(np.concatenate(parts))):
+                errs.append(seed)
+                return
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
