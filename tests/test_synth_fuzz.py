@@ -145,3 +145,31 @@ def test_fuzz_nfcv_exchanges():
     frames = _decode(w.build(), enable_nfcv=True)
     assert [f.data for f in frames] == sent
     assert _clean(frames)
+
+
+@pytest.mark.parametrize("rate", [8_000_000, 12_000_000])
+def test_rate_generic_decode(rate, fixture_dir):
+    """The decoder is sample-rate generic (bitrate tables, correlator
+    widths and FWT windows all derive from the rate): a reference capture
+    linearly resampled to another rate must reproduce the golden bytes
+    exactly.  (5 MS/s is excluded by physics, not by the decoder: the
+    848 kHz ASK-listen subcarrier is Nyquist-marginal through naive
+    interpolation and the listen tails degrade.)"""
+    from nfclab.io.golden import read_golden_frames
+    from nfclab.io.wav import read_wav
+
+    s, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    want = [
+        f.data for f in read_golden_frames(
+            str(fixture_dir / "test_NFC-A_106kbps_001.json")
+        )
+    ]
+    n2 = int(len(s) * rate / info.sample_rate)
+    t2 = np.arange(n2) * (info.sample_rate / rate)
+    sig = np.interp(t2, np.arange(len(s)), s).astype(np.float32)
+    got = [
+        f.data for f in NfcDecoder().decode(sig, rate)
+        if f.frame_type in (int(FrameType.NfcPollFrame),
+                            int(FrameType.NfcListenFrame))
+    ]
+    assert got == want
