@@ -318,6 +318,13 @@ struct RtlApi {
     int (*read_async)(void *, void (*)(unsigned char *, uint32_t, void *),
                       void *, uint32_t, uint32_t) = nullptr;
     int (*cancel_async)(void *) = nullptr;
+    // miri-only bring-up surface (MiriDevice.cpp:149-165); absent from
+    // librtlsdr, loaded opportunistically
+    int (*set_hw_flavour)(void *, int) = nullptr;
+    int (*set_bandwidth)(void *, uint32_t) = nullptr;
+    int (*set_sample_format)(void *, char *) = nullptr;
+    int (*set_transfer)(void *, char *) = nullptr;
+    int (*set_if_freq)(void *, uint32_t) = nullptr;
 };
 
 RtlApi load_rtl(const char *const *libnames, const char *prefix)
@@ -339,6 +346,11 @@ RtlApi load_rtl(const char *const *libnames, const char *prefix)
         && sym(h, (p + "_cancel_async").c_str(), a.cancel_async);
     sym(h, (p + "_set_agc_mode").c_str(), a.set_agc_mode);            // opt
     sym(h, (p + "_set_direct_sampling").c_str(), a.set_direct_sampling);
+    sym(h, (p + "_set_hw_flavour").c_str(), a.set_hw_flavour);        // miri
+    sym(h, (p + "_set_bandwidth").c_str(), a.set_bandwidth);
+    sym(h, (p + "_set_sample_format").c_str(), a.set_sample_format);
+    sym(h, (p + "_set_transfer").c_str(), a.set_transfer);
+    sym(h, (p + "_set_if_freq").c_str(), a.set_if_freq);
     if (ok)
         a.handle = h;
     return a;
@@ -373,6 +385,8 @@ struct RtlDevice {
     double gain = 0;
     double agc = 0;
     double direct = 0;
+    bool s16 = false;         // miri 384_S16 stream: 16-bit I/Q values
+    bool gain_tenths = true;  // librtlsdr takes tenths of dB, miri plain dB
     nfclab_stream_cb cb = nullptr;
     void *user = nullptr;
     std::atomic<bool> running {false};
@@ -384,12 +398,24 @@ struct RtlDevice {
 void rtl_rx(unsigned char *buf, uint32_t len, void *ctx)
 {
     auto *d = static_cast<RtlDevice *>(ctx);
-    if (d->block.size() < len)
-        d->block.resize(len);
-    for (uint32_t i = 0; i < len; i++)
-        d->block[i] = (buf[i] - 127.5f) / 127.5f;
-    d->cb(d->block.data(), static_cast<int64_t>(len), d->offset, d->user);
-    d->offset += len;
+    uint32_t n = len;
+    if (d->s16) {
+        // miri 384_S16: interleaved 16-bit I/Q, scaled -32768..32767 -> ±1
+        // (MiriDevice.cpp process_transfer semantics; len is in bytes)
+        n = len / 2;
+        if (d->block.size() < n)
+            d->block.resize(n);
+        const int16_t *data = reinterpret_cast<const int16_t *>(buf);
+        for (uint32_t i = 0; i < n; i++)
+            d->block[i] = data[i] / 32768.0f;
+    } else {
+        if (d->block.size() < n)
+            d->block.resize(n);
+        for (uint32_t i = 0; i < n; i++)
+            d->block[i] = (buf[i] - 127.5f) / 127.5f;
+    }
+    d->cb(d->block.data(), static_cast<int64_t>(n), d->offset, d->user);
+    d->offset += n;
 }
 
 int rtl_enumerate(RtlApi &api, const char *scheme, char *out, int out_len)
@@ -436,9 +462,10 @@ int rtl_set(void *vd, int param, double value)
         case 1002:
             d->gain_mode = value;
             return a.set_tuner_gain_mode(d->dev, (int)value);
-        case 1003:  // dB -> tenths of dB (librtlsdr convention)
+        case 1003:  // dB -> tenths of dB (librtlsdr convention; miri in dB)
             d->gain = value;
-            return a.set_tuner_gain(d->dev, (int)(value * 10.0));
+            return a.set_tuner_gain(
+                d->dev, (int)(value * (d->gain_tenths ? 10.0 : 1.0)));
         case 1005:
             d->agc = value;
             return a.set_agc_mode ? a.set_agc_mode(d->dev, (int)value) : -1;
@@ -510,7 +537,27 @@ void *rtlsdr_open_tr(const char *ident)
 int miri_enum_tr(char *out, int len)
 { return rtl_enumerate(mirisdr_api(), "mirisdr", out, len); }
 void *miri_open_tr(const char *ident)
-{ return rtl_open(mirisdr_api(), ident); }
+{
+    // MSi2500 bring-up (MiriDevice.cpp:149-165): hw flavour, 8 MHz
+    // bandwidth, 10+2-bit "384_S16" sample format, BULK transfers, zero-IF
+    auto *d = static_cast<RtlDevice *>(rtl_open(mirisdr_api(), ident));
+    if (!d)
+        return nullptr;
+    RtlApi &a = *d->api;
+    d->s16 = true;
+    d->gain_tenths = false;
+    if (a.set_hw_flavour)
+        a.set_hw_flavour(d->dev, 0);  // MIRISDR_HW_DEFAULT
+    if (a.set_bandwidth)
+        a.set_bandwidth(d->dev, 8000000);
+    if (a.set_sample_format)
+        a.set_sample_format(d->dev, const_cast<char *>("384_S16"));
+    if (a.set_transfer)
+        a.set_transfer(d->dev, const_cast<char *>("BULK"));
+    if (a.set_if_freq)
+        a.set_if_freq(d->dev, 0);
+    return d;
+}
 
 }  // namespace
 

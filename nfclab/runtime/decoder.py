@@ -283,14 +283,24 @@ class NfcDecoder:
                 ctx.channels, tpu_channels, sample_rate,
                 self.power_level_threshold, thresholds=self.thresholds,
             )
-        # build every always-needed box channel in one fused native pass
-        # (independent f64 chains interleave; per-tech lazy builds would
-        # run them serially, each chain-latency-bound) — no-op for entries
-        # a device frontend already preloaded
-        from ..dsp.tpu_channels import channel_plan
+        # build every box channel an ENABLED tech will bind in one fused
+        # native pass (independent f64 chains interleave; per-tech lazy
+        # builds would run them serially, each chain-latency-bound) — no-op
+        # for entries a device frontend already preloaded.  bv consumers:
+        # A = every A-rate period2, F = the 212/424k subset, V = its own
+        # period2; B binds no box channel.
+        from ..core.params import nfca_bitrates
+        from ..demod.nfcv import nfcv_bitrate
 
-        plan = channel_plan(sample_rate)
-        ctx.channels.warm_boxes([("bv", w) for w in plan["bv"]])
+        bra = nfca_bitrates(sample_rate)
+        widths: set[int] = set()
+        if self.enable_nfca:
+            widths.update(br.period2 for br in bra)
+        if self.enable_nfcf:
+            widths.update(br.period2 for br in bra[1:])
+        if self.enable_nfcv:
+            widths.add(nfcv_bitrate(sample_rate).period2)
+        ctx.channels.warm_boxes([("bv", w) for w in sorted(widths)])
         carrier = CarrierDetector(ctx)
         techs = self._make_techs(ctx)
         for tech in techs:

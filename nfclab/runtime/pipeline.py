@@ -153,6 +153,11 @@ class RadioSourceTask(Task):
         self.update_status("streaming")
         rate = 0
         while not self.terminated and not self.device.is_eof():
+            self.handle_commands()
+            if not self.streaming:  # Stop command: pause the replay
+                self._stop_flush = False
+                self._terminated.wait(0.05)
+                continue
             buf = self.device.read(self.block)
             rate = buf.sample_rate
             if buf.signal_type == SignalType.SIGNAL_TYPE_RADIO_IQ:
@@ -224,6 +229,12 @@ class LiveRadioSourceTask(Task):
         offset = 0
         blocks = 0
         while not self.terminated:
+            self.handle_commands()
+            if not self.streaming:  # Stopped via command: idle until Start
+                self._stop_flush = False
+                self.update_status("idle")
+                self._terminated.wait(0.05)
+                continue
             dev = self._attach()
             if dev is None or not dev.open():
                 self.update_status("absent")
@@ -244,6 +255,16 @@ class LiveRadioSourceTask(Task):
             done = self.terminated or (
                 self.duration_blocks and blocks >= self.duration_blocks
             )
+            if self._stop_flush and not done:
+                # Stop command mid-session (QtControl DecoderControlEvent
+                # Stop -> receiver task stop): end the decode session with an
+                # in-band EOF, then idle at the top of the loop until Start
+                self._stop_flush = False
+                self.iq_stream.next(
+                    SignalBuffer.eof(rate, SignalType.SIGNAL_TYPE_RADIO_IQ)
+                )
+                self.raw_stream.next(SignalBuffer.eof(rate))
+                continue
             if disconnected and self.reconnect and not done:
                 # in-band EOF then rescan, like the reference's hotplug loop
                 self.iq_stream.next(
@@ -307,6 +328,9 @@ class LiveRadioSourceTask(Task):
         agc_on = self.config.get(PARAM_GAIN_MODE) != 1
         disconnected = False
         while not self.terminated:
+            self.handle_commands()
+            if self._stop_flush:  # Stop command: end this capture session
+                break
             block = dev.read(timeout=0.25)
             if block is None:
                 continue
@@ -543,6 +567,7 @@ class ResamplingTask(Task):
     def run(self):
         self.update_status("streaming")
         while not self.terminated:
+            self.handle_commands()
             try:
                 buf = self.q.get(timeout=0.1)
             except queue.Empty:
@@ -594,6 +619,7 @@ class DeviceMonitorTask(Task):
     def run(self):
         self.update_status("scanning")
         while not self.terminated:
+            self.handle_commands()
             found = set(self.factory.enumerate(self.pattern))
             for ident in sorted(found - self.present):
                 self.update_status("attached", device=ident)
@@ -619,6 +645,11 @@ class LogicSourceTask(Task):
         self.update_status("streaming")
         rate = 0
         while not self.terminated and not self.device.is_eof():
+            self.handle_commands()
+            if not self.streaming:  # Stop command: pause the replay
+                self._stop_flush = False
+                self._terminated.wait(0.05)
+                continue
             buf = self.device.read(self.block)
             rate = buf.sample_rate
             self.raw_stream.next(buf)
@@ -670,6 +701,9 @@ class LiveLogicSourceTask(Task):
         blocks = 0
         carry = np.empty(0, np.float32)
         while not self.terminated:
+            self.handle_commands()
+            if self._stop_flush:  # Stop command: end this capture session
+                break
             block = dev.read(timeout=0.25)
             if block is None:
                 continue
@@ -719,6 +753,7 @@ class FourierTask(Task):
     def run(self):
         self.update_status("streaming")
         while not self.terminated:
+            self.handle_commands()
             try:
                 buf = self.q.get(timeout=0.1)
             except queue.Empty:
@@ -761,6 +796,7 @@ class SignalStorageTask(Task):
         self.device.open("write")
         self.update_status("recording")
         while not self.terminated:
+            self.handle_commands()
             try:
                 buf = self.q.get(timeout=0.1)
             except queue.Empty:
@@ -899,6 +935,7 @@ class TraceReplayTask(Task):
         for frame in frames:
             if self.terminated:
                 break
+            self.handle_commands()
             self.frame_stream.next(frame)
             rate = frame.sample_rate or rate
         for s in streams:

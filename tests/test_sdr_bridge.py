@@ -637,6 +637,89 @@ def test_mock_rtlsdr_usb_live_decode(fixture_dir, mock_rtlsdr, tmp_path):
     assert any(c.startswith("tuner_gain") for c in calls), calls
 
 
+@pytest.fixture(scope="module")
+def mock_mirisdr(tmp_path_factory):
+    import subprocess
+    from pathlib import Path
+
+    out_dir = tmp_path_factory.mktemp("mockmiri")
+    out = out_dir / "libmirisdr.so.0"
+    src = Path(__file__).parent / "mock_mirisdr.cpp"
+    subprocess.run(
+        ["g++", "-O1", "-shared", "-fPIC", "-std=c++17", "-o", str(out),
+         str(src)],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+def test_mock_mirisdr_usb_live_decode(fixture_dir, mock_mirisdr, tmp_path):
+    """MSi2500 bring-up parity (MiriDevice.cpp:149-165), hardware-free: a
+    mock libmirisdr streams a reference capture as int16 384_S16 IQ through
+    the REAL driver (usb_drivers.cpp miri_open_tr) + LiveRadioSourceTask +
+    RadioDecoderTask.  Asserts the miri-specific bring-up sequence (hw
+    flavour, 8 MHz bandwidth, 384_S16 sample format, BULK transfer, zero
+    IF) reached the "hardware", the int16 conversion decodes golden POLL
+    frames, and the AGC gain arrived in plain dB (not rtl tenths)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from nfclab.io.wav import read_wav
+
+    repo = Path(__file__).resolve().parent.parent
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    n = len(samples)
+    iq = np.zeros(2 * n, np.int16)
+    iq[0::2] = np.clip(
+        np.round(samples * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    payload_file = tmp_path / "payload.bin"
+    payload_file.write_bytes(iq.tobytes())
+    log_file = tmp_path / "calls.log"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    env["LD_LIBRARY_PATH"] = (
+        str(mock_mirisdr.parent) + os.pathsep + env.get("LD_LIBRARY_PATH", "")
+    )
+    env["NFCLAB_MOCK_MIRI_PAYLOAD"] = str(payload_file)
+    env["NFCLAB_MOCK_MIRI_LOG"] = str(log_file)
+    proc = subprocess.run(
+        [_sys.executable, str(Path(__file__).parent / "usb_radio_child.py"),
+         "mirisdr://0", str(info.sample_rate)],
+        capture_output=True, text=True, timeout=180, env=env, cwd=str(repo),
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("FRAMES:")]
+    assert line, (proc.stdout, proc.stderr)
+    frames = _json.loads(line[0][len("FRAMES:"):])
+    polls = [f for f in frames if f["frame_type"] == 0x102]
+    assert polls, f"no POLL frames decoded: {frames[:5]}"
+    assert polls[0]["data"] == "52"
+
+    calls = log_file.read_text().splitlines()
+    # the miri bring-up sequence, in open order (MiriDevice.cpp:149-165)
+    bringup = [c for c in calls if c.split()[0] in (
+        "hw_flavour", "bandwidth", "sample_format", "transfer", "if_freq")]
+    assert bringup == [
+        "hw_flavour 0",
+        "bandwidth 8000000",
+        "sample_format 384_S16",
+        "transfer BULK",
+        "if_freq 0",
+    ], calls
+    assert any(c.startswith("sample_rate") for c in calls)
+    # AGC stepped the tuner gain, in PLAIN dB: every rtl-family gain step
+    # is a multiple of 10 in tenths; a miri value above 0 and not
+    # rtl-scaled proves the dB path
+    gains = [int(c.split()[1]) for c in calls if c.startswith("tuner_gain")]
+    assert gains, calls
+    assert all(g <= 100 for g in gains), gains
+
+
 def test_usb_vendor_drivers_registered():
     """The dlopen vendor USB drivers (airspy/hydrasdr/rtlsdr/mirisdr) must
     be in the driver table; without the vendor libraries they enumerate
