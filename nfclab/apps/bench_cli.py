@@ -48,7 +48,7 @@ def bench_frontend(batch: int, span: int, reps: int) -> dict:
 
 def bench_decode(
     paths: list[str], frontend: str = "host", workers: int | None = None,
-    conditioner: str = "native",
+    conditioner: str = "native", pool: str = "process",
 ) -> dict:
     """Honest capture->frames rate: WAV read + frontend (host or the fused
     TPU kernel via dsp.tpu_channels) + the host event walk, wall clock.
@@ -60,7 +60,8 @@ def bench_decode(
     total = sum(len(read_wav(p)[0]) for p in paths)
     t0 = time.perf_counter()
     results = decode_batch(
-        paths, workers=workers, frontend=frontend, conditioner=conditioner
+        paths, workers=workers, frontend=frontend, conditioner=conditioner,
+        pool=pool,
     )
     dt = time.perf_counter() - t0
     frames = sum(len(v) for v in results.values())
@@ -91,6 +92,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument(
+        "--pool", choices=["process", "thread"], default="process",
+        help="walk fan-out: spawned processes, or threads (GIL-free "
+        "native walks; no interpreter boot / pickling overhead)",
+    )
+    ap.add_argument(
         "--conditioner", choices=["native", "jax", "device"],
         default="native",
         help="conditioning backend: native/jax for frontend=host; device "
@@ -106,7 +112,8 @@ def main(argv=None) -> int:
     if args.decode:
         print(json.dumps(
             bench_decode(
-                args.decode, args.frontend, args.workers, args.conditioner
+                args.decode, args.frontend, args.workers, args.conditioner,
+                args.pool,
             )
         ))
     return 0

@@ -227,8 +227,14 @@ def read_trace(path: str) -> tuple[list[Frame], list[SignalStream]]:
                         raw[:, 1].astype(np.int16)
                         | (raw[:, 2].astype(np.int16) << 8)
                     ).astype(np.int16)
-                    values[:] = np.cumsum(deltas.astype(np.int64)).astype(
-                        np.float32
+                    # the reference reader accumulates in a C `short`
+                    # (TraceStorageTask.cpp:853: sample += delta), so a
+                    # delta that overflowed i16 at write time wraps back
+                    # mod 2^16 — accumulate i64 then wrap to i16
+                    values[:] = (
+                        np.cumsum(deltas.astype(np.int64))
+                        .astype(np.int16)
+                        .astype(np.float32)
                     ) / np.float32(1 << 15)
                 signals.append(
                     SignalStream(sid, rate, kind, offsets, values, start)

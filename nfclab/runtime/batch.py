@@ -44,10 +44,18 @@ def decode_batch(
     workers: int | None = None,
     conditioner: str = "jax",
     frontend: str = "host",
+    pool: str = "process",
     **decoder_kwargs,
 ) -> dict[str, list[Frame]]:
     """Decode many wav captures: conditioning on the accelerator (in the
-    parent process), event walks across a process pool.
+    parent process), event walks across a worker pool.
+
+    pool="thread" fans the walks over threads instead of spawned
+    processes: the hot native calls (conditioning, detect walk, decode
+    FSMs) release the GIL for their ctypes duration, so threads scale on
+    few-core hosts without paying interpreter boot + sample pickling (the
+    native layer is thread-safe — per-thread scratch, the same property
+    the stream farm relies on).
 
     frontend="fused" additionally computes every correlator channel and the
     detect-trigger indices on the device with the fused Pallas kernel
@@ -161,13 +169,25 @@ def decode_batch(
     if workers is None:
         # spawn-pool overhead (interpreter boot + sample pickling) costs
         # more than it buys below ~4 cores — measured 9.7 MS/s serial vs
-        # 2.7 MS/s with a 2-worker spawn pool on a 2-core host
+        # 2.7 MS/s with a 2-worker spawn pool on a 2-core host; threads
+        # scale even there (GIL-free native walks)
         ncpu = os.cpu_count() or 1
-        workers = 1 if ncpu <= 2 else min(len(paths), ncpu)
+        if pool == "thread":
+            workers = min(len(paths), ncpu)
+        else:
+            workers = 1 if ncpu <= 2 else min(len(paths), ncpu)
     results: dict[str, list[Frame]] = {}
     if workers <= 1 or len(paths) == 1:
         for path, job in zip(paths, jobs):
             results[path] = _walk_one(job)
+        return results
+
+    if pool == "thread":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as tp:
+            for path, frames in zip(paths, tp.map(_walk_one, jobs)):
+                results[path] = frames
         return results
 
     # spawn, not fork: the parent may hold live jax/XLA threads (device
@@ -175,7 +195,7 @@ def decode_batch(
     # risks deadlock in the children
     with ProcessPoolExecutor(
         max_workers=workers, mp_context=multiprocessing.get_context("spawn")
-    ) as pool:
-        for path, frames in zip(paths, pool.map(_walk_one, jobs)):
+    ) as pp:
+        for path, frames in zip(paths, pp.map(_walk_one, jobs)):
             results[path] = frames
     return results

@@ -52,7 +52,7 @@ class StreamingNfcDecoder:
     10 MS/s), so the default when enabled should be >= 2**20."""
 
     def __init__(self, sample_rate: int, window: int | None = None,
-                 slack: int = 4, **decoder_kwargs):
+                 slack: int = 3, **decoder_kwargs):
         if window is not None and window < (1 << 16):
             raise ValueError(
                 "window must be >= 65536 samples (and must exceed the "

@@ -82,6 +82,49 @@ def main(argv=None) -> int:
     paths = sorted(glob.glob(f"{args.wav_dir}/*.wav"))
     out: dict = {"fixtures": len(paths), "modes": {}}
 
+    # ---- aggregate (multi-worker) scaling curve FIRST, before any device
+    # frontend loads jax: XLA's in-process service threads contend with the
+    # walk thread pool on few-core hosts (measured 16.6 vs 30.3 MS/s for
+    # thread_x2 with/without a live jax runtime on this 2-core VM)
+    import os as _os
+
+    ncpu = _os.cpu_count() or 1
+    out["aggregate_scaling"] = {"cpus": ncpu, "curve": []}
+    configs = [("serial", "process", 1)]
+    for w in range(2, ncpu + 1):
+        configs.append((f"thread_x{w}", "thread", w))
+    if ncpu >= 2:
+        configs.append((f"process_x{ncpu}", "process", ncpu))
+    base = None
+    for label, pool, w in configs:
+        best = None
+        # best-of-6: this VM's page-fault path oscillates (CLAUDE.md env
+        # notes), so single reps under-read by up to 2x
+        for _ in range(max(args.reps, 6)):
+            r = bench_decode(paths, frontend="host", workers=w, pool=pool)
+            if best is None or r["value"] > best["value"]:
+                best = r
+        entry = {
+            "config": label,
+            "workers": w,
+            "pool": pool,
+            "value": round(best["value"]),
+            "unit": "samples/s",
+        }
+        if label == "serial":
+            base = best["value"]
+        elif base:
+            entry["speedup_vs_serial"] = round(best["value"] / base, 3)
+        out["aggregate_scaling"]["curve"].append(entry)
+    out["aggregate_scaling"]["note"] = (
+        "capture->frames over the full fixture suite; the host walk is the "
+        "ceiling (CPU-bound). Aggregate deployment rate = per_core_rate x "
+        "cores x hosts; the device kernel (BENCH GS/s) never binds. On "
+        "this 2-core VM the curve tops out at ncpu; the per-core rate is "
+        "the transferable figure. Measured before jax loads (XLA service "
+        "threads otherwise contend with the walk pool)."
+    )
+
     for frontend in args.frontends:
         best = None
         for _ in range(args.reps):

@@ -37,28 +37,48 @@ def _looped_capture(total: int, idle_ratio: int = 0) -> tuple[np.ndarray, int]:
     return np.tile(samples, reps)[:total], info.sample_rate
 
 
-def bench_single_stream(total: int = 20_000_000, chunk: int = 65536,
-                        window: int = 1 << 21, idle_ratio: int = 0) -> dict:
+def bench_single_stream(total: int = 40_000_000, chunk: int = 65536,
+                        window: int = 1 << 20, idle_ratio: int = 0) -> dict:
+    """Full-session wall rate over `total` samples, segmented so warmup
+    (the session-start buffer populate — on this VM a fault storm worth
+    ~1 s) and the sustained steady-state rate are both visible.  The
+    real-time claim is the SESSION AVERAGE: it includes warmup."""
     from ..runtime.streaming import StreamingNfcDecoder
 
-    sig, rate = _looped_capture(total, idle_ratio)
+    seg_len = 10_000_000
+    sig, rate = _looped_capture(seg_len, idle_ratio)
     dec = StreamingNfcDecoder(rate, window=window)
     frames = 0
-    u0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
-    t0 = time.perf_counter()
-    for off in range(0, total, chunk):
-        frames += len(dec.feed(sig[off : off + chunk]))
+    segments = []
+    total_wall = 0.0
+    total_user = 0.0
+    done = 0
+    while done < total:
+        n = min(seg_len, total - done)
+        u0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+        t0 = time.perf_counter()
+        for off in range(0, n, chunk):
+            frames += len(dec.feed(sig[off : off + chunk]))
+        wall = time.perf_counter() - t0
+        user = resource.getrusage(resource.RUSAGE_SELF).ru_utime - u0
+        segments.append(round(n / wall))
+        total_wall += wall
+        total_user += user
+        done += n
     frames += len(dec.finish())
-    wall = time.perf_counter() - t0
-    user = resource.getrusage(resource.RUSAGE_SELF).ru_utime - u0
+    sustained = segments[1:] or segments
     return {
         "metric": "streaming_samples_per_second",
-        "value": round(total / wall),
+        "value": round(done / total_wall),
         "unit": "samples/s",
-        "user_cpu_samples_per_second": round(total / max(user, 1e-9)),
+        "user_cpu_samples_per_second": round(done / max(total_user, 1e-9)),
+        "segment_rates": segments,
+        "sustained_samples_per_second": round(
+            sum(sustained) / len(sustained)
+        ),
         "window": window,
         "chunk": chunk,
-        "samples": total,
+        "samples": done,
         "frames": frames,
         "idle_ratio": idle_ratio,
     }
@@ -102,8 +122,8 @@ def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(prog="nfclab-streaming-bench")
-    ap.add_argument("--out", default="STREAMING_r03.json")
-    ap.add_argument("--total", type=int, default=20_000_000)
+    ap.add_argument("--out", default="STREAMING_r04.json")
+    ap.add_argument("--total", type=int, default=40_000_000)
     ap.add_argument("--farm-total", type=int, default=2_000_000)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--skip-farm", action="store_true")

@@ -12,3 +12,22 @@ def test_decode_batch_matches_goldens(fixture_dir):
         got = [f for f in res[path] if f.frame_type in GOLDEN_TYPES]
         want = read_golden_frames(str(fixture_dir / f"{name}.json"))
         assert got == want
+
+
+def test_decode_batch_thread_pool_matches_goldens(fixture_dir):
+    """The thread-pool fan-out (GIL-free native walks, the aggregate
+    throughput configuration on few-core hosts) decodes byte-identically
+    to the serial/process paths — exercises native-layer thread safety on
+    a multi-tech capture plus per-tech fixtures concurrently."""
+    names = [
+        "test_NFC-A_106kbps_001",
+        "test_POLL_AB_001",
+        "test_NFC-V_26kbps_001",
+        "test_NFC-F_212kbps_001",
+    ]
+    paths = [str(fixture_dir / f"{n}.wav") for n in names]
+    res = decode_batch(paths, workers=4, conditioner="native", pool="thread")
+    for name, path in zip(names, paths):
+        got = [f for f in res[path] if f.frame_type in GOLDEN_TYPES]
+        want = read_golden_frames(str(fixture_dir / f"{name}.json"))
+        assert got == want

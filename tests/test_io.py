@@ -122,3 +122,111 @@ def test_trz_sample_header_matches_reference_struct_layout(tmp_path):
     assert r.stream_id == 3 and r.sample_rate == 10_000_000
     np.testing.assert_array_equal(r.offsets, offsets)
     np.testing.assert_array_equal(r.values, values)
+
+
+def test_trz_interop_reference_written_file(tmp_path, fixture_dir):
+    """Read a TRZ authored by the REFERENCE storage stack: the oracle
+    binary (tests/trz_oracle/) links the reference's real rt::Package
+    (Package.cpp: microtar over gzip) + vendored microtar + nlohmann json
+    and writes frame.json / logic-N.apcm / radio-N.apcm with the exact
+    TraceStorageTask byte semantics (writeFrameEntry :458-525,
+    writeLogicEntry :643-760, writeRadioEntry :881-990).  io/trz.py must
+    read the container and every entry back losslessly."""
+    import json
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    import numpy as np
+
+    from nfclab.io.golden import read_golden_frames
+    from nfclab.io.trz import read_trace
+
+    ref = Path("/root/reference/src/nfc-lib")
+    if not ref.exists() or shutil.which("g++") is None:
+        pytest.skip("reference sources or g++ unavailable")
+
+    oracle_dir = Path(__file__).parent / "trz_oracle"
+    exe = tmp_path / "trz_oracle"
+    subprocess.run(
+        [
+            "g++", "-O1", "-std=c++17", "-o", str(exe),
+            str(oracle_dir / "main.cpp"),
+            str(oracle_dir / "stub_logger.cpp"),
+            str(ref / "lib-rt/rt-lang/src/main/cpp/Package.cpp"),
+            "-I", str(ref / "lib-rt/rt-lang/src/main/include"),
+            "-I", str(ref / "lib-ext/microtar/src/main/c"),
+            "-I", str(ref / "lib-ext/nlohmann/src/main/cpp"),
+            "-x", "c", str(ref / "lib-ext/microtar/src/main/c/microtar.c"),
+            "-x", "none", "-lz",
+        ],
+        check=True, capture_output=True,
+    )
+
+    # frames: a real golden decode's frame set, shaped exactly like
+    # writeFrameEntry's json entries
+    want_frames = read_golden_frames(
+        str(fixture_dir / "test_NFC-A_106kbps_001.json")
+    )
+    entries = []
+    for f in want_frames:
+        e = {
+            "sampleStart": int(f.sample_start),
+            "sampleEnd": int(f.sample_end),
+            "sampleRate": int(f.sample_rate),
+            "timeStart": f.time_start,
+            "timeEnd": f.time_end,
+            "techType": int(f.tech_type),
+            "frameType": int(f.frame_type),
+            "frameRate": int(f.frame_rate),
+            "frameFlags": int(f.frame_flags),
+            "framePhase": int(f.frame_phase),
+            "dateTime": f.date_time,
+        }
+        if f.data:
+            e["frameData"] = ":".join(f"{b:02X}" for b in f.data)
+            e["length"] = len(f.data)
+        entries.append(e)
+
+    rng = np.random.default_rng(7)
+    r_off = np.cumsum(rng.integers(1, 200, 64)).astype(np.int64)
+    r_val = (rng.random(64) * 1.6 - 0.8).astype(np.float32)
+    l_off = np.cumsum(rng.integers(1, 250, 48)).astype(np.int64)
+    l_val = rng.integers(0, 2, 48).astype(np.float32)
+    spec = {
+        "frames": entries,
+        "radio": [{
+            "id": 0, "sampleRate": 10_000_000,
+            "offsets": r_off.tolist(), "values": r_val.tolist(),
+        }],
+        "logic": [{
+            "id": 2, "sampleRate": 10_000_000,
+            "offsets": l_off.tolist(), "values": l_val.tolist(),
+        }],
+    }
+    (tmp_path / "in.json").write_text(json.dumps(spec))
+    out = tmp_path / "ref_authored.trz"
+    subprocess.run(
+        [str(exe), str(tmp_path / "in.json"), str(out)],
+        check=True, capture_output=True,
+    )
+
+    frames, streams = read_trace(str(out))
+    assert frames == want_frames
+
+    by_kind = {s.kind: s for s in streams}
+    assert set(by_kind) == {"radio", "logic"}
+    r = by_kind["radio"]
+    assert r.stream_id == 0 and r.sample_rate == 10_000_000
+    np.testing.assert_array_equal(r.offsets, r_off)
+    # radio values survive through the reference's int16 quantization
+    # (delta coding wraps mod 2^16 exactly like the reference's `short`
+    # accumulator, TraceStorageTask.cpp:853)
+    want_q = (r_val * 32768).astype(np.int16).astype(np.float32) / np.float32(
+        1 << 15
+    )
+    np.testing.assert_allclose(r.values, want_q, atol=1e-6)
+    l = by_kind["logic"]
+    assert l.stream_id == 2 and l.sample_rate == 10_000_000
+    np.testing.assert_array_equal(l.offsets, l_off)
+    np.testing.assert_array_equal(l.values, l_val)
