@@ -236,6 +236,10 @@ td.data { font-family:ui-monospace,monospace; color:var(--ink);
 tr.exp { cursor:pointer; }
 tr.exp:hover td { background:var(--surface); }
 td.tree { font-family:ui-monospace,monospace; white-space:normal; }
+.ctl { background:var(--surface); color:var(--ink);
+       border:1px solid var(--grid); border-radius:6px; padding:5px 14px;
+       cursor:pointer; }
+.ctl:hover { border-color:var(--series); }
 .node { padding:1px 0; }
 .kids { margin-left:18px; border-left:1px solid var(--grid);
         padding-left:10px; }
@@ -245,6 +249,26 @@ td.tree { font-family:ui-monospace,monospace; white-space:normal; }
 </style></head><body>
 <h1>nfclab live monitor</h1>
 <div class="panel"><div class="status" id="status"></div></div>
+<div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
+Acquisition control</div>
+<div style="display:flex;gap:8px;flex-wrap:wrap;align-items:center">
+<button id="btnstart" class="ctl">Start</button>
+<button id="btnstop" class="ctl">Stop</button>
+<span style="color:var(--muted)">|</span>
+<input id="cfgjson" placeholder='decoder config merge-patch, e.g. {"protocol":{"nfca":{"correlationThreshold":0.6}}}'
+ style="flex:1;min-width:340px;background:var(--surface);color:var(--ink);
+ border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
+<button id="btncfg" class="ctl">Configure</button>
+<span style="color:var(--muted)">|</span>
+<input id="trzname" placeholder="trace file, e.g. /tmp/capture.trz"
+ style="min-width:200px;background:var(--surface);color:var(--ink);
+ border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
+<input id="trzrange" placeholder="start:end (samples, optional)"
+ style="width:170px;background:var(--surface);color:var(--ink);
+ border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
+<button id="btnsave" class="ctl">Save trace</button>
+<span id="ctlmsg" style="color:var(--ink2)"></span>
+</div></div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
 Spectrum (dB, full span)</div>
 <svg id="spec" preserveAspectRatio="none"></svg><div id="tip"></div>
@@ -270,6 +294,51 @@ display:block"></svg>
 </td></tr></tbody></table></div></div>
 <script>
 const fmt = (x, d) => Number(x).toFixed(d);
+// ---- acquisition control (QtControl DecoderControlEvent role): POST to
+// the task command plane; Start/Stop fan out to every live acquisition +
+// decoder task present in the status chips
+let lastData = null;
+async function postCmd(subject, code, params) {
+  const r = await fetch('/command', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({subject, code, params})});
+  return await r.json();
+}
+function ctlMsg(s) { document.getElementById('ctlmsg').textContent = s; }
+async function fanout(code) {
+  const present = Object.keys((lastData || {}).status || {});
+  const targets = ['radio.receiver', 'radio.decoder', 'logic.receiver',
+                   'logic.decoder'].filter(t => present.includes(t));
+  if (!targets.length) { ctlMsg('no commandable tasks'); return; }
+  const res = [];
+  for (const t of targets) {
+    const d = await postCmd(t, code);
+    res.push(`${t}:${d.ok ? 'ok' : d.error}`);
+  }
+  ctlMsg(res.join(' '));
+}
+document.getElementById('btnstart').onclick = () => fanout('start');
+document.getElementById('btnstop').onclick = () => fanout('stop');
+document.getElementById('btncfg').onclick = async () => {
+  let patch;
+  try { patch = JSON.parse(document.getElementById('cfgjson').value); }
+  catch (e) { ctlMsg('bad json: ' + e); return; }
+  const target = ('channelMap' in patch) ? 'logic.decoder' : 'radio.decoder';
+  const d = await postCmd(target, 'configure', patch);
+  ctlMsg(d.ok ? `${target} configured` : d.error);
+};
+document.getElementById('btnsave').onclick = async () => {
+  const name = document.getElementById('trzname').value.trim();
+  if (!name) { ctlMsg('trace file name required'); return; }
+  const params = {fileName: name};
+  const range = document.getElementById('trzrange').value.trim();
+  if (range) {
+    const [a, b] = range.split(':');
+    params.sampleStart = Number(a); params.sampleEnd = Number(b);
+  }
+  const d = await postCmd('storage', 'configure', params);
+  ctlMsg(d.ok ? `trace written: ${name}` : d.error);
+};
 let lastSpec = null;
 // per-frame protocol detail trees (ParserNfcA/B/F/V + ISO7816 view):
 // click a row to expand its parse tree
@@ -335,7 +404,6 @@ function drawWaterfall(rows) {
   }
   ctx.putImageData(img, 0, 0);
 }
-let lastData = null;
 function tickNow() { if (lastData) renderTable(lastData); }
 function renderTable(d) {
     const tb = document.getElementById('frames');
@@ -456,6 +524,46 @@ tick();
 """
 
 
+#: task subjects the monitor may command (QtControl.cpp:340-420 routes
+#: DecoderControlEvent to exactly the acquisition/decoder/storage workers)
+COMMANDABLE = (
+    "radio.receiver", "radio.decoder",
+    "logic.receiver", "logic.decoder",
+    "storage", "recorder", "adaptive", "fourier",
+)
+
+
+def post_command(subject: str, code: str, params: dict | None = None,
+                 timeout: float = 5.0):
+    """Post an Event on ``<subject>.command`` and wait for settle — the
+    monitor's bridge into the existing task control plane
+    (AbstractTask Start/Stop/Query/Configure; QtControl.cpp:340-420 role).
+    Returns the resolved snapshot; raises on reject/timeout."""
+    import threading as _threading
+
+    from ..runtime.subject import Event, Subject as _Subject
+
+    done = _threading.Event()
+    out: dict = {}
+
+    def ok(snap=None):
+        out["snap"] = snap
+        done.set()
+
+    def bad(err=None):
+        out["err"] = err
+        done.set()
+
+    _Subject.name(f"{subject}.command").next(
+        Event(code, params or {}, on_resolve=ok, on_reject=bad)
+    )
+    if not done.wait(timeout):
+        raise TimeoutError(f"{subject} command {code!r} unanswered")
+    if "err" in out:
+        raise RuntimeError(str(out["err"]))
+    return out["snap"]
+
+
 class MonitorServer:
     """Threaded HTTP server around a MonitorState."""
 
@@ -478,6 +586,35 @@ class MonitorServer:
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802
+                """/command {subject, code, params?} -> task command plane
+                (Start/Stop/Query/Configure; trace save = storage Configure
+                with fileName, TraceStorageTask.cpp:322-363 Write role)."""
+                if self.path.split("?")[0] != "/command":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    subject = str(req.get("subject", ""))
+                    code = str(req.get("code", ""))
+                    if subject not in COMMANDABLE:
+                        raise ValueError(f"uncommandable subject {subject!r}")
+                    if code not in ("start", "stop", "query", "configure"):
+                        raise ValueError(f"unknown command {code!r}")
+                    snap = post_command(subject, code, req.get("params"))
+                    body = json.dumps({"ok": True, "result": snap}).encode()
+                    status = 200
+                except Exception as e:
+                    body = json.dumps({"ok": False, "error": str(e)}).encode()
+                    status = 400
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -5,6 +5,7 @@ capability, headless)."""
 
 import json
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -188,3 +189,149 @@ def test_monitor_waterfall_rows():
         assert (sum(wf[-1]) / 128) > (sum(wf[0]) / 128)
     finally:
         state.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_monitor_command_plane(fixture_dir, tmp_path):
+    """The monitor is a CONTROL surface, not just a viewer (QtControl.cpp:
+    340-420 DecoderControlEvent role): POST /command drives the task
+    command plane.  Asserted end-to-end: a threshold Configure changes
+    what the decoder decodes, Stop/Start gates the session, and a storage
+    Configure writes a TRZ trace file with the decoded frames."""
+    from nfclab.apps.monitor import MonitorServer
+    from nfclab.io.trz import read_trace
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import (
+        Executor,
+        RadioDecoderTask,
+        ResamplingTask,
+        TraceStorageTask,
+    )
+    from nfclab.runtime.subject import Subject
+    from nfclab.hw.signal import SignalBuffer, SignalType
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+
+    monitor = MonitorServer(port=0).start()
+    decoder = RadioDecoderTask()
+    storage = TraceStorageTask(str(tmp_path / "unused.trz"))
+    frames_q = []
+    Subject.name("radio.decoder.frame").subscribe(
+        frames_q.append, replay=False
+    )
+    raw = Subject.name("radio.signal.raw")
+    ex = Executor(pool_size=3)
+    ex.submit(decoder)
+    ex.submit(ResamplingTask())
+    ex.submit(storage)
+    base = f"http://127.0.0.1:{monitor.port}"
+
+    def feed_session():
+        for off in range(0, len(samples), 65536):
+            raw.next(SignalBuffer(
+                samples[off : off + 65536], info.sample_rate, off,
+                signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+            ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+
+    def wait_session_end(n_before, timeout=30.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if frames_q.count(None) > n_before:
+                return
+            time.sleep(0.05)
+        raise TimeoutError("decode session did not finish")
+
+    try:
+        # 1. baseline session decodes POLL frames
+        feed_session()
+        wait_session_end(0)
+        polls = [
+            f for f in frames_q
+            if f is not None and f.frame_type == 0x102
+        ]
+        assert polls and polls[0].data == b"\x52"
+
+        # 2. Configure via the web command plane: an impossible NFC-A
+        # correlation threshold applies from the next session on, and the
+        # Query snapshot reflects it
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "configure",
+            "params": {"protocol": {"nfca": {
+                "correlationThreshold": 99.0}}},
+        })
+        assert d["ok"], d
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "query",
+        })
+        assert d["ok"], d
+        got = d["result"]["protocol"]["nfca"]["correlationThreshold"]
+        assert got == 99.0
+        frames_q.clear()
+        feed_session()
+        wait_session_end(0)
+        assert not [
+            f for f in frames_q
+            if f is not None and f.frame_type in (0x102, 0x103)
+        ], "impossible threshold still decoded frames"
+
+        # 3. Stop gates buffer consumption entirely; Start resumes
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "stop"})
+        assert d["ok"], d
+        frames_q.clear()
+        feed_session()
+        time.sleep(0.5)
+        assert not [f for f in frames_q if f is not None]
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "start"})
+        assert d["ok"], d
+        # restore a decodable threshold for the storage leg
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "configure",
+            "params": {"protocol": {"nfca": {
+                "correlationThreshold": 0.5}}},
+        })
+        assert d["ok"], d
+        frames_q.clear()
+        feed_session()
+        wait_session_end(0)
+        polls = [
+            f for f in frames_q
+            if f is not None and f.frame_type == 0x102
+        ]
+        assert polls, "decoder did not resume after Start"
+
+        # 4. trace save through the web UI's storage command
+        out = tmp_path / "via_monitor.trz"
+        d = _post(base + "/command", {
+            "subject": "storage", "code": "configure",
+            "params": {"fileName": str(out)},
+        })
+        assert d["ok"], d
+        assert out.exists()
+        saved, _streams = read_trace(str(out))
+        assert [f for f in saved if f.frame_type == 0x102]
+
+        # 5. uncommandable subjects and bad codes are rejected cleanly
+        d = _post(base + "/command", {
+            "subject": "radio.decoder.frame", "code": "stop"})
+        assert not d["ok"]
+        d = _post(base + "/command", {
+            "subject": "radio.decoder", "code": "reboot"})
+        assert not d["ok"]
+    finally:
+        ex.shutdown()
+        monitor.stop()
