@@ -264,8 +264,22 @@ def sharded_capture_channels(
     arr = jax.device_put(rows, sharding)
     out_dev = step(arr)
     return {
-        k: np.asarray(v).reshape(-1)[: n] for k, v in out_dev.items()
+        k: _fetch_global(v).reshape(-1)[: n] for k, v in out_dev.items()
     }
+
+
+def _fetch_global(v) -> np.ndarray:
+    """Materialize a mesh-sharded [nb, L] output on the host.  In a
+    multi-process run each process only addresses its own shards, so the
+    block rows are all-gathered across processes first (the host walk
+    needs the whole capture; shard/launch.py multi-host contract)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+    return np.asarray(v)
 
 
 @functools.lru_cache(maxsize=2)
@@ -393,7 +407,7 @@ def sharded_kernel_channels(
     )
     arr = jax.device_put(rows, sharding)
     out_dev = step(arr)
-    return {k: np.asarray(v).reshape(-1)[:n] for k, v in out_dev.items()}
+    return {k: _fetch_global(v).reshape(-1)[:n] for k, v in out_dev.items()}
 
 
 def decode_sharded(

@@ -150,3 +150,49 @@ def test_sharded_decode_generic_sample_rate(fixture_dir):
     assert any(f.frame_type in GOLDEN_TYPES for f in plain)
     sharded = decode_sharded(s5, rate5, devices=devs)
     assert sharded == plain
+
+
+def test_two_process_distributed_golden_decode(fixture_dir):
+    """The distributed layer RUN FOR REAL: two OS processes, each with 4
+    virtual CPU devices, joined by jax.distributed + gloo collectives into
+    one 8-device world; shard/launch.py's host-major blocks mesh spans the
+    process boundary, the sharded channel step's halo ppermute crosses it,
+    and BOTH processes produce golden frames from the all-gathered
+    channels (tests/dist_child.py).  BASELINE's multi-host row, certified
+    rather than plausible."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    with socket.socket() as s:  # free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    wav = str(fixture_dir / "test_NFC-A_106kbps_001.wav")
+    gold = str(fixture_dir / "test_NFC-A_106kbps_001.json")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(Path(__file__).parent / "dist_child.py"),
+             str(pid), str(port), wav, gold],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(repo),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"DIST-GOLDEN-PASS proc={pid}" in out, out[-3000:]
