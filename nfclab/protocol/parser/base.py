@@ -168,7 +168,8 @@ class ParserNfcIsoDep(ParserNfc):
 
     def parse_sblock(self, frame: Frame) -> ProtocolNode | None:
         data = frame.data
-        if len(data) < 3 or (data[0] & 0xC7) != 0xC0:
+        # S-block PCB is 11...010 (ParserNfc.cpp:245: (pcb & 0xC7) != 0xC2)
+        if len(data) < 3 or (data[0] & 0xC7) != 0xC2:
             return None
         pcb = data[0]
         kind = (pcb >> 4) & 0x3

@@ -90,13 +90,18 @@ class ParserNfcV(ParserNfc):
                     root.add("MASK", d[offset : offset + nbytes])
                     offset += nbytes
         else:
-            if flags & 0x20 and offset + 8 <= len(d) - 2:
+            # addressed mode: address flag set AND not inventory
+            # (ParserNfcV.cpp:488: (frame[0] & 0x24) == 0x20)
+            if (flags & 0x24) == 0x20 and offset + 8 <= len(d) - 2:
                 root.add("UID", d[offset : offset + 8])
                 offset += 8
-            if cmd in (0x20, 0x21, 0x22, 0x23, 0x24) and offset < len(d) - 2:
+            if (cmd in (0x20, 0x21, 0x22, 0x23, 0x24, 0x2C)
+                    and offset < len(d) - 2):
                 root.add("BLOCK", d[offset : offset + 1])
                 offset += 1
-            if cmd in (0x23, 0x24) and offset < len(d) - 2:
+            # multi-block commands carry a count (ReadMultiple :441,
+            # WriteMultiple :495, GetSecurity :938)
+            if cmd in (0x23, 0x24, 0x2C) and offset < len(d) - 2:
                 root.add("COUNT", d[offset : offset + 1])
                 offset += 1
             if cmd in (0x27,) and offset < len(d) - 2:
