@@ -7,6 +7,11 @@ integrators).  Computing these as separate XLA passes costs one HBM round
 trip each; this kernel produces all of them in a single sweep:
 
 - 1024 streams/instance as one (8, 128) tile per step (VPU-native);
+- the serial per-sample loop is partially unrolled (UNROLL_FACTOR bodies
+  per fori_loop iteration) — cuts the loop's scalar bookkeeping ~6% of
+  step time at a fraction of full-unroll's compile cost;
+- mod_depth is computed in the vectorized block phase (elementwise in env
+  and v — no recurrence), not in the serial loop;
 - sequential time grid, carry + ring buffers resident in VMEM:
   value ring (128), filtered ring (128), squared ring (256), product rings
   (8/16/32) — sized for the largest window (189 for the NFC-V listen box);
@@ -14,7 +19,7 @@ trip each; this kernel produces all of them in a single sweep:
   own float32 integrators (NfcA.cpp:246-250 et al.), with identical
   roundoff family; zero-filled rings reproduce the reference's warm-up.
 
-Outputs (15 x f32): env, filt, mdev, avg, mod_depth,
+Outputs (14 x f32 + detect_mask u8): env, filt, mdev, avg, mod_depth,
   bv12, bv24, bv47, bv94        raw-value boxes (A rates p2 + V p2)
   q47, q189                     squared-filtered boxes (A/V listen)
   p24x6, p47x12, p94x24         BPSK product boxes (A424/A212+B212/B106)
@@ -32,7 +37,9 @@ Outputs (15 x f32): env, filt, mdev, avg, mod_depth,
                                 scalar-addressed reads in the serial loop);
                                 one packed output instead of per-tech mask
                                 arrays keeps HBM write traffic flat while
-                                covering every technology.
+                                covering every technology.  Stored as native
+                                uint8 (exact integer 0..255): 1 byte/sample
+                                of HBM writes and of link fetch.
 
 Layout: the kernel's native tiling is [g, t, 8, 128] (1024 streams per grid
 row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
@@ -53,8 +60,15 @@ LANES = 1024
 # per-grid-step time block: 128 measures ~10% over 64 on v5e (the per-step
 # grid/DMA bookkeeping amortizes over twice the samples); 256 exceeds VMEM
 # with the resident-state variant.  Streams must be multiples of TILE.
-TILE = 128
+import os as _os
+
+TILE = int(_os.environ.get("NFCLAB_KERNEL_TILE", "128"))
 UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
+# partial unroll of the serial per-sample loop: UF bodies inlined per
+# fori_loop iteration cuts the loop's scalar bookkeeping overhead UF-fold
+# at a fraction of full-unroll's compile time
+UNROLL_FACTOR = int(_os.environ.get("NFCLAB_KERNEL_UNROLL", "16"))
+_VMEM_LIMIT = int(_os.environ.get("NFCLAB_KERNEL_VMEM_MB", "100")) * 1024 * 1024
 
 # 10 MS/s window set
 BV_WIDTHS = (12, 24, 47, 94)
@@ -223,10 +237,8 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         put("filtered", j, filt)
         put("deviation", j, mdev)
         put("average", j, avg)
-        if outs["mod_depth"] is not None:
-            # modulation depth (NfcTech.cpp:71-74), fused to save an XLA pass
-            clamped = jnp.maximum(0.0, jnp.minimum(v, new_env))
-            outs["mod_depth"][j] = (new_env - clamped) / new_env
+        # mod_depth is computed VECTORIZED in the block phase (pure
+        # elementwise function of env and v — no recurrence)
 
         # raw-value boxes
         s = 0
@@ -266,6 +278,16 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     if UNROLL:
         for j in range(TILE):
             body(j, 0)
+    elif UNROLL_FACTOR > 1:
+        uf = UNROLL_FACTOR
+        assert TILE % uf == 0
+
+        def blk_body(i, _):
+            for u in range(uf):
+                body(i * uf + u, 0)
+            return 0
+
+        jax.lax.fori_loop(0, TILE // uf, blk_body, 0)
     else:
         jax.lax.fori_loop(0, TILE, body, 0)
 
@@ -283,6 +305,16 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     def cur_block(name):
         v = outs[name]
         return v.ref[0] if v is not None else blks[name][...]
+
+    if outs["mod_depth"] is not None:
+        # modulation depth (NfcTech.cpp:71-74): elementwise in env and v, so
+        # it runs at vector efficiency here instead of in the serial loop
+        # (same f32 ops per element — no FMA contraction in sub/min/max/div,
+        # so values are bit-identical to the per-sample formulation)
+        env_b = cur_block("envelope")
+        v_b = value_ref.ref[0][...]
+        clamped = jnp.maximum(0.0, jnp.minimum(v_b, env_b))
+        outs["mod_depth"].ref[0] = (env_b - clamped) / env_b
 
     # histories advance by one TILE per block: shift left, append current.
     # The append always runs (even with detect_mask excluded) so the carried
@@ -357,7 +389,14 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         mask_v = power_ok & (sd_v > v_thr * env_b)
         mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
 
-        outs["detect_mask"].ref[0] = mval
+        # the mask is an exact integer 0..255 — stored as native uint8 so
+        # every select writes 1 byte/sample instead of 4 (the full output
+        # set is HBM-write-bound) and the mask frontend's device-side cast
+        # pass disappears
+        # (Mosaic has no direct f32->u8 cast; hop through int32)
+        outs["detect_mask"].ref[0] = mval.astype(jnp.int32).astype(
+            outs["detect_mask"].ref.dtype
+        )
 
     @pl.when(t_idx == n_t - 1)
     def _():
@@ -442,7 +481,10 @@ def _jitted(params, mask_params, g: int, t: int, sub: int,
             load_state, outs, blks, save_state, *scratch,
         )
 
-    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * n_sel
+    out_shape = [
+        jax.ShapeDtypeStruct((g, t, sub, 128), OUTPUT_DTYPES[n])
+        for n in sel
+    ]
     out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
 
     def run(base, value, state):
@@ -450,7 +492,7 @@ def _jitted(params, mask_params, g: int, t: int, sub: int,
             kernel,
             grid=(g, n_t),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024
+                vmem_limit_bytes=_VMEM_LIMIT
             ),
             in_specs=[base_spec, tile_spec, state_spec],
             out_specs=[tile_spec] * n_sel + [state_spec],
@@ -548,7 +590,10 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
             load_state, outs, blks, save_state, *scratch,
         )
 
-    out_shape = [jax.ShapeDtypeStruct((g, t, sub, 128), jnp.float32)] * n_sel
+    out_shape = [
+        jax.ShapeDtypeStruct((g, t, sub, 128), OUTPUT_DTYPES[n])
+        for n in sel
+    ]
     out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
 
     def run(base, value, state):
@@ -556,7 +601,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
             kernel,
             grid=(g, n_t),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=_VMEM_LIMIT
             ),
             in_specs=[base_spec, tile_spec, any_spec],
             out_specs=[tile_spec] * n_sel + [any_spec],
@@ -591,6 +636,12 @@ OUTPUT_NAMES = (
     + [f"p{lag}x{box}" for lag, box in PB]
     + ["detect_mask"]
 )
+
+# per-output HBM dtypes: the packed detect mask is an exact integer 0..255,
+# stored as native uint8 (1 byte/sample; the full output set is write-bound)
+OUTPUT_DTYPES = {
+    n: (np.uint8 if n == "detect_mask" else np.float32) for n in OUTPUT_NAMES
+}
 
 # detect_mask bit layout: (name, weight)
 MASK_LAYOUT = (
