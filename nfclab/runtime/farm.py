@@ -148,24 +148,10 @@ class KernelFedStream(StreamingNfcDecoder):
                 "meta": (kind_code, width, lag),
             }
             self._box_entries.append((name, key))
-        masks = dict(MASK_LAYOUT)
-        self._idx_entries = []
-        for mname, key, fx in idx_key_map(
-            self.sample_rate, self.params.power_level_threshold,
-            thresholds=self._proto.thresholds,
-        ):
-            lz._cache[key] = {
-                "arr": None,
-                "n": 0,
-                "acc": None,
-                "idx": None,
-                "idx_n": 0,
-                "scanned": 0,
-                "extend": None,
-                "kind": "idx",
-                "fx": fx,
-            }
-            self._idx_entries.append((masks[mname], key))
+        self._idx_entries = _init_idx_entries(
+            lz, self.sample_rate, self.params.power_level_threshold,
+            self._proto.thresholds,
+        )
         lz._plan = None
 
     def _append_kernel_chunks(self, lz, box_chunks, mask_chunk,
@@ -179,13 +165,114 @@ class KernelFedStream(StreamingNfcDecoder):
             ent = lz._entry(key)  # grows the buffer with the window
             ent["arr"][plo:phi] = box_chunks[name]
             ent["n"] = abs_hi
-        bits = mask_chunk.astype(np.int32)
-        if abs_lo < _WARMUP:
-            bits[: min(abs_hi, _WARMUP) - abs_lo] = 0
-        for weight, key in self._idx_entries:
-            ent = lz._cache[key]
-            idx = (np.flatnonzero(bits & weight) + abs_lo).astype(np.int64)
-            LazyChannels._append_idx(ent, idx, abs_hi)
+        _append_mask_idx(lz, self._idx_entries, mask_chunk, abs_lo, abs_hi)
+
+
+def _init_idx_entries(lz, sample_rate, power_level_threshold, thresholds):
+    """Create the detect-trigger index entries the kernel's packed mask
+    feeds (keyed exactly as the tech FSMs request them), BEFORE the techs
+    bind; returns [(mask bit weight, cache key)]."""
+    from ..dsp.pallas.fused_frontend import MASK_LAYOUT
+
+    masks = dict(MASK_LAYOUT)
+    out = []
+    for mname, key, fx in idx_key_map(
+        sample_rate, power_level_threshold, thresholds=thresholds
+    ):
+        lz._cache[key] = {
+            "arr": None,
+            "n": 0,
+            "acc": None,
+            "idx": None,
+            "idx_n": 0,
+            "scanned": 0,
+            "extend": None,
+            "kind": "idx",
+            "fx": fx,
+        }
+        out.append((masks[mname], key))
+    return out
+
+
+def _append_mask_idx(lz, idx_entries, mask_chunk, abs_lo, abs_hi):
+    """Unpack one mask chunk (absolute clocks [abs_lo, abs_hi)) into the
+    index entries, gated at the reference's 1024-sample warm-up."""
+    from ..dsp.channels import LazyChannels
+
+    bits = mask_chunk.astype(np.int32)
+    if abs_lo < _WARMUP:
+        bits[: min(abs_hi, _WARMUP) - abs_lo] = 0
+    for weight, key in idx_entries:
+        ent = lz._cache[key]
+        idx = (np.flatnonzero(bits & weight) + abs_lo).astype(np.int64)
+        LazyChannels._append_idx(ent, idx, abs_hi)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _row_padder(b: int):
+    """jitted zero-pad of [n, t] rows up to the kernel lane count b
+    (device-side; the host uploads only real rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    def pad(x):
+        return jnp.zeros((b, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+
+    return jax.jit(pad)
+
+
+class MaskFedStream(StreamingNfcDecoder):
+    """Host-conditioned streaming decoder whose detect-trigger indices
+    arrive from the fused kernel's packed mask (the farm's ``fetch="mask"``
+    mode: 1 byte/sample over the link instead of 37).
+
+    Conditioning + box channels build natively on the host (the bit-exact
+    f64 contract path, same as StreamingNfcDecoder); the kernel mask is
+    dispatched with MASK_ONLY_MARGIN so the f32-derived triggers are a
+    conservative superset of the host-f64 triggers the walk re-checks
+    (same superset recipe as the batch mask frontend,
+    tpu_channels._run_batch_blocks)."""
+
+    def __init__(self, sample_rate: int, window: int | None = None,
+                 **decoder_kwargs):
+        super().__init__(sample_rate, window=window, **decoder_kwargs)
+        self._idx_entries: list | None = None
+        self._pending_mask: tuple | None = None
+
+    def feed_mask(self, block: np.ndarray, mask_chunk: np.ndarray):
+        """Condition + decode one block, detect triggers from the kernel
+        mask; returns newly completed frames."""
+        assert not self._finished, "stream already finished"
+        self._compact()
+        block = np.ascontiguousarray(block, np.float32)
+        self._ensure_capacity(len(block))
+        from ..native.binding import condition_stream_into
+
+        abs_lo = self._n
+        m = condition_stream_into(
+            block, self.params, self._state, self._bufs,
+            self._n - self._base,
+        )
+        self._n += m
+        self._pending_mask = (mask_chunk, abs_lo, abs_lo + m)
+        return self._advance()
+
+    def _install_external(self, ctx, first: bool) -> None:
+        lz = ctx.channels
+        if first:
+            self._idx_entries = _init_idx_entries(
+                lz, self.sample_rate, self.params.power_level_threshold,
+                self._proto.thresholds,
+            )
+            lz._plan = None
+        if self._pending_mask is not None:
+            mask_chunk, abs_lo, abs_hi = self._pending_mask
+            self._pending_mask = None
+            _append_mask_idx(lz, self._idx_entries, mask_chunk,
+                             abs_lo, abs_hi)
 
 
 class TpuStreamFarm:
@@ -203,12 +290,16 @@ class TpuStreamFarm:
         sample_rate: int = 10_000_000,
         power_level_threshold: float = 0.01,
         window: int | None = None,
+        fetch: str = "full",
         **decoder_kwargs,
     ):
         if sample_rate != 10_000_000:
             raise ValueError(
                 "the fused kernel's windows are built for 10 MS/s captures"
             )
+        if fetch not in ("full", "mask"):
+            raise ValueError("fetch must be 'full' or 'mask'")
+        self.fetch = fetch
         self.n_streams = n_streams
         self.sample_rate = sample_rate
         self.params = SignalParams(
@@ -224,8 +315,18 @@ class TpuStreamFarm:
         th = decoder_kwargs.get("thresholds") or DecoderThresholds()
         decoder_kwargs["thresholds"] = th
         self._mp = th.detect_mask_tuple(power_level_threshold)
+        if fetch == "mask":
+            # margined kernel thresholds: the f32 mask is a conservative
+            # superset of the host-f64 triggers the walk re-checks (same
+            # recipe as tpu_channels._run_batch_blocks)
+            from ..dsp.tpu_channels import MASK_ONLY_MARGIN
+
+            p, a, b_deep, f, v = self._mp
+            m = 1.0 - MASK_ONLY_MARGIN
+            self._mp = (p, a * m, b_deep, f * m, v * m)
+        cls = MaskFedStream if fetch == "mask" else KernelFedStream
         self.streams = [
-            KernelFedStream(
+            cls(
                 sample_rate,
                 window=window,
                 power_level_threshold=power_level_threshold,
@@ -251,19 +352,23 @@ class TpuStreamFarm:
         if chunk % TILE:
             raise ValueError(f"chunk must be a multiple of {TILE}")
         b = -(-n_s // LANES) * LANES
-        x = blocks
-        if b != n_s:
-            x = np.zeros((b, chunk), np.float32)
-            x[:n_s] = blocks
 
         # explicit device_put: the implicit transfer inside jit is ~30x
-        # slower than the direct path on the tunnel-attached chip
+        # slower than the direct path on the tunnel-attached chip.  Only
+        # the REAL stream rows cross the link; zero-padding to the kernel's
+        # lane count happens on device (padding host-side uploaded b/n_s x
+        # the bytes — 268 MB/chunk of zeros for a 4-stream farm — and was
+        # the entire farm bottleneck on a tunnel attachment)
         import jax
 
-        x = jax.device_put(x)
+        x = jax.device_put(blocks)
+        if b != n_s:
+            x = _row_padder(b)(x)
+        select = ("detect_mask",) if self.fetch == "mask" else None
         res, self._state = fused_frontend(
             x, self._pt, native_layout=False, mask_params=self._mp,
             state=self._state, base=self._kernel_base(), return_state=True,
+            select=select,
         )
         self._clock += chunk
 
@@ -271,6 +376,14 @@ class TpuStreamFarm:
         # round trips (see tpu_channels.fetch_arrays)
         from ..dsp.tpu_channels import fetch_arrays
 
+        if self.fetch == "mask":
+            # 1 byte/sample over the link: host builds conditioning + box
+            # channels natively, the kernel supplies only detect triggers
+            fetched = fetch_arrays({"detect_mask": res["detect_mask"][:n_s]})
+            return [
+                st.feed_mask(blocks[i], fetched["detect_mask"][i])
+                for i, st in enumerate(self.streams)
+            ]
         names = (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
         fetch = fetch_arrays({name: res[name][:n_s] for name in names})
         out = []

@@ -213,6 +213,12 @@ class StreamingNfcDecoder:
             out = out + [f]
         return out
 
+    def _install_external(self, ctx, first: bool) -> None:
+        """Hook for subclasses that feed externally computed channel-cache
+        entries (e.g. kernel detect masks): called after the channel cache
+        exists/rebinds and BEFORE extend_all()/walk, so injected entries are
+        already current when the lazy extension pass runs."""
+
     def _advance(self) -> list[Frame]:
         full = self._view()
 
@@ -229,6 +235,7 @@ class StreamingNfcDecoder:
                 ctx.channels.capacity_hint = (
                     self.slack * self.window + (1 << 17)
                 )
+            self._install_external(ctx, first=True)
             self._carrier = CarrierDetector(ctx)
             self._techs = self._proto._make_techs(ctx)
             for tech in self._techs:
@@ -241,6 +248,7 @@ class StreamingNfcDecoder:
             # channel cache extends over only the new tail (O(block)) and
             # shifts its windows when the base advanced
             ctx.channels.rebind(full, self._base)
+            self._install_external(ctx, first=False)
             # one fused native pass brings every channel current (box sums,
             # derived channels, index scans) — the per-getter lazy extends
             # below then cost nothing

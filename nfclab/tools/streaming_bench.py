@@ -85,14 +85,15 @@ def bench_single_stream(total: int = 40_000_000, chunk: int = 65536,
 
 
 def bench_farm(n_streams: int = 4, total: int = 2_000_000,
-               chunk: int = 65536, window: int | None = 1 << 21) -> dict:
+               chunk: int = 65536, window: int | None = 1 << 21,
+               fetch: str = "full") -> dict:
     # chunk must stay at the kernel's validated dispatch size (65536):
     # larger T exceeds the fused kernel's VMEM scratch budget and the
     # failure surfaces as RESOURCE_EXHAUSTED at the blocking fetch
     from ..runtime.farm import TpuStreamFarm
 
     sig, rate = _looped_capture(total)
-    farm = TpuStreamFarm(n_streams, rate, window=window)
+    farm = TpuStreamFarm(n_streams, rate, window=window, fetch=fetch)
     blocks = np.empty((n_streams, chunk), np.float32)
     frames = 0
     t0 = time.perf_counter()
@@ -111,6 +112,7 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
         "value": round(done / wall),
         "unit": "samples/s",
         "n_streams": n_streams,
+        "fetch": fetch,
         "samples_per_stream": (total // chunk) * chunk,
         "frames": frames,
         "note": "link-bound on a tunnel-attached chip (see E2E link "
@@ -127,22 +129,35 @@ def main(argv=None) -> int:
     ap.add_argument("--farm-total", type=int, default=2_000_000)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--skip-farm", action="store_true")
+    ap.add_argument("--skip-single", action="store_true",
+                    help="keep the single-stream entries already in --out")
     args = ap.parse_args(argv)
 
-    out = {
+    out = {}
+    if args.skip_single:
+        import os
+
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+    else:
         # back-to-back frames (looped capture) and frame-sparse live-like
         # traffic (1 capture : 9 idle) — the walk cost scales with frame
         # density, so both bound the deployment range
-        "single_stream_windowed_dense": bench_single_stream(args.total),
-        "single_stream_windowed_sparse": bench_single_stream(
+        out["single_stream_windowed_dense"] = bench_single_stream(args.total)
+        out["single_stream_windowed_sparse"] = bench_single_stream(
             args.total, idle_ratio=9
-        ),
-    }
+        )
     if not args.skip_farm:
         try:
             out["farm_tpu"] = bench_farm(args.streams, args.farm_total)
+            # mask fetch: 1 byte/sample over the link (host-native
+            # conditioning + box channels, kernel detect triggers only)
+            out["farm_tpu_mask"] = bench_farm(
+                args.streams, args.farm_total, fetch="mask"
+            )
         except Exception as e:  # no chip available
-            out["farm_tpu"] = {"error": repr(e)}
+            out.setdefault("farm_tpu", {"error": repr(e)})
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["single_stream_windowed_sparse"]))

@@ -46,36 +46,42 @@ def main(argv=None) -> int:
         streams.append(np.asarray(samples, np.float32))
 
     window = int(os.environ.get("NFCLAB_FARM_WINDOW", "0")) or None
-    farm = TpuStreamFarm(len(streams), window=window)
-    frames = [[] for _ in streams]
+    modes = os.environ.get("NFCLAB_FARM_MODES", "full,mask").split(",")
     longest = max(len(s) for s in streams)
     total = -(-longest // CHUNK) * CHUNK
-    for lo in range(0, total, CHUNK):
-        block = np.zeros((len(streams), CHUNK), np.float32)
-        for i, s in enumerate(streams):
-            seg = s[lo : lo + CHUNK]
-            block[i, : len(seg)] = seg
-        for i, new in enumerate(farm.feed(block)):
-            frames[i].extend(new)
-    for i, new in enumerate(farm.finish()):
-        frames[i].extend(new)
 
     bad = 0
-    for i, name in enumerate(names):
-        got = [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
-        want = read_golden_frames(os.path.join(WAV_DIR, f"{name}.json"))
-        ok = len(got) == len(want) and all(
-            a == b for a, b in zip(got, want)
-        )
-        print(f"TPU FARM stream {i} {name}: {'OK' if ok else 'MISMATCH'}",
-              flush=True)
-        if not ok:
-            bad += 1
-            print(f"  frames: got {len(got)} want {len(want)}")
-            for j, (a, b) in enumerate(zip(got, want)):
-                if a != b:
-                    print(f"  first diff at {j}: got={a!r} want={b!r}")
-                    break
+    for fetch in modes:
+        farm = TpuStreamFarm(len(streams), window=window, fetch=fetch)
+        frames = [[] for _ in streams]
+        for lo in range(0, total, CHUNK):
+            block = np.zeros((len(streams), CHUNK), np.float32)
+            for i, s in enumerate(streams):
+                seg = s[lo : lo + CHUNK]
+                block[i, : len(seg)] = seg
+            for i, new in enumerate(farm.feed(block)):
+                frames[i].extend(new)
+        for i, new in enumerate(farm.finish()):
+            frames[i].extend(new)
+
+        for i, name in enumerate(names):
+            got = [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
+            want = read_golden_frames(os.path.join(WAV_DIR, f"{name}.json"))
+            ok = len(got) == len(want) and all(
+                a == b for a, b in zip(got, want)
+            )
+            print(
+                f"TPU FARM [{fetch}] stream {i} {name}: "
+                f"{'OK' if ok else 'MISMATCH'}",
+                flush=True,
+            )
+            if not ok:
+                bad += 1
+                print(f"  frames: got {len(got)} want {len(want)}")
+                for j, (a, b) in enumerate(zip(got, want)):
+                    if a != b:
+                        print(f"  first diff at {j}: got={a!r} want={b!r}")
+                        break
     return 1 if bad else 0
 
 

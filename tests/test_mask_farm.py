@@ -1,0 +1,107 @@
+"""Mask-fed streaming decode: the farm's ``fetch="mask"`` mode.
+
+MaskFedStream conditions natively on the host (the bit-exact f64 contract
+path) and takes ONLY its detect-trigger indices from the kernel's packed
+mask — 1 byte/sample over the link instead of 37.  These tests compute the
+mask on CPU with the unfused JAX frontend (same bit layout as the Pallas
+kernel, margined like the batch mask frontend) and assert frame equality
+against the plain host streaming decoder on golden fixtures.
+
+The TPU farm-level run (real kernel mask, fetch="mask") is covered by
+tools/validate_tpu_farm in the tpu test tier.
+"""
+
+import numpy as np
+import pytest
+
+from nfclab.io.golden import GOLDEN_TYPES, read_golden_frames
+from nfclab.io.wav import read_wav
+
+
+def _native_ok():
+    from nfclab.native.binding import native_available
+
+    return native_available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_ok(), reason="mask-fed streaming requires the native library"
+)
+
+
+def _cpu_mask(samples, rate, power_thr=0.01):
+    """Packed detect mask for one capture, computed on CPU by the unfused
+    JAX frontend with the batch mask frontend's conservative margin."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import jax
+
+    from nfclab.core.params import SignalParams
+    from nfclab.dsp.frontend import make_frontend
+    from nfclab.dsp.pallas.fused_frontend import MASK_LAYOUT
+    from nfclab.dsp.tpu_channels import MASK_ONLY_MARGIN
+    from nfclab.core.thresholds import DecoderThresholds
+
+    d = DecoderThresholds()
+    m = 1.0 - MASK_ONLY_MARGIN
+    thr = {
+        "nfca": d.nfca.correlation * m,
+        "nfcb": d.nfcb.min_modulation_deep,
+        "nfcf": d.nfcf.correlation * m,
+        "nfcv": d.nfcv.correlation * m,
+    }
+    params = SignalParams(rate, power_level_threshold=power_thr)
+    fe = jax.jit(make_frontend(params, corr_thresholds=thr))
+    x = np.asarray(samples, np.float32)
+    pad = (-len(x)) % 256  # the scan path wants a multiple of its unroll
+    if pad:
+        x = np.concatenate([x, np.zeros(pad, np.float32)])
+    res = fe(x[None, :])
+    mask = np.zeros(len(samples), np.uint8)
+    for name, w in MASK_LAYOUT:
+        mask |= np.where(np.asarray(res[name][0][: len(samples)]), np.uint8(w), np.uint8(0))
+    return mask
+
+
+def _mask_stream(samples, rate, mask, window=None, block=65536, slack=2):
+    from nfclab.runtime.farm import MaskFedStream
+
+    dec = MaskFedStream(rate, window=window, slack=slack)
+    frames = []
+    for off in range(0, len(samples), block):
+        frames.extend(
+            dec.feed_mask(samples[off : off + block],
+                          mask[off : off + block])
+        )
+    frames.extend(dec.finish())
+    return dec, frames
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["test_NFC-A_106kbps_002", "test_POLL_AB_001"],
+)
+def test_mask_fed_stream_matches_golden(fixture_dir, name):
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    mask = _cpu_mask(samples, info.sample_rate)
+    _, frames = _mask_stream(samples, info.sample_rate, mask)
+    got = [f for f in frames if f.frame_type in GOLDEN_TYPES]
+    want = read_golden_frames(str(fixture_dir / f"{name}.json"))
+    assert got == want
+
+
+def test_mask_fed_stream_windowed(fixture_dir):
+    """Window compaction shifts the injected index entries with the other
+    cache entries (LazyChannels.rebind generic path): tiled capture long
+    enough to force compactions, windowed vs unbounded frame equality."""
+    name = "test_NFC-A_106kbps_002"
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    big = np.tile(samples, 12)
+    mask = _cpu_mask(big, info.sample_rate)
+    dec, frames = _mask_stream(big, info.sample_rate, mask, window=1 << 18)
+    assert dec.base > 0, "window never compacted; test is vacuous"
+    _, ref_frames = _mask_stream(big, info.sample_rate, mask)
+    assert frames == ref_frames
+    got = [f for f in ref_frames if f.frame_type in GOLDEN_TYPES]
+    assert len(got) >= 12  # the tiled capture decodes in every repetition
