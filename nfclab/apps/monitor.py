@@ -119,6 +119,7 @@ class MonitorState:
             self._frames.append({
                 "id": self._count,
                 "time": round(frame.time_start, 6),
+                "time_end": round(frame.time_end, 6),
                 "delta": round(delta, 6),
                 "rate": int(frame.frame_rate),
                 "tech": _TECHS.get(int(frame.tech_type), "?"),
@@ -277,9 +278,12 @@ frames, newest at bottom)</div>
 <canvas id="wf" style="width:100%;height:140px;display:block;
 image-rendering:pixelated;border-radius:4px"></canvas></div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
-Signal (adaptive render stream, trailing window)</div>
+Signal (adaptive render stream, trailing window) —
+<span style="color:var(--muted)">wheel zoom &middot; drag pan &middot;
+click cursors &middot; dblclick reset</span>
+<span id="wreadout" style="float:right;color:var(--ink)"></span></div>
 <svg id="wave" preserveAspectRatio="none" style="width:100%;height:120px;
-display:block"></svg>
+display:block;cursor:crosshair"></svg>
 <div id="lanes"></div></div>
 <div class="panel">
 <div style="margin-bottom:8px">
@@ -343,10 +347,37 @@ let lastSpec = null;
 // per-frame protocol detail trees (ParserNfcA/B/F/V + ISO7816 view):
 // click a row to expand its parse tree
 const expanded = new Set(), details = {};
+const framesById = {};
 function toggle(id) {
-  if (!details[id]) return;
+  const f = framesById[id];
+  // selecting a row shades the frame's sample span on the signal view
+  if (f && f.time_end !== undefined) {
+    selSpan = [f.time, Math.max(f.time_end, f.time + 1e-6)];
+    if (lastWave) drawWave(lastWave);
+  }
+  if (!details[id] && !(f && f.data)) return;
   if (expanded.has(id)) expanded.delete(id); else expanded.add(id);
   tickNow();
+}
+// hex view role (the GUI's frame hex dump): offset | hex | ascii
+function hexDump(hexstr) {
+  const b = hexstr ? hexstr.split(':') : [];
+  if (!b.length) return '';
+  let out = '';
+  for (let o = 0; o < b.length; o += 16) {
+    const row = b.slice(o, o + 16);
+    const hex = row.map((x, i) => x + (i === 7 ? ' ' : '')).join(' ');
+    const asc = row.map(x => {
+      const c = parseInt(x, 16);
+      return c >= 32 && c < 127 ? String.fromCharCode(c) : '.';
+    }).join('');
+    out += `<div><span style="color:var(--muted)">` +
+      `${o.toString(16).padStart(4, '0')}</span>  ` +
+      `${hex.padEnd(49)}  <span style="color:var(--ink2)">${esc(asc)}` +
+      `</span></div>`;
+  }
+  return `<div style="font-family:ui-monospace,monospace;white-space:pre;` +
+    `margin-bottom:6px">${out}</div>`;
 }
 const esc = s => String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;');
 function renderTree(n) {
@@ -414,17 +445,19 @@ function renderTable(d) {
         .toLowerCase().includes(q));
     if (d.frames.length) {
       tb.innerHTML = rows.slice().reverse().map(f => {
-        const hasD = !!f.detail;
+        framesById[f.id] = f;
+        const hasD = !!f.detail || !!f.data;
         details[f.id] = f.detail;
         const open = expanded.has(f.id) && hasD;
-        let h = `<tr${hasD ? ` class="exp" onclick="toggle(${f.id})"` : ''}>` +
+        let h = `<tr class="exp" onclick="toggle(${f.id})">` +
           `<td>${hasD ? (open ? '▾ ' : '▸ ') : ''}${f.id}</td>` +
           `<td>${fmt(f.time, 4)}</td>` +
           `<td>${fmt(f.delta, 4)}</td><td>${f.rate || ''}</td>` +
           `<td>${f.tech}</td><td>${f.event}</td>` +
           `<td>${f.flags.join(' ')}</td><td class="data">${f.data}</td></tr>`;
         if (open) h += `<tr><td></td><td colspan="7" class="tree">` +
-          renderTree(f.detail) + `</td></tr>`;
+          hexDump(f.data) + (f.detail ? renderTree(f.detail) : '') +
+          `</td></tr>`;
         return h;
       }).join('') || `<tr><td colspan="8" class="empty">no frames match
         "${q}"</td></tr>`;
@@ -457,27 +490,137 @@ function drawLanes(lw) {
         fill="none" stroke="var(--series)" stroke-width="2"/></svg></div>`;
   }).join('');
 }
+// ---- interactive signal analysis (graph/ time cursors + zoom role):
+// wheel zoom around the pointer, drag pan, click places measure cursors
+// (two cursors -> dt and 1/dt readout), dblclick resets, selecting a
+// frame row shades its [start, end] span
+let lastWave = null, waveView = null, cursors = [], selSpan = null;
+function waveExtent(w) { return [w[0][0], w[w.length - 1][0]]; }
 function drawWave(w) {
+  lastWave = w;
   const svg = document.getElementById('wave');
   if (!w || w.length < 2) { svg.innerHTML = ''; return; }
   const W = svg.clientWidth || 800, H = svg.clientHeight || 120;
   svg.setAttribute('viewBox', `0 0 ${W} ${H}`);
-  const t0 = w[0][0], t1 = w[w.length - 1][0], ts = (t1 - t0) || 1;
-  const vs = w.map(p => p[1]);
+  const [f0, f1] = waveExtent(w);
+  let v0 = f0, v1 = f1;
+  if (waveView) {
+    v0 = Math.max(f0, waveView[0]); v1 = Math.min(f1, waveView[1]);
+    if (v1 - v0 < 1e-9) { waveView = null; v0 = f0; v1 = f1; }
+  }
+  const ts = (v1 - v0) || 1;
+  const vis = w.filter(p => p[0] >= v0 && p[0] <= v1);
+  if (vis.length < 2) { svg.innerHTML = ''; return; }
+  const vs = vis.map(p => p[1]);
   const lo = Math.min(...vs), hi = Math.max(...vs), span = (hi - lo) || 1;
-  const pts = w.map(p =>
-    `${((p[0] - t0) / ts * W).toFixed(1)},` +
+  const X = t => (t - v0) / ts * W;
+  const pts = vis.map(p =>
+    `${X(p[0]).toFixed(1)},` +
     `${(H - 6 - (p[1] - lo) / span * (H - 12)).toFixed(1)}`).join(' ');
+  let extra = '';
+  if (selSpan && selSpan[1] > v0 && selSpan[0] < v1) {
+    const x0 = Math.max(0, X(selSpan[0])), x1 = Math.min(W, X(selSpan[1]));
+    extra += `<rect x="${x0.toFixed(1)}" y="0"
+      width="${Math.max(1.5, x1 - x0).toFixed(1)}" height="${H}"
+      fill="var(--series)" opacity="0.18"/>`;
+  }
+  for (const c of cursors) {
+    if (c < v0 || c > v1) continue;
+    extra += `<line x1="${X(c).toFixed(1)}" x2="${X(c).toFixed(1)}"
+      y1="0" y2="${H}" stroke="#fdd663" stroke-width="1.5"/>`;
+  }
   svg.innerHTML =
     `<line x1="0" x2="${W}" y1="${H / 2}" y2="${H / 2}"
-      stroke="var(--grid)" stroke-width="1"/>` +
+      stroke="var(--grid)" stroke-width="1"/>` + extra +
     `<polyline points="${pts}" fill="none" stroke="var(--series)"
       stroke-width="2"/>` +
+    `<line id="wxh" y1="0" y2="${H}" stroke="var(--muted)"
+      stroke-width="1" visibility="hidden"/>` +
     `<text x="4" y="${H - 4}" fill="var(--ink2)" font-size="11">
-      ${t0.toFixed(3)}s</text>` +
-    `<text x="${W - 60}" y="${H - 4}" fill="var(--ink2)" font-size="11">
-      ${t1.toFixed(3)}s</text>`;
+      ${v0.toFixed(4)}s</text>` +
+    `<text x="${W - 70}" y="${H - 4}" fill="var(--ink2)" font-size="11">
+      ${v1.toFixed(4)}s</text>`;
+  const ro = document.getElementById('wreadout');
+  if (cursors.length === 2) {
+    const dt = Math.abs(cursors[1] - cursors[0]);
+    ro.textContent = `\u0394t ${(dt * 1e6).toFixed(1)} \u00b5s` +
+      (dt > 0 ? ` (${(1 / dt / 1000).toFixed(2)} kHz)` : '');
+  } else if (waveView) {
+    ro.textContent = `zoom ${((f1 - f0) / ts).toFixed(1)}\u00d7`;
+  } else { ro.textContent = ''; }
 }
+(function () {
+  const svg = document.getElementById('wave');
+  let down = null, moved = false;
+  const timeAt = ev => {
+    const r = svg.getBoundingClientRect();
+    const fx = (ev.clientX - r.left) / r.width;
+    if (!lastWave || lastWave.length < 2) return null;
+    const [f0, f1] = waveExtent(lastWave);
+    const v0 = waveView ? Math.max(f0, waveView[0]) : f0;
+    const v1 = waveView ? Math.min(f1, waveView[1]) : f1;
+    return v0 + fx * (v1 - v0);
+  };
+  svg.addEventListener('wheel', ev => {
+    ev.preventDefault();
+    const t = timeAt(ev); if (t === null) return;
+    const [f0, f1] = waveExtent(lastWave);
+    const v0 = waveView ? waveView[0] : f0, v1 = waveView ? waveView[1] : f1;
+    const k = ev.deltaY > 0 ? 1.3 : 1 / 1.3;
+    let n0 = t - (t - v0) * k, n1 = t + (v1 - t) * k;
+    if (n1 - n0 >= f1 - f0) { waveView = null; }
+    else { waveView = [Math.max(f0, n0), Math.min(f1, n1)]; }
+    drawWave(lastWave);
+  }, { passive: false });
+  svg.addEventListener('mousedown', ev => {
+    down = [ev.clientX, timeAt(ev)]; moved = false;
+  });
+  svg.addEventListener('mousemove', ev => {
+    const r = svg.getBoundingClientRect();
+    if (down && Math.abs(ev.clientX - down[0]) > 3 && lastWave) {
+      moved = true;
+      const [f0, f1] = waveExtent(lastWave);
+      const v0 = waveView ? waveView[0] : f0,
+            v1 = waveView ? waveView[1] : f1;
+      const dt = (down[0] - ev.clientX) / r.width * (v1 - v0);
+      let n0 = v0 + dt, n1 = v1 + dt;
+      if (n0 < f0) { n1 += f0 - n0; n0 = f0; }
+      if (n1 > f1) { n0 -= n1 - f1; n1 = f1; }
+      waveView = [n0, n1]; down[0] = ev.clientX;
+      drawWave(lastWave);
+      return;
+    }
+    const t = timeAt(ev); if (t === null) return;
+    const xh = document.getElementById('wxh');
+    const fx = (ev.clientX - r.left) / r.width * (svg.clientWidth || 800);
+    if (xh) { xh.setAttribute('x1', fx); xh.setAttribute('x2', fx);
+              xh.setAttribute('visibility', 'visible'); }
+    const tip = document.getElementById('tip');
+    tip.style.display = 'block';
+    tip.style.left = (ev.pageX + 12) + 'px';
+    tip.style.top = (ev.pageY - 10) + 'px';
+    tip.textContent = `t = ${(t * 1000).toFixed(3)} ms`;
+  });
+  svg.addEventListener('mouseup', ev => {
+    if (down && !moved) {
+      const t = timeAt(ev);
+      if (t !== null) {
+        if (cursors.length >= 2) cursors = [t]; else cursors.push(t);
+        drawWave(lastWave);
+      }
+    }
+    down = null;
+  });
+  svg.addEventListener('mouseleave', () => {
+    down = null;
+    document.getElementById('tip').style.display = 'none';
+    const xh = document.getElementById('wxh');
+    if (xh) xh.setAttribute('visibility', 'hidden');
+  });
+  svg.addEventListener('dblclick', () => {
+    waveView = null; cursors = []; drawWave(lastWave);
+  });
+})();
 function drawSpec() {
   const svg = document.getElementById('spec');
   const s = lastSpec;

@@ -335,3 +335,34 @@ def test_monitor_command_plane(fixture_dir, tmp_path):
     finally:
         ex.shutdown()
         monitor.stop()
+
+
+def test_monitor_signal_analysis_surface():
+    """Interactive signal analysis (the GUI's graph/ time cursors + zoom +
+    hex view role): the page ships the interactions and the frame snapshot
+    carries the [start, end] span the wave highlight needs."""
+    from nfclab.apps.monitor import MonitorState, _PAGE
+    from nfclab.core.frame import Frame
+    from nfclab.core.frame import FramePhase, FrameTech, FrameType
+
+    # client-side features are pinned by presence (no JS engine in CI)
+    for token in ("hexDump", "addEventListener('wheel'", "dblclick",
+                  "cursors", "waveView", "selSpan", "wreadout"):
+        assert token in _PAGE, token
+
+    state = MonitorState()
+    f = Frame(
+        tech_type=int(FrameTech.NfcATech),
+        frame_type=int(FrameType.NfcPollFrame),
+        frame_phase=int(FramePhase.NfcSelectionPhase),
+        sample_start=1000,
+        sample_end=2000,
+        sample_rate=10_000_000,
+    )
+    f.time_start = 1e-4
+    f.time_end = 2e-4
+    f.data = bytes([0x52])
+    state._on_frame(f)
+    snap = state.snapshot()
+    assert snap["frames"][0]["time_end"] == 2e-4
+    assert snap["frames"][0]["data"] == "52"
