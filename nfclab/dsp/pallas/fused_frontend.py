@@ -240,11 +240,13 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         # mod_depth is computed VECTORIZED in the block phase (pure
         # elementwise function of env and v — no recurrence)
 
-        # raw-value boxes
+        # raw-value boxes (ring sizes are powers of two: index with a
+        # bitwise AND instead of rem — same value for the non-negative
+        # clocks the kernel sees)
         s = 0
-        slot_v = jax.lax.rem(t, RV_RING)
+        slot_v = jax.lax.bitwise_and(t, RV_RING - 1)
         for w in BV_WIDTHS:
-            old = rv[jax.lax.rem(t - w + RV_RING, RV_RING)]
+            old = rv[jax.lax.bitwise_and(t - w + RV_RING, RV_RING - 1)]
             sums[s] = sums[s] + v - old
             put(f"bv{w}", j, sums[s])
             s += 1
@@ -252,21 +254,21 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
         # squared-filtered boxes
         q = filt * filt * 10.0
-        slot_q = jax.lax.rem(t, RQ_RING)
+        slot_q = jax.lax.bitwise_and(t, RQ_RING - 1)
         for w in Q_WIDTHS:
-            old = rq[jax.lax.rem(t - w + RQ_RING, RQ_RING)]
+            old = rq[jax.lax.bitwise_and(t - w + RQ_RING, RQ_RING - 1)]
             sums[s] = sums[s] + q - old
             put(f"q{w}", j, sums[s])
             s += 1
         rq[slot_q] = q
 
         # BPSK product boxes: prod = filt[t] * filt[t-lag] * 10
-        slot_f = jax.lax.rem(t, RF_RING)
+        slot_f = jax.lax.bitwise_and(t, RF_RING - 1)
         for (lag, box), rp, rsize in zip(PB, rps, RP_RINGS):
-            lagged = rf[jax.lax.rem(t - lag + RF_RING, RF_RING)]
+            lagged = rf[jax.lax.bitwise_and(t - lag + RF_RING, RF_RING - 1)]
             prod = filt * lagged * 10.0
-            slot_p = jax.lax.rem(t, rsize)
-            old = rp[jax.lax.rem(t - box + rsize, rsize)]
+            slot_p = jax.lax.bitwise_and(t, rsize - 1)
+            old = rp[jax.lax.bitwise_and(t - box + rsize, rsize - 1)]
             sums[s] = sums[s] + prod - old
             put(f"p{lag}x{box}", j, sums[s])
             rp[slot_p] = prod
@@ -714,6 +716,7 @@ def fused_frontend(value, params, native_layout=False,
     sel = _normalize_select(select)
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
+    assert base >= 0  # ring slots index with AND; clocks must be non-negative
     # wider tiles amortize the serial per-step latency over more streams:
     # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
     # the bottleneck at sub=8).  sub=32 only fits in VMEM with the DMA-state
