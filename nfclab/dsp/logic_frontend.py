@@ -63,7 +63,8 @@ def _jitted():
         line = (edge[..., CH_RST] != 0) | (edge[..., CH_VCC] != 0)
         mask += jnp.where(line, MASK_LINE_EDGE, 0)
         mask += jnp.where(edge[..., CH_CLK] < 0, MASK_CLK_FALL, 0)
-        return mask, block[..., -1:, :]
+        # bits fit in 4 -> ship uint8: 1 byte/sample over the link
+        return mask.astype(jnp.uint8), block[..., -1:, :]
 
     return jax.jit(run)
 
@@ -75,7 +76,8 @@ def logic_event_mask(block: np.ndarray, carry=None):
     layout per demod/iso7816.CH_*).  carry: the value returned by the
     previous call for this stream, or None at stream start.
 
-    Returns (mask, carry): mask is int32 [T] / [B, T] on the device; carry
+    Returns (mask, carry): mask is uint8 [T] / [B, T] on the device (the
+    four event bits fit in a byte — the fetch moves 1 byte/sample); carry
     feeds the next chunk.  Fetch with np.asarray(mask).
     """
     import jax.numpy as jnp
