@@ -112,6 +112,37 @@ _MAX_PARTS = 64
 _FETCH_THREADS = 32
 
 
+@functools.lru_cache(maxsize=4)
+def _i16_to_f32():
+    """jitted exact dequant: i16 codes -> f32 samples.  Scaling by 2^-15
+    only changes the exponent (never rounds), so the result is bit-identical
+    to the host's read_wav conversion (raw.astype(f32) / 2^15)."""
+    import jax
+    import jax.numpy as jnp
+
+    def conv(x):
+        return x.astype(jnp.float32) * jnp.float32(2.0 ** -15)
+
+    return jax.jit(conv)
+
+
+def device_put_samples(x: np.ndarray):
+    """Upload a [rows, T] f32 sample matrix, halving the link bytes when
+    the samples sit on the int16 grid (true for every 16-bit and 8-bit WAV
+    source): ship i16 codes and dequantize on device — bit-exact, because
+    both directions only scale by powers of two."""
+    import jax
+
+    scaled = x * np.float32(1 << 15)
+    if (
+        np.array_equal(scaled, np.floor(scaled))
+        and scaled.min() >= -(1 << 15)
+        and scaled.max() < (1 << 15)
+    ):
+        return _i16_to_f32()(jax.device_put(scaled.astype(np.int16)))
+    return jax.device_put(x)
+
+
 @functools.lru_cache(maxsize=8)
 def _splitter(k: int):
     """jit that splits an array into k equal device-side parts (one
@@ -282,9 +313,8 @@ def _run_batch_blocks(
     # Explicit device_put: the implicit host->device transfer inside the
     # jit call runs ~30x slower than the direct path on the tunnel-attached
     # chip (measured 0.05 GB/s vs 1.6 GB/s), so never hand numpy to jit.
-    import jax
-
-    x = jax.device_put(x)
+    # i16-grid inputs ship as 2-byte codes (device_put_samples, bit-exact).
+    x = device_put_samples(x)
     res = fused_frontend(
         x, _params_tuple(params), native_layout=False,
         mask_params=mask_params, select=tuple(fetch),

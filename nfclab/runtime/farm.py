@@ -355,13 +355,16 @@ class TpuStreamFarm:
 
         # explicit device_put: the implicit transfer inside jit is ~30x
         # slower than the direct path on the tunnel-attached chip.  Only
-        # the REAL stream rows cross the link; zero-padding to the kernel's
-        # lane count happens on device (padding host-side uploaded b/n_s x
-        # the bytes — 268 MB/chunk of zeros for a 4-stream farm — and was
-        # the entire farm bottleneck on a tunnel attachment)
-        import jax
+        # the REAL stream rows cross the link — as 2-byte i16 codes when
+        # the samples sit on the int16 grid (bit-exact, see
+        # tpu_channels.device_put_samples) — and zero-padding to the
+        # kernel's lane count happens on device (padding host-side
+        # uploaded b/n_s x the bytes — 268 MB/chunk of zeros for a
+        # 4-stream farm — and was the entire farm bottleneck on a tunnel
+        # attachment)
+        from ..dsp.tpu_channels import device_put_samples
 
-        x = jax.device_put(blocks)
+        x = device_put_samples(blocks)
         if b != n_s:
             x = _row_padder(b)(x)
         select = ("detect_mask",) if self.fetch == "mask" else None

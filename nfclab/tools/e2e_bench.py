@@ -141,7 +141,8 @@ def main(argv=None) -> int:
 
     # device-frontend traffic per sample (f32 in; per-mode fetch out)
     out["bytes_per_sample"] = {
-        "upload_f32_input": 4.0,
+        "upload_i16_input": 2.0,
+        "upload_f32_input_offgrid": 4.0,
         "fused_fetch": 37.0,  # 9 box f32 + mask u8
         "mask_fetch": 1.0,
     }

@@ -31,3 +31,26 @@ def test_decode_batch_thread_pool_matches_goldens(fixture_dir):
         got = [f for f in res[path] if f.frame_type in GOLDEN_TYPES]
         want = read_golden_frames(str(fixture_dir / f"{name}.json"))
         assert got == want
+
+
+def test_device_put_samples_i16_grid_bit_exact(fixture_dir):
+    """i16-grid uploads dequantize on device bit-identically to the host
+    f32 samples (both directions only scale by powers of two), and
+    off-grid samples fall back to the f32 upload."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import numpy as np
+
+    from nfclab.dsp.tpu_channels import device_put_samples
+    from nfclab.io.wav import read_wav
+
+    samples, _ = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    x = np.asarray(samples, np.float32)[None, :1024]
+    d = device_put_samples(x)
+    assert np.array_equal(np.asarray(d), x)
+    assert np.asarray(d).dtype == np.float32
+
+    off = x + np.float32(1e-6)  # off the i16 grid
+    d2 = device_put_samples(off)
+    assert np.array_equal(np.asarray(d2), off)
