@@ -29,7 +29,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _cpu_mask(samples, rate, power_thr=0.01):
+def _cpu_mask(samples, rate, power_thr=0.01, thresholds=None):
     """Packed detect mask for one capture, computed on CPU by the unfused
     JAX frontend with the batch mask frontend's conservative margin."""
     from conftest import ensure_cpu_devices
@@ -43,7 +43,7 @@ def _cpu_mask(samples, rate, power_thr=0.01):
     from nfclab.dsp.tpu_channels import MASK_ONLY_MARGIN
     from nfclab.core.thresholds import DecoderThresholds
 
-    d = DecoderThresholds()
+    d = thresholds or DecoderThresholds()
     m = 1.0 - MASK_ONLY_MARGIN
     thr = {
         "nfca": d.nfca.correlation * m,
@@ -64,10 +64,11 @@ def _cpu_mask(samples, rate, power_thr=0.01):
     return mask
 
 
-def _mask_stream(samples, rate, mask, window=None, block=65536, slack=2):
+def _mask_stream(samples, rate, mask, window=None, block=65536, slack=2,
+                 **kw):
     from nfclab.runtime.farm import MaskFedStream
 
-    dec = MaskFedStream(rate, window=window, slack=slack)
+    dec = MaskFedStream(rate, window=window, slack=slack, **kw)
     frames = []
     for off in range(0, len(samples), block):
         frames.extend(
@@ -105,3 +106,30 @@ def test_mask_fed_stream_windowed(fixture_dir):
     assert frames == ref_frames
     got = [f for f in ref_frames if f.frame_type in GOLDEN_TYPES]
     assert len(got) >= 12  # the tiled capture decodes in every repetition
+
+
+def test_mask_fed_stream_custom_thresholds(fixture_dir):
+    """The kernel mask carries the MARGINED custom thresholds while the
+    walk re-checks against the true ones (single source of truth): a
+    raised NFC-A correlation threshold must change frames identically on
+    the host path and the mask-fed path."""
+    from nfclab.core.thresholds import DecoderThresholds
+    from nfclab.runtime.streaming import StreamingNfcDecoder
+
+    name = "test_NFC-A_106kbps_002"
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    th = DecoderThresholds()
+    th.nfca.correlation = 0.60  # away from the 0.75 default
+
+    host = StreamingNfcDecoder(info.sample_rate, thresholds=th.copy())
+    host_frames = []
+    for off in range(0, len(samples), 65536):
+        host_frames.extend(host.feed(samples[off : off + 65536]))
+    host_frames.extend(host.finish())
+
+    mask = _cpu_mask(samples, info.sample_rate, thresholds=th)
+    _, mask_frames = _mask_stream(
+        samples, info.sample_rate, mask, thresholds=th.copy()
+    )
+    assert mask_frames == host_frames
+    assert [f for f in mask_frames if f.frame_type in GOLDEN_TYPES]
