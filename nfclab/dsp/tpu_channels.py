@@ -355,6 +355,100 @@ def _run_batch_blocks(
     return outs
 
 
+@functools.lru_cache(maxsize=8)
+def _chain_row_padder(b: int):
+    """jitted zero-pad of [n, t] rows up to the kernel lane batch b."""
+    import jax
+    import jax.numpy as jnp
+
+    def pad(x):
+        return jnp.zeros((b, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+
+    return jax.jit(pad)
+
+
+def _run_batch_chained(
+    captures: list[np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float,
+    fetch: tuple,
+    thresholds=None,
+    chunk: int = 1 << 16,
+) -> list[dict[str, np.ndarray]]:
+    """EXACT device frontend: captures ride the kernel as independent lanes
+    through chained chunks with carried ring state — outputs bit-identical
+    to a monolithic per-capture pass (the TPU stream farm's scheme,
+    fused_frontend.py state contract).
+
+    This is the required path whenever KERNEL CONDITIONING is consumed:
+    the overlap-save block path (_run_batch_blocks) seeds each block from
+    a zeros halo, and the envelope FREEZES during deep modulation
+    (NfcTech.cpp:42-53 update=false), so no halo length can reconstruct a
+    frozen envelope across a block boundary that lands mid-frame.  Box
+    sums and margined detect triggers tolerate block restarts (raw-value
+    windows + conservative margins), so the mask paths keep the one-
+    dispatch block layout.
+
+    Captures are sorted by length (desc) so finished lanes form a suffix:
+    each chunk uploads and fetches only the live prefix."""
+    from ..core.params import SignalParams
+    from ..core.thresholds import DecoderThresholds
+    from .frontend import _params_tuple
+    from .pallas.fused_frontend import LANES, TILE, fused_frontend
+
+    assert chunk % TILE == 0
+    order = sorted(range(len(captures)), key=lambda i: -len(captures[i]))
+    caps = [np.asarray(captures[i], np.float32) for i in order]
+    lens = [len(c) for c in caps]
+    t_max = lens[0]
+    assert t_max < 2 ** 31, "capture exceeds the kernel's int32 clock"
+    n_chunks = -(-t_max // chunk)
+
+    b_pad = LANES
+    while b_pad < len(caps):
+        b_pad *= 2
+
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    mask_params = (thresholds or DecoderThresholds()).detect_mask_tuple(
+        power_level_threshold
+    )
+    pt = _params_tuple(params)
+
+    from .pallas.fused_frontend import OUTPUT_DTYPES
+
+    outs = [
+        {name: np.empty(n, OUTPUT_DTYPES[name]) for name in fetch}
+        for n in lens
+    ]
+    state = None
+    for k in range(n_chunks):
+        lo = k * chunk
+        live = sum(1 for n in lens if n > lo)
+        block = np.zeros((live, chunk), np.float32)
+        for i in range(live):
+            seg = caps[i][lo : lo + chunk]
+            block[i, : len(seg)] = seg
+        x = device_put_samples(block)
+        if b_pad != live:
+            x = _chain_row_padder(b_pad)(x)
+        res, state = fused_frontend(
+            x, pt, native_layout=False, mask_params=mask_params,
+            state=state, base=lo, return_state=True, select=tuple(fetch),
+        )
+        fetched = fetch_arrays({name: res[name][:live] for name in fetch})
+        for i in range(live):
+            hi = min(lens[i], lo + chunk)
+            for name in fetch:
+                outs[i][name][lo:hi] = fetched[name][i, : hi - lo]
+
+    inv = [0] * len(captures)
+    for pos, i in enumerate(order):
+        inv[i] = pos
+    return [outs[inv[i]] for i in range(len(captures))]
+
+
 def _run_capture_blocks(
     samples: np.ndarray,
     sample_rate: int,
@@ -408,10 +502,10 @@ def fused_capture_all(
     from ..core.params import SignalParams
     from ..native.binding import Conditioned, edge_track_into
 
-    arrs = _run_capture_blocks(
-        samples, sample_rate, power_level_threshold, L, H,
+    arrs = _run_batch_chained(
+        [samples], sample_rate, power_level_threshold,
         tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
-    )
+    )[0]
     n = len(samples)
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
@@ -502,8 +596,8 @@ def fused_batch_all(
     from ..core.params import SignalParams
     from ..native.binding import Conditioned, edge_track_into
 
-    arr_sets = _run_batch_blocks(
-        captures, sample_rate, power_level_threshold, L, H,
+    arr_sets = _run_batch_chained(
+        captures, sample_rate, power_level_threshold,
         tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
     )
     params = SignalParams(

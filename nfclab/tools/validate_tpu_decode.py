@@ -25,6 +25,11 @@ DEFAULT_FIXTURES = (
     "test_NFC-A_106kbps_002",
     "test_NFC-A_424kbps_001",
     "test_NFC-B_106kbps_001",
+    # long frames crossing chunk boundaries mid-modulation: these two
+    # caught the overlap-save halo's frozen-envelope non-convergence (the
+    # device-conditioning path must use carried-state chunking)
+    "test_NFC-A_424kbps_002",
+    "test_NFC-B_106kbps_002",
 )
 
 WAV_DIR = "/root/reference/wav"
@@ -74,10 +79,13 @@ def main(argv=None) -> int:
 
     # device channels + worker-native conditioning (the default fused mode)
     check(decode_batch(paths, workers=1, frontend="fused"), "host-cond")
-    # full device frontend (conditioning fetched from the kernel too)
+    # full device frontend (conditioning fetched from the kernel too);
+    # includes the boundary-crossing fixtures — kernel conditioning is
+    # only exact via the carried-state chained runner
     check(
         decode_batch(
-            paths[:1], workers=1, frontend="fused", conditioner="device"
+            [paths[0], *paths[3:]], workers=1, frontend="fused",
+            conditioner="device",
         ),
         "device-cond",
     )
