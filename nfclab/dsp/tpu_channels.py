@@ -245,7 +245,19 @@ def _run_batch_blocks(
     threshold crossing by sub-ulp roundoff.  The margin makes the mask a
     conservative superset (extra candidates are always safe — the FSMs
     re-check every condition; B's edge and the power gate read the
-    bit-exact conditioning, so they need no margin)."""
+    bit-exact conditioning, so they need no margin).
+
+    Block-restart soundness (why this path may NOT feed conditioning
+    consumers — use _run_batch_chained there): each block row restarts at
+    clock 0 over a zeros halo, so a halo that BEGINS mid-modulation seeds
+    the envelope from the modulated level and the freeze rule
+    (NfcTech.cpp:42-53) keeps it low for ~100k samples.  Box sums are
+    raw-value windows (exact after the halo, restart only changes the
+    roundoff family), and an UNDER-estimated envelope only loosens every
+    trigger comparison (lower thr*env, lower B edge magnitude), so the
+    detect mask stays a superset; over-estimation cannot arise from a
+    zeros seed.  Kernel conditioning VALUES, however, are simply wrong in
+    that regime — the exact chained runner is mandatory for them."""
     import jax.numpy as jnp
 
     from .frontend import _params_tuple
