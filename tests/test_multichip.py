@@ -24,7 +24,14 @@ def _devices(n):
     return devs[:n]
 
 
-FIXTURES = ["test_POLL_ABF_001", "test_NFC-A_424kbps_002", "test_NFC-V_26kbps_001"]
+FIXTURES = [
+    "test_POLL_ABF_001",
+    "test_NFC-A_424kbps_002",
+    "test_NFC-V_26kbps_001",
+    # long frames crossing block boundaries mid-modulation (the frozen-
+    # envelope hazard class caught on the batch device-cond path)
+    "test_NFC-B_106kbps_002",
+]
 
 
 @pytest.mark.parametrize("name", FIXTURES)
