@@ -509,8 +509,10 @@ def fused_capture_all(
     serial per-sample C++ chain runs at ~3.5 MS/s/core); here conditioning
     comes from the same fused kernel pass that produces the box channels,
     and only the carrier-edge peak tracker (which the kernel does not emit)
-    runs on the host — the scheme the TPU stream farm uses, golden-validated
-    by validate_tpu_farm/validate_tpu_decode."""
+    runs on the host — the carried-state chained scheme the TPU stream farm
+    uses (bit-identical to a monolithic pass; overlap-save blocks are NOT
+    sound for conditioning, see _run_batch_chained), golden-validated by
+    validate_tpu_farm/validate_tpu_decode."""
     from ..core.params import SignalParams
     from ..native.binding import Conditioned, edge_track_into
 
@@ -601,10 +603,12 @@ def fused_batch_all(
     H: int = DEFAULT_H,
     thresholds=None,
 ) -> list[tuple]:
-    """Full device frontend for MANY captures in one device dispatch + one
-    fetch; returns one (Conditioned, channels) pair per capture.  Only the
-    carrier-edge peak tracker (not emitted by the kernel) runs per capture
-    on the host."""
+    """Full device frontend for MANY captures; returns one
+    (Conditioned, channels) pair per capture.  Runs the EXACT carried-state
+    chained path (_run_batch_chained) — kernel conditioning demands it —
+    with captures stacked as kernel lanes, one dispatch + fetch per chunk.
+    Only the carrier-edge peak tracker (not emitted by the kernel) runs
+    per capture on the host."""
     from ..core.params import SignalParams
     from ..native.binding import Conditioned, edge_track_into
 
