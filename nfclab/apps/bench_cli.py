@@ -49,6 +49,7 @@ def bench_frontend(batch: int, span: int, reps: int) -> dict:
 def bench_decode(
     paths: list[str], frontend: str = "host", workers: int | None = None,
     conditioner: str = "native", pool: str = "process",
+    keep_pool: bool = False,
 ) -> dict:
     """Honest capture->frames rate: WAV read + frontend (host or the fused
     TPU kernel via dsp.tpu_channels) + the host event walk, wall clock.
@@ -61,7 +62,7 @@ def bench_decode(
     t0 = time.perf_counter()
     results = decode_batch(
         paths, workers=workers, frontend=frontend, conditioner=conditioner,
-        pool=pool,
+        pool=pool, keep_pool=keep_pool,
     )
     dt = time.perf_counter() - t0
     frames = sum(len(v) for v in results.values())

@@ -40,7 +40,14 @@ def alloc_array(n: int, dtype=np.float32) -> np.ndarray:
     if nbytes < (1 << 22):
         return np.empty(n, dtype)
     try:
-        mm = mmap.mmap(-1, nbytes)
+        # MAP_PRIVATE, never the (default) MAP_SHARED: anonymous SHARED
+        # mappings survive fork as the SAME physical pages, so a forked
+        # worker pool whose parent holds live buffers would let children
+        # alias each other's decode state (observed as nondeterministic
+        # frame corruption with the persistent fork pool)
+        mm = mmap.mmap(
+            -1, nbytes, flags=mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS
+        )
         libc = _get_libc()
         if libc:
             addr = ctypes.addressof(ctypes.c_char.from_buffer(mm))

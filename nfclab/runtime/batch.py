@@ -21,6 +21,81 @@ from ..core.params import SignalParams
 from ..io.wav import read_wav
 from .decoder import NfcDecoder
 
+# job list inherited by fork-pool workers (copy-on-write pages: no sample
+# pickling, no interpreter boot — see _fork_ok)
+_FORK_JOBS: list | None = None
+
+
+def _walk_fork(i: int) -> list[Frame]:
+    return _walk_one(_FORK_JOBS[i])
+
+
+# ------------------------------------------------------- persistent pool
+# Deployment-shaped worker pool: processes stay alive across decode_batch
+# calls so their heaps stay warm (this class of VM serializes page faults
+# through a userspace memory backend — fresh workers re-fault ~100 MB of
+# buffers per capture and the fault path, not the CPU, caps throughput;
+# with malloc-tuned persistent workers every buffer recycles after the
+# first call).  Jobs are PATHS, not samples: each worker reads + conditions
+# + walks its captures end to end, so nothing big crosses the pipe in
+# either direction but the frames.
+
+_PERSIST: dict[int, object] = {}
+
+
+def _persist_init() -> None:
+    from ..core.malloc_tune import malloc_tune
+
+    malloc_tune()
+
+
+def _walk_path(args) -> list[Frame]:
+    path, kwargs = args
+    samples, info = read_wav(path)
+    dec = NfcDecoder(**kwargs)
+    return dec.decode(samples, info.sample_rate)
+
+
+def persistent_pool(workers: int) -> ProcessPoolExecutor:
+    """Shared long-lived worker pool (fork when safe, else spawn)."""
+    ex = _PERSIST.get(workers)
+    if ex is None:
+        ctx = "fork" if _fork_ok() else "spawn"
+        ex = ProcessPoolExecutor(
+            max_workers=workers,
+            mp_context=multiprocessing.get_context(ctx),
+            initializer=_persist_init,
+        )
+        _PERSIST[workers] = ex
+    return ex
+
+
+def shutdown_pools() -> None:
+    for ex in _PERSIST.values():
+        ex.shutdown()
+    _PERSIST.clear()
+
+
+def _fork_ok() -> bool:
+    """Fork workers are safe (and ~3 s/worker cheaper than spawn on this
+    class of host: interpreter boot alone is ~2 s user-CPU) only while the
+    parent is single-threaded and has no LIVE XLA backend — forking a
+    process with XLA service threads risks deadlocked children.  A merely
+    imported jax module is fine (no threads until first backend use);
+    XLA's C++ threads don't register with `threading`, so the backend
+    registry is checked directly."""
+    import sys
+    import threading
+
+    if not hasattr(os, "fork"):
+        return False
+    if threading.active_count() > 1:
+        return False
+    xb = sys.modules.get("jax._src.xla_bridge")
+    if xb is not None and getattr(xb, "_backends", None):
+        return False
+    return True
+
 
 def _walk_one(args) -> list[Frame]:
     """Host-side walk over precomputed conditioning (runs in a worker
@@ -45,6 +120,7 @@ def decode_batch(
     conditioner: str = "jax",
     frontend: str = "host",
     pool: str = "process",
+    keep_pool: bool = False,
     **decoder_kwargs,
 ) -> dict[str, list[Frame]]:
     """Decode many wav captures: conditioning on the accelerator (in the
@@ -68,6 +144,26 @@ def decode_batch(
         return {}
     power_thr = decoder_kwargs.get("power_level_threshold", 0.01)
     thresholds = decoder_kwargs.get("thresholds")
+
+    if keep_pool and pool == "process" and frontend == "host" \
+            and conditioner != "jax" and len(paths) > 1:
+        # persistent path-only pool: workers read + condition + walk their
+        # captures end to end, heaps stay warm across calls (see
+        # persistent_pool above).  Long captures dispatch first so the
+        # tail of the schedule stays balanced.
+        if workers is None:
+            workers = min(len(paths), os.cpu_count() or 1)
+        if workers > 1:
+            order = sorted(
+                range(len(paths)),
+                key=lambda i: -os.path.getsize(paths[i]),
+            )
+            ex = persistent_pool(workers)
+            frames = list(ex.map(
+                _walk_path,
+                [(paths[i], decoder_kwargs) for i in order],
+            ))
+            return {paths[i]: f for i, f in zip(order, frames)}
 
     all_samples: list[np.ndarray] = []
     rates: list[int] = []
@@ -166,15 +262,16 @@ def decode_batch(
             (samples, rate, cond_arrays, tpu_channels, decoder_kwargs)
         )
 
+    fork_ok = _fork_ok()
     if workers is None:
-        # spawn-pool overhead (interpreter boot + sample pickling) costs
-        # more than it buys below ~4 cores — measured 9.7 MS/s serial vs
-        # 2.7 MS/s with a 2-worker spawn pool on a 2-core host; threads
-        # scale even there (GIL-free native walks)
         ncpu = os.cpu_count() or 1
-        if pool == "thread":
+        if pool == "thread" or fork_ok:
             workers = min(len(paths), ncpu)
         else:
+            # spawn-pool overhead (interpreter boot + sample pickling)
+            # costs more than it buys below ~4 cores — measured 9.7 MS/s
+            # serial vs 2.7 MS/s with a 2-worker spawn pool on a 2-core
+            # host; threads scale even there (GIL-free native walks)
             workers = 1 if ncpu <= 2 else min(len(paths), ncpu)
     results: dict[str, list[Frame]] = {}
     if workers <= 1 or len(paths) == 1:
@@ -190,7 +287,27 @@ def decode_batch(
                 results[path] = frames
         return results
 
-    # spawn, not fork: the parent may hold live jax/XLA threads (device
+    if fork_ok:
+        # fork workers inherit the job list as copy-on-write pages: no
+        # interpreter boot (~2 s user-CPU each on slow-boot hosts), no
+        # sample pickling.  Only taken while the parent is single-threaded
+        # with jax never loaded (_fork_ok).
+        global _FORK_JOBS
+        _FORK_JOBS = jobs
+        try:
+            with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=multiprocessing.get_context("fork"),
+            ) as pp:
+                for path, frames in zip(
+                    paths, pp.map(_walk_fork, range(len(jobs)))
+                ):
+                    results[path] = frames
+        finally:
+            _FORK_JOBS = None
+        return results
+
+    # spawn, not fork: the parent holds live jax/XLA threads (device
     # frontend, parallel fetch pools) and forking a multithreaded process
     # risks deadlock in the children
     with ProcessPoolExecutor(

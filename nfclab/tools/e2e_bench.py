@@ -59,6 +59,39 @@ def _measure_link() -> dict:
     }
 
 
+def _burn(n: int = 12_000_000) -> float:
+    x = 0
+    t0 = time.perf_counter()
+    for i in range(n):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def _cpu_capacity() -> dict:
+    """Calibrate how much PARALLEL cpu this host actually delivers: a
+    pure-Python burn single vs two concurrent processes.  Cloud VMs
+    advertise N vcpus but may deliver ~1 core of cycles (observed on this
+    host class: two burns take exactly 2x one burn — zero parallelism);
+    the walk-scaling curve is only interpretable against this ceiling."""
+    import multiprocessing as mp
+
+    single = min(_burn(), _burn())
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    ps = [ctx.Process(target=_burn) for _ in range(2)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    dual = time.perf_counter() - t0
+    speedup = 2.0 * single / dual if dual > 0 else 0.0
+    return {
+        "burn_single_s": round(single, 3),
+        "burn_dual_wall_s": round(dual, 3),
+        "parallel_speedup_ceiling": round(speedup, 2),
+    }
+
+
 def main(argv=None) -> int:
     import argparse
     import glob
@@ -89,19 +122,24 @@ def main(argv=None) -> int:
     import os as _os
 
     ncpu = _os.cpu_count() or 1
-    out["aggregate_scaling"] = {"cpus": ncpu, "curve": []}
-    configs = [("serial", "process", 1)]
+    cap = _cpu_capacity()
+    out["aggregate_scaling"] = {
+        "cpus": ncpu, "cpu_capacity": cap, "curve": [],
+    }
+    configs = [("serial", "process", 1, False)]
     for w in range(2, ncpu + 1):
-        configs.append((f"thread_x{w}", "thread", w))
+        configs.append((f"thread_x{w}", "thread", w, False))
     if ncpu >= 2:
-        configs.append((f"process_x{ncpu}", "process", ncpu))
+        configs.append((f"process_x{ncpu}", "process", ncpu, True))
     base = None
-    for label, pool, w in configs:
+    for label, pool, w, kp in configs:
         best = None
         # best-of-6: this VM's page-fault path oscillates (CLAUDE.md env
         # notes), so single reps under-read by up to 2x
         for _ in range(max(args.reps, 6)):
-            r = bench_decode(paths, frontend="host", workers=w, pool=pool)
+            r = bench_decode(
+                paths, frontend="host", workers=w, pool=pool, keep_pool=kp
+            )
             if best is None or r["value"] > best["value"]:
                 best = r
         entry = {
@@ -111,18 +149,34 @@ def main(argv=None) -> int:
             "value": round(best["value"]),
             "unit": "samples/s",
         }
+        if kp:
+            entry["persistent_pool"] = True
         if label == "serial":
             base = best["value"]
         elif base:
             entry["speedup_vs_serial"] = round(best["value"] / base, 3)
+            if cap["parallel_speedup_ceiling"] > 0:
+                entry["efficiency_vs_cpu_ceiling"] = round(
+                    (best["value"] / base)
+                    / min(cap["parallel_speedup_ceiling"], w), 3,
+                )
         out["aggregate_scaling"]["curve"].append(entry)
+    from ..runtime.batch import shutdown_pools
+
+    shutdown_pools()
     out["aggregate_scaling"]["note"] = (
         "capture->frames over the full fixture suite; the host walk is the "
         "ceiling (CPU-bound). Aggregate deployment rate = per_core_rate x "
-        "cores x hosts; the device kernel (BENCH GS/s) never binds. On "
-        "this 2-core VM the curve tops out at ncpu; the per-core rate is "
-        "the transferable figure. Measured before jax loads (XLA service "
-        "threads otherwise contend with the walk pool)."
+        "cores x hosts; the device kernel (BENCH GS/s) never binds. "
+        "speedups are only meaningful against cpu_capacity."
+        "parallel_speedup_ceiling — this host class advertises 2 vcpus "
+        "but can deliver ~1 core of cycles (two pure-CPU burns then take "
+        "2x one burn and NO pool can beat serial; "
+        "efficiency_vs_cpu_ceiling normalizes for it). The process pool "
+        "is persistent (fork when jax is not live, path-only jobs, warm "
+        "worker heaps — see runtime/batch.persistent_pool). Measured "
+        "before jax loads (XLA service threads otherwise contend with "
+        "the walk pool)."
     )
 
     for frontend in args.frontends:
