@@ -60,7 +60,7 @@ def main():
         float(f(a))
         best = min(best, time.perf_counter() - t0)
     # per sweep: read N + write NOUT x N floats
-    traffic = K * N * 4 * (1 + 14)  # bytes (read + writes)
+    traffic = K * N * 4 * (1 + NOUT)  # bytes (read + writes)
     print(f"achievable HBM streaming bandwidth: {traffic/best/1e9:.0f} GB/s "
           f"({best*1e3:.1f} ms for {traffic/1e9:.1f} GB)")
 

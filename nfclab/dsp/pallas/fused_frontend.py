@@ -63,6 +63,13 @@ LANES = 1024
 import os as _os
 
 TILE = int(_os.environ.get("NFCLAB_KERNEL_TILE", "128"))
+# TILE=256 breaks the history-shift layout (the shift assumes every
+# H_SIZES entry >= TILE); only tile sizes the validation suite has run are
+# accepted so the env knob cannot silently corrupt a production path
+if TILE not in (64, 128):
+    raise ValueError(
+        f"NFCLAB_KERNEL_TILE={TILE} is not a validated tile size (64, 128)"
+    )
 UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache risk
 # partial unroll of the serial per-sample loop: UF bodies inlined per
 # fori_loop iteration cuts the loop's scalar bookkeeping overhead UF-fold

@@ -341,16 +341,9 @@ def _run_batch_blocks(
     while nb_b < rows:
         nb_b *= 2
     nb_b = min(nb_b, B)
-    live = {}
-    for name in fetch:
-        r = res[name][:nb_b]
-        if name == "detect_mask":
-            # the mask is an f32 integer 0..255 — shrink it on-device so
-            # the host transfer moves 1 byte/sample instead of 4 (device->
-            # host traffic bounds this path; consumers .astype anyway)
-            r = r.astype(jnp.uint8)
-        live[name] = r
-    fetched = fetch_arrays(live)
+    # detect_mask is already native uint8 from the kernel (OUTPUT_DTYPES):
+    # 1 byte/sample over the link with no device-side cast pass
+    fetched = fetch_arrays({name: res[name][:nb_b] for name in fetch})
 
     outs: list[dict[str, np.ndarray]] = []
     for n, nb, ro in layouts:
@@ -365,6 +358,123 @@ def _run_batch_blocks(
             out[name] = arr
         outs.append(out)
     return outs
+
+
+# --------------------------------------------------------------------------
+# Chained mask engine: one jit dispatch runs K consecutive chunks through
+# the fused kernel with carried ring state (EXACT conditioning — the power
+# gate in the detect mask reads the true streaming envelope, closing the
+# frozen-envelope hole of the overlap-save block layout), then compacts the
+# packed detect mask ON DEVICE to (indices, bits, count) so the host fetch
+# is O(cap) instead of O(samples).  The ~30 ms dispatch floor amortizes
+# over the K chunks (bench.py proves the scheme at K=256).
+
+CHAIN_CHUNK = 1 << 16
+
+
+@functools.lru_cache(maxsize=64)
+def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
+                      cap: int):
+    """jit: (x[n_live, K*chunk] f32, state) ->
+    (mask[n_live, K*chunk] u8  [device-resident overflow fallback],
+     idx[n_live, cap] i32 (-1 padded, first `cap` trigger positions),
+     bits[n_live, cap] u8, count[n_live] i32, state_out).
+
+    base0 is static: the farm's int32 clock fold keeps it in {0, 512}
+    (dispatch sizes are multiples of 512), so at most two compiled
+    variants exist per shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas.fused_frontend import LANES, fused_frontend
+
+    T = K * chunk
+
+    def run(x, state):
+        st = state
+        rows = []
+        for k in range(K):
+            # device-side zero-pad of the real stream rows up to the
+            # kernel's 1024-lane tile floor (uploading padding was the
+            # round-4 farm bottleneck)
+            xp = jnp.zeros((LANES, chunk), jnp.float32).at[:n_live].set(
+                x[:, k * chunk : (k + 1) * chunk]
+            )
+            res, st = fused_frontend(
+                xp, pt, native_layout=False, mask_params=mp,
+                state=st, base=base0 + k * chunk, return_state=True,
+                select=("detect_mask",),
+            )
+            rows.append(res["detect_mask"][:n_live])
+        mm = jnp.concatenate(rows, axis=1)  # [n_live, T] u8
+
+        def one(row):
+            idx = jnp.nonzero(row, size=cap, fill_value=-1)[0].astype(
+                jnp.int32
+            )
+            bits = jnp.where(
+                idx >= 0, row[jnp.clip(idx, 0, T - 1)], 0
+            ).astype(jnp.uint8)
+            cnt = jnp.sum((row != 0).astype(jnp.int32))
+            return idx, bits, cnt
+
+        idx, bits, cnt = jax.vmap(one)(mm)
+        return mm, idx, bits, cnt, st
+
+    return jax.jit(run)
+
+
+def chain_state0(n_groups: int = 1, sub: int = 8):
+    """Fresh carried kernel state for a chained stream batch."""
+    import jax.numpy as jnp
+
+    from .pallas.fused_frontend import NSTATE
+
+    return jnp.zeros((n_groups, NSTATE, sub, 128), jnp.float32)
+
+
+def chained_mask_params(power_level_threshold: float, thresholds=None):
+    """Margined kernel mask params for the chained engine: SD thresholds
+    carry MASK_ONLY_MARGIN (kernel f32 boxes vs host f64 walk re-check);
+    the power gate needs NO margin here — chained conditioning is the
+    exact streaming envelope (bit-exact on TPU vs the host oracle)."""
+    from ..core.thresholds import DecoderThresholds
+
+    p, a, b_deep, f, v = (
+        thresholds or DecoderThresholds()
+    ).detect_mask_tuple(power_level_threshold)
+    m = 1.0 - MASK_ONLY_MARGIN
+    return (p, a * m, b_deep, f * m, v * m)
+
+
+def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
+                      cap_div: int = 16, chunk: int = CHAIN_CHUNK):
+    """One chained-K dispatch + compacted fetch over device-put rows.
+
+    blocks: [n_live, T] f32 host samples, T % chunk == 0.  Returns
+    (per-stream list of (rel_idx i64, bits u8), state_out).  Streams whose
+    trigger count overflows the compaction cap fall back to fetching that
+    stream's dense mask row (device-resident)."""
+    n_live, T = blocks.shape
+    assert T % chunk == 0
+    K = T // chunk
+    cap = max(4096, T // cap_div)
+    fn = _chained_mask_jit(pt, mp, K, chunk, n_live, base0, cap)
+    x = device_put_samples(blocks)
+    mm, idx, bits, cnt, state = fn(x, state)
+    fetched = fetch_arrays({"idx": idx, "bits": bits, "cnt": cnt})
+    out = []
+    for i in range(n_live):
+        c = int(fetched["cnt"][i])
+        if c > cap:
+            # rare dense stream: fetch its dense mask row (1 B/sample)
+            row = np.asarray(mm[i])
+            rel = np.flatnonzero(row).astype(np.int64)
+            out.append((rel, row[rel]))
+        else:
+            rel = fetched["idx"][i][:c].astype(np.int64)
+            out.append((rel, fetched["bits"][i][:c]))
+    return out, state
 
 
 @functools.lru_cache(maxsize=8)

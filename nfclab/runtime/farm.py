@@ -26,6 +26,8 @@ remain absolute int64 on the host.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 from ..core.frame import Frame
@@ -208,6 +210,21 @@ def _append_mask_idx(lz, idx_entries, mask_chunk, abs_lo, abs_hi):
         LazyChannels._append_idx(ent, idx, abs_hi)
 
 
+def _append_sparse_idx(lz, idx_entries, rel_idx, bits, abs_lo, abs_hi):
+    """Sparse form of _append_mask_idx: device-compacted trigger positions
+    (relative to abs_lo) + their packed bits; O(triggers) per feed."""
+    from ..dsp.channels import LazyChannels
+
+    pos = rel_idx.astype(np.int64) + abs_lo
+    b32 = bits.astype(np.int32)
+    if abs_lo < _WARMUP:
+        keep = pos >= _WARMUP
+        pos, b32 = pos[keep], b32[keep]
+    for weight, key in idx_entries:
+        ent = lz._cache[key]
+        LazyChannels._append_idx(ent, pos[(b32 & weight) != 0], abs_hi)
+
+
 import functools
 
 
@@ -227,20 +244,23 @@ def _row_padder(b: int):
 class MaskFedStream(StreamingNfcDecoder):
     """Host-conditioned streaming decoder whose detect-trigger indices
     arrive from the fused kernel's packed mask (the farm's ``fetch="mask"``
-    mode: 1 byte/sample over the link instead of 37).
+    mode — compacted to O(triggers) on device, see
+    tpu_channels.run_chained_masks).
 
     Conditioning + box channels build natively on the host (the bit-exact
     f64 contract path, same as StreamingNfcDecoder); the kernel mask is
-    dispatched with MASK_ONLY_MARGIN so the f32-derived triggers are a
-    conservative superset of the host-f64 triggers the walk re-checks
-    (same superset recipe as the batch mask frontend,
-    tpu_channels._run_batch_blocks)."""
+    dispatched with MASK_ONLY_MARGIN on the SD thresholds so the
+    f32-derived triggers are a conservative superset of the host-f64
+    triggers the walk re-checks.  The power gate needs no margin: the
+    chained dispatch carries exact kernel state, so its envelope is the
+    true streaming envelope (bit-exact on TPU)."""
 
     def __init__(self, sample_rate: int, window: int | None = None,
                  **decoder_kwargs):
         super().__init__(sample_rate, window=window, **decoder_kwargs)
         self._idx_entries: list | None = None
         self._pending_mask: tuple | None = None
+        self._pending_idx: tuple | None = None
 
     def feed_mask(self, block: np.ndarray, mask_chunk: np.ndarray):
         """Condition + decode one block, detect triggers from the kernel
@@ -260,6 +280,27 @@ class MaskFedStream(StreamingNfcDecoder):
         self._pending_mask = (mask_chunk, abs_lo, abs_lo + m)
         return self._advance()
 
+    def feed_mask_idx(self, block: np.ndarray, rel_idx: np.ndarray,
+                      bits: np.ndarray):
+        """Condition + decode one block with SPARSE kernel triggers:
+        rel_idx (positions relative to the block start, ascending) and the
+        packed mask bits at those positions — the device-compacted form,
+        O(triggers) over the link instead of O(samples)."""
+        assert not self._finished, "stream already finished"
+        self._compact()
+        block = np.ascontiguousarray(block, np.float32)
+        self._ensure_capacity(len(block))
+        from ..native.binding import condition_stream_into
+
+        abs_lo = self._n
+        m = condition_stream_into(
+            block, self.params, self._state, self._bufs,
+            self._n - self._base,
+        )
+        self._n += m
+        self._pending_idx = (rel_idx, bits, abs_lo, abs_lo + m)
+        return self._advance()
+
     def _install_external(self, ctx, first: bool) -> None:
         lz = ctx.channels
         if first:
@@ -273,16 +314,35 @@ class MaskFedStream(StreamingNfcDecoder):
             self._pending_mask = None
             _append_mask_idx(lz, self._idx_entries, mask_chunk,
                              abs_lo, abs_hi)
+        if self._pending_idx is not None:
+            rel_idx, bits, abs_lo, abs_hi = self._pending_idx
+            self._pending_idx = None
+            _append_sparse_idx(lz, self._idx_entries, rel_idx, bits,
+                               abs_lo, abs_hi)
 
 
 class TpuStreamFarm:
-    """Decode ``n_streams`` independent 10 MS/s magnitude streams: one
-    device dispatch per chunk covers every stream's dense phase; host
-    walkers emit frames per stream.
+    """Decode ``n_streams`` independent 10 MS/s magnitude streams with the
+    dense detect phase on the device; host walkers emit frames per stream.
 
-    feed(blocks[n_streams, chunk]) -> list of per-stream new frames.
+    feed(blocks[n_streams, width]) -> list of per-stream new frames.
     Streams that end early can be padded with zeros (silence decodes to
-    carrier events only)."""
+    carrier events only).
+
+    ``fetch="mask"`` (the deployment mode) runs a PIPELINED chained
+    engine: feeds stage until ``k_chunks`` x 64Ki samples accumulate, then
+    ONE jit dispatch chains the K chunks through the kernel with carried
+    ring state (the ~30 ms dispatch floor amortizes K-fold; exact
+    streaming conditioning makes the mask's power gate sound) and compacts
+    the detect mask ON DEVICE so the fetch is O(triggers).  A background
+    thread owns upload + dispatch + fetch while the caller's thread walks
+    the previous window — device, link and host walk overlap instead of
+    serializing.  Frames for a window surface on a later feed() (up to
+    ``pipeline_depth`` windows behind); finish() flushes everything.
+
+    ``fetch="full"`` fetches every kernel channel densely per feed
+    (37 B/sample) and walks synchronously — the kernel-fed-channel
+    configuration for PCIe-attached hosts."""
 
     def __init__(
         self,
@@ -291,6 +351,9 @@ class TpuStreamFarm:
         power_level_threshold: float = 0.01,
         window: int | None = None,
         fetch: str = "full",
+        k_chunks: int = 32,
+        pipeline_depth: int = 2,
+        cap_div: int = 8,
         **decoder_kwargs,
     ):
         if sample_rate != 10_000_000:
@@ -299,31 +362,31 @@ class TpuStreamFarm:
             )
         if fetch not in ("full", "mask"):
             raise ValueError("fetch must be 'full' or 'mask'")
+        if k_chunks & (k_chunks - 1):
+            raise ValueError("k_chunks must be a power of two")
         self.fetch = fetch
         self.n_streams = n_streams
         self.sample_rate = sample_rate
+        self.k_chunks = k_chunks
+        self.pipeline_depth = pipeline_depth
+        self.cap_div = cap_div
         self.params = SignalParams(
             sample_rate, power_level_threshold=power_level_threshold
         )
-        from ..dsp.frontend import _params_tuple
-
         from ..core.thresholds import DecoderThresholds
+        from ..dsp.frontend import _params_tuple
 
         self._pt = _params_tuple(self.params)
         # one DecoderThresholds governs the kernel mask params AND every
         # stream's FSM thresholds (single source of truth)
         th = decoder_kwargs.get("thresholds") or DecoderThresholds()
         decoder_kwargs["thresholds"] = th
-        self._mp = th.detect_mask_tuple(power_level_threshold)
         if fetch == "mask":
-            # margined kernel thresholds: the f32 mask is a conservative
-            # superset of the host-f64 triggers the walk re-checks (same
-            # recipe as tpu_channels._run_batch_blocks)
-            from ..dsp.tpu_channels import MASK_ONLY_MARGIN
+            from ..dsp.tpu_channels import chained_mask_params
 
-            p, a, b_deep, f, v = self._mp
-            m = 1.0 - MASK_ONLY_MARGIN
-            self._mp = (p, a * m, b_deep, f * m, v * m)
+            self._mp = chained_mask_params(power_level_threshold, th)
+        else:
+            self._mp = th.detect_mask_tuple(power_level_threshold)
         cls = MaskFedStream if fetch == "mask" else KernelFedStream
         self.streams = [
             cls(
@@ -336,57 +399,137 @@ class TpuStreamFarm:
         ]
         self._state = None
         self._clock = 0
+        # mask-mode pipeline
+        self._staged: list[np.ndarray] = []
+        self._staged_len = 0
+        self._inflight: "deque" = deque()
+        self._io = None
 
     def _kernel_base(self) -> int:
         # int32-safe fold; every ring size divides 512 and the fold keeps
-        # t >= ETU so stream-head envelope seeding happens only at clock 0
+        # t >= ETU so stream-head envelope seeding happens only at clock 0.
+        # Dispatch widths are multiples of 512, so the folded base is
+        # always 0 or 512 — at most two compiled variants per shape.
         return self._clock if self._clock == 0 else 512 + (self._clock % 512)
 
     def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
-        from ..dsp.pallas.fused_frontend import LANES, TILE, fused_frontend
-
         blocks = np.ascontiguousarray(blocks, np.float32)
-        n_s, chunk = blocks.shape
+        n_s, width = blocks.shape
         if n_s != self.n_streams:
             raise ValueError(f"expected {self.n_streams} stream rows")
-        if chunk % TILE:
-            raise ValueError(f"chunk must be a multiple of {TILE}")
-        b = -(-n_s // LANES) * LANES
+        if self.fetch == "mask":
+            if width % 512:
+                raise ValueError("feed width must be a multiple of 512")
+            self._staged.append(blocks)
+            self._staged_len += width
+            self._launch_ready()
+            return self._drain(block=False)
+        from ..dsp.pallas.fused_frontend import TILE
 
+        if width % TILE:
+            raise ValueError(f"chunk must be a multiple of {TILE}")
+        return self._feed_full(blocks)
+
+    # --------------------------------------------------- mask-mode pipeline
+
+    def _launch_ready(self):
+        from ..dsp.tpu_channels import CHAIN_CHUNK
+
+        target = self.k_chunks * CHAIN_CHUNK
+        while self._staged_len >= target:
+            batch = self._take(target)
+            self._submit(batch)
+
+    def _take(self, width: int) -> np.ndarray:
+        """Pop exactly `width` staged columns as one [n_s, width] batch."""
+        parts, got = [], 0
+        while got < width:
+            piece = self._staged[0]
+            need = width - got
+            if piece.shape[1] <= need:
+                parts.append(piece)
+                got += piece.shape[1]
+                self._staged.pop(0)
+            else:
+                parts.append(piece[:, :need])
+                self._staged[0] = piece[:, need:]
+                got = width
+        self._staged_len -= width
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+    def _submit(self, batch: np.ndarray):
+        if self._io is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # ONE worker: dispatch order is kernel-state order
+            self._io = ThreadPoolExecutor(1)
+        base0 = self._kernel_base()
+        self._clock += batch.shape[1]
+        fut = self._io.submit(self._device_pass, batch, base0)
+        self._inflight.append((fut, batch))
+
+    def _device_pass(self, batch: np.ndarray, base0: int):
+        """Background stage: upload (i16 when on-grid) + chained dispatch
+        + compacted fetch.  Runs on the single IO thread, so kernel state
+        threads through dispatches in submission order."""
+        from ..dsp.tpu_channels import chain_state0, run_chained_masks
+
+        if self._state is None:
+            self._state = chain_state0()
+        per_stream, self._state = run_chained_masks(
+            batch, self._state, base0, self._pt, self._mp,
+            cap_div=self.cap_div,
+        )
+        return per_stream
+
+    def _drain(self, block: bool) -> list[list[Frame]]:
+        from ..dsp.tpu_channels import CHAIN_CHUNK
+
+        out = [[] for _ in self.streams]
+        while self._inflight:
+            fut, batch = self._inflight[0]
+            if not (block or len(self._inflight) > self.pipeline_depth
+                    or fut.done()):
+                break
+            self._inflight.popleft()
+            per_stream = fut.result()
+            width = batch.shape[1]
+            for i, st in enumerate(self.streams):
+                rel, bits = per_stream[i]
+                # walk in window-memory-safe sub-chunks
+                for lo in range(0, width, CHAIN_CHUNK):
+                    hi = min(lo + CHAIN_CHUNK, width)
+                    sel = (rel >= lo) & (rel < hi)
+                    out[i].extend(
+                        st.feed_mask_idx(
+                            batch[i, lo:hi], rel[sel] - lo, bits[sel]
+                        )
+                    )
+        return out
+
+    # ----------------------------------------------------- full fetch mode
+
+    def _feed_full(self, blocks: np.ndarray) -> list[list[Frame]]:
+        from ..dsp.pallas.fused_frontend import LANES, fused_frontend
+        from ..dsp.tpu_channels import device_put_samples, fetch_arrays
+
+        n_s, chunk = blocks.shape
+        b = -(-n_s // LANES) * LANES
         # explicit device_put: the implicit transfer inside jit is ~30x
         # slower than the direct path on the tunnel-attached chip.  Only
         # the REAL stream rows cross the link — as 2-byte i16 codes when
         # the samples sit on the int16 grid (bit-exact, see
         # tpu_channels.device_put_samples) — and zero-padding to the
-        # kernel's lane count happens on device (padding host-side
-        # uploaded b/n_s x the bytes — 268 MB/chunk of zeros for a
-        # 4-stream farm — and was the entire farm bottleneck on a tunnel
-        # attachment)
-        from ..dsp.tpu_channels import device_put_samples
-
+        # kernel's lane count happens on device
         x = device_put_samples(blocks)
         if b != n_s:
             x = _row_padder(b)(x)
-        select = ("detect_mask",) if self.fetch == "mask" else None
         res, self._state = fused_frontend(
             x, self._pt, native_layout=False, mask_params=self._mp,
             state=self._state, base=self._kernel_base(), return_state=True,
-            select=select,
         )
         self._clock += chunk
 
-        # split + concurrent fetch pipelines the latency-bound device->host
-        # round trips (see tpu_channels.fetch_arrays)
-        from ..dsp.tpu_channels import fetch_arrays
-
-        if self.fetch == "mask":
-            # 1 byte/sample over the link: host builds conditioning + box
-            # channels natively, the kernel supplies only detect triggers
-            fetched = fetch_arrays({"detect_mask": res["detect_mask"][:n_s]})
-            return [
-                st.feed_mask(blocks[i], fetched["detect_mask"][i])
-                for i, st in enumerate(self.streams)
-            ]
         names = (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
         fetch = fetch_arrays({name: res[name][:n_s] for name in names})
         out = []
@@ -400,7 +543,32 @@ class TpuStreamFarm:
         return out
 
     def finish(self) -> list[list[Frame]]:
-        return [st.finish() for st in self.streams]
+        out = [[] for _ in self.streams]
+        if self.fetch == "mask":
+            from ..dsp.tpu_channels import CHAIN_CHUNK
+
+            # flush staged windows in power-of-two chunk dispatches
+            while self._staged_len >= CHAIN_CHUNK:
+                k = 1
+                while (k * 2 <= self.k_chunks
+                       and k * 2 * CHAIN_CHUNK <= self._staged_len):
+                    k *= 2
+                self._submit(self._take(k * CHAIN_CHUNK))
+            for i, new in enumerate(self._drain(block=True)):
+                out[i].extend(new)
+            if self._staged_len:
+                # sub-chunk tail: host path (the kernel-fed index entries
+                # host-extend past the kernel-appended range — fx
+                # descriptors in LazyChannels)
+                tail = self._take(self._staged_len)
+                for i, st in enumerate(self.streams):
+                    out[i].extend(st.feed(tail[i]))
+            if self._io is not None:
+                self._io.shutdown()
+                self._io = None
+        for i, st in enumerate(self.streams):
+            out[i].extend(st.finish())
+        return out
 
 
 class TpuLogicFarm:

@@ -107,6 +107,11 @@ class Task:
                 elif code == "configure":
                     if isinstance(cmd, Event):
                         self._on_configure(cmd.params)
+                elif code == "clear":
+                    # drop pending buffers / caches without ending the
+                    # session (RadioDecoderTask.cpp:368-375 clearDecoder,
+                    # TraceStorageTask.cpp:242-252 clearQueue)
+                    self._on_clear()
                 elif code != "query":
                     if isinstance(cmd, Event):
                         cmd.reject(f"unknown command {code!r}")
@@ -120,8 +125,21 @@ class Task:
     def _on_configure(self, params: dict):  # hook
         pass
 
+    def _on_clear(self):  # hook: tasks with pending queues drain them
+        pass
+
     def _command_snapshot(self) -> dict:  # hook
         return {"status": "streaming" if self.streaming else "idle"}
+
+    @staticmethod
+    def _drain(q: "queue.Queue") -> int:
+        n = 0
+        while True:
+            try:
+                q.get_nowait()
+                n += 1
+            except queue.Empty:
+                return n
 
     def terminate(self):
         self._terminated.set()
@@ -434,6 +452,12 @@ class RadioDecoderTask(Task):
         th = kw.get("thresholds") or DecoderThresholds()
         kw["thresholds"] = th.copy().merge_protocol_config(proto)
 
+    def _on_clear(self):
+        # RadioDecoderTask.cpp:368-375: drop pending signal buffers without
+        # ending the session (the in-progress decoder state is untouched;
+        # the next buffer resumes at its absolute offset)
+        self._drain(self.signal_queue)
+
     def run(self):
         from .streaming import StreamingNfcDecoder
 
@@ -509,6 +533,10 @@ class LogicDecoderTask(Task):
             "status": "streaming" if self.streaming else "idle",
             "channelMap": self.channel_map,
         }
+
+    def _on_clear(self):
+        # LogicDecoderTask.cpp:117 Clear parity: drop pending logic buffers
+        self._drain(self.signal_queue)
 
     def run(self):
         from .logic_decoder import StreamingIsoDecoder
@@ -850,6 +878,12 @@ class TraceStorageTask(Task):
             self._done.set()
         else:
             self.frames.append(frame)
+
+    def _on_clear(self):
+        # TraceStorageTask.cpp:242-252 clearQueue: drop the accumulated
+        # frame + signal caches (a following Write starts empty)
+        self.frames.clear()
+        self.signals.clear()
 
     def _on_signal(self, buf):
         if buf.valid:

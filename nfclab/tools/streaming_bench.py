@@ -177,7 +177,8 @@ def main(argv=None) -> int:
             out.setdefault("farm_tpu", {"error": repr(e)})
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out["single_stream_windowed_sparse"]))
+    key = out.get("single_stream_windowed_sparse")
+    print(json.dumps(key if key is not None else out))
     return 0
 
 

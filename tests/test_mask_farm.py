@@ -108,6 +108,86 @@ def test_mask_fed_stream_windowed(fixture_dir):
     assert len(got) >= 12  # the tiled capture decodes in every repetition
 
 
+def test_mask_fed_stream_sparse_indices(fixture_dir):
+    """feed_mask_idx (the device-compacted O(triggers) form) must decode
+    identically to the dense feed_mask path on the same mask."""
+    from nfclab.runtime.farm import MaskFedStream
+
+    name = "test_NFC-A_106kbps_002"
+    samples, info = read_wav(str(fixture_dir / f"{name}.wav"))
+    mask = _cpu_mask(samples, info.sample_rate)
+    _, dense_frames = _mask_stream(samples, info.sample_rate, mask)
+
+    dec = MaskFedStream(info.sample_rate)
+    sparse_frames = []
+    for off in range(0, len(samples), 65536):
+        seg = mask[off : off + 65536]
+        rel = np.flatnonzero(seg).astype(np.int64)
+        sparse_frames.extend(
+            dec.feed_mask_idx(samples[off : off + 65536], rel, seg[rel])
+        )
+    sparse_frames.extend(dec.finish())
+    assert sparse_frames == dense_frames
+    assert [f for f in sparse_frames if f.frame_type in GOLDEN_TYPES]
+
+
+def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch):
+    """TpuStreamFarm fetch='mask' pipeline plumbing on CPU: staging into
+    k_chunks windows, background dispatch ordering, compacted-index walk,
+    pow2 + host-tail flush at finish — with run_chained_masks stubbed by a
+    host-computed mask oracle.  Frames must equal the plain host streaming
+    decoder per stream (including a deliberately ragged final feed)."""
+    import nfclab.dsp.tpu_channels as tc
+    from nfclab.runtime.farm import TpuStreamFarm
+    from nfclab.runtime.streaming import StreamingNfcDecoder
+
+    names = ["test_NFC-A_106kbps_002", "test_NFC-B_106kbps_001"]
+    sigs, rate = [], None
+    for n in names:
+        s, info = read_wav(str(fixture_dir / f"{n}.wav"))
+        rate = info.sample_rate
+        sigs.append(np.asarray(s, np.float32))
+    total = min(len(s) for s in sigs) // 512 * 512
+    sigs = [s[:total] for s in sigs]
+    masks = [_cpu_mask(s, rate) for s in sigs]
+
+    clock = {"t": 0}
+
+    def fake_run(blocks, state, base0, pt, mp, cap_div=8, chunk=65536):
+        lo = clock["t"]
+        T = blocks.shape[1]
+        out = []
+        for i in range(blocks.shape[0]):
+            seg = masks[i][lo : lo + T]
+            np.testing.assert_array_equal(blocks[i], sigs[i][lo : lo + T])
+            rel = np.flatnonzero(seg).astype(np.int64)
+            out.append((rel, seg[rel]))
+        clock["t"] = lo + T
+        return out, state
+
+    monkeypatch.setattr(tc, "run_chained_masks", fake_run)
+    monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
+
+    farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4)
+    frames = [[] for _ in sigs]
+    step = 40960  # deliberately NOT the chain chunk size (but % 512 == 0)
+    for off in range(0, total, step):
+        block = np.stack([s[off : off + step] for s in sigs])
+        for i, new in enumerate(farm.feed(block)):
+            frames[i].extend(new)
+    for i, new in enumerate(farm.finish()):
+        frames[i].extend(new)
+
+    for i, s in enumerate(sigs):
+        host = StreamingNfcDecoder(rate)
+        want = []
+        for off in range(0, total, 65536):
+            want.extend(host.feed(s[off : off + 65536]))
+        want.extend(host.finish())
+        assert frames[i] == want, names[i]
+        assert [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
+
+
 def test_mask_fed_stream_custom_thresholds(fixture_dir):
     """The kernel mask carries the MARGINED custom thresholds while the
     walk re-checks against the true ones (single source of truth): a
