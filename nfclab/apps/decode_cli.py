@@ -410,24 +410,35 @@ def cmd_live(args) -> int:
         )
     ex.submit(decoder)
 
+    # persistent settings tier (the reference's nfc-lab.ini): stored
+    # decoder settings apply first, then an explicit --config file wins;
+    # the reconciled state is written back at exit so monitor-made
+    # Configure changes survive restarts
+    import json as _json
+
+    store = None
+    if not getattr(args, "no_settings", False):
+        from ..runtime.config import SettingsStore, merge_patch
+
+        store = SettingsStore(getattr(args, "settings", None))
+    desired = store.load().get("decoder", {}) if store else {}
     if getattr(args, "config", None):
         # app-rx reconciliation: desired config file -> Query/diff/Configure.
         # Must complete BEFORE the source starts streaming: Configure takes
         # effect at the next decode session, and a live capture is one
         # session from its first buffer on.
-        import json as _json
-
         with open(args.config, encoding="utf-8") as fh:
-            desired = _json.load(fh).get("decoder", {})
-        if desired and not isinstance(decoder, RadioDecoderTask):
-            print("# --config decoder section applies to radio capture",
-                  file=sys.stderr)
-        elif desired:
-            snap = reconcile_decoder(
-                Subject.name("radio.decoder.command"), desired
-            )
-            print(f"# decoder configured: {_json.dumps(snap)}",
-                  file=sys.stderr)
+            file_desired = _json.load(fh).get("decoder", {})
+        desired = merge_patch(desired, file_desired) if store else file_desired
+    if desired and not isinstance(decoder, RadioDecoderTask):
+        print("# decoder settings apply to radio capture", file=sys.stderr)
+        desired = {}
+    elif desired:
+        snap = reconcile_decoder(
+            Subject.name("radio.decoder.command"), desired
+        )
+        print(f"# decoder configured: {_json.dumps(snap)}",
+              file=sys.stderr)
 
     ex.submit(source)
 
@@ -444,6 +455,15 @@ def cmd_live(args) -> int:
     except (_queue.Empty, KeyboardInterrupt):
         pass
     finally:
+        if store is not None and isinstance(decoder, RadioDecoderTask):
+            # persist the decoder's final state (incl. any live Configure
+            # changes made from the monitor) — QSettings-at-exit parity
+            try:
+                snap = decoder._command_snapshot()
+                snap.pop("status", None)
+                store.update({"decoder": snap})
+            except Exception as e:
+                print(f"# settings not saved: {e!r}", file=sys.stderr)
         ex.shutdown()
         if monitor is not None:
             monitor.stop()
@@ -523,6 +543,17 @@ def main(argv=None) -> int:
     p.add_argument(
         "--channel-map", metavar="MAP",
         help="ISO7816 probe wiring (see 'run --channel-map')",
+    )
+    p.add_argument(
+        "--settings", metavar="PATH", default=None,
+        help="persistent settings file (default "
+        "~/.config/nfclab/settings.json or $NFCLAB_SETTINGS); stored "
+        "decoder settings load at start and the final state — including "
+        "live Configure changes — is saved at exit",
+    )
+    p.add_argument(
+        "--no-settings", action="store_true",
+        help="do not load or save the persistent settings file",
     )
     p.add_argument(
         "--monitor", type=int, metavar="PORT", default=None,

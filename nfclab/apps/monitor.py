@@ -17,6 +17,7 @@ Wire it into a live pipeline with ``decode_cli live ... --monitor PORT``.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -91,6 +92,15 @@ class MonitorState:
                 self._on_fft, replay=False
             ),
             Subject.name("adaptive.signal").subscribe(
+                self._on_wave, replay=False
+            ),
+            # trace replay (monitor "open trace" -> TraceReplayTask
+            # republishes a saved TRZ's frames + adaptive streams, the
+            # QtControl open-file role, TraceStorageTask.cpp:258-320)
+            Subject.name("storage.frame").subscribe(
+                self._on_frame, replay=False
+            ),
+            Subject.name("storage.signal").subscribe(
                 self._on_wave, replay=False
             ),
         ]
@@ -255,6 +265,7 @@ Acquisition control</div>
 <div style="display:flex;gap:8px;flex-wrap:wrap;align-items:center">
 <button id="btnstart" class="ctl">Start</button>
 <button id="btnstop" class="ctl">Stop</button>
+<button id="btnclear" class="ctl">Clear</button>
 <span style="color:var(--muted)">|</span>
 <input id="cfgjson" placeholder='decoder config merge-patch, e.g. {"protocol":{"nfca":{"correlationThreshold":0.6}}}'
  style="flex:1;min-width:340px;background:var(--surface);color:var(--ink);
@@ -268,6 +279,11 @@ Acquisition control</div>
  style="width:170px;background:var(--surface);color:var(--ink);
  border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
 <button id="btnsave" class="ctl">Save trace</button>
+<span style="color:var(--muted)">|</span>
+<input id="trzopen" placeholder="open trace file, e.g. /tmp/capture.trz"
+ style="min-width:200px;background:var(--surface);color:var(--ink);
+ border:1px solid var(--grid);border-radius:6px;padding:5px 10px"/>
+<button id="btnopen" class="ctl">Open trace</button>
 <span id="ctlmsg" style="color:var(--ink2)"></span>
 </div></div>
 <div class="panel"><div style="color:var(--ink2);margin-bottom:6px">
@@ -323,6 +339,7 @@ async function fanout(code) {
 }
 document.getElementById('btnstart').onclick = () => fanout('start');
 document.getElementById('btnstop').onclick = () => fanout('stop');
+document.getElementById('btnclear').onclick = () => fanout('clear');
 document.getElementById('btncfg').onclick = async () => {
   let patch;
   try { patch = JSON.parse(document.getElementById('cfgjson').value); }
@@ -342,6 +359,15 @@ document.getElementById('btnsave').onclick = async () => {
   }
   const d = await postCmd('storage', 'configure', params);
   ctlMsg(d.ok ? `trace written: ${name}` : d.error);
+};
+document.getElementById('btnopen').onclick = async () => {
+  const path = document.getElementById('trzopen').value.trim();
+  if (!path) { ctlMsg('trace file path required'); return; }
+  const r = await fetch('/open', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({path})});
+  const d = await r.json();
+  ctlMsg(d.ok ? `replaying ${path}` : d.error);
 };
 let lastSpec = null;
 // per-frame protocol detail trees (ParserNfcA/B/F/V + ISO7816 view):
@@ -714,6 +740,7 @@ class MonitorServer:
                  state: MonitorState | None = None):
         self.state = state or MonitorState()
         monitor = self.state
+        monitor_server = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (http.server API)
@@ -735,9 +762,33 @@ class MonitorServer:
 
             def do_POST(self):  # noqa: N802
                 """/command {subject, code, params?} -> task command plane
-                (Start/Stop/Query/Configure; trace save = storage Configure
-                with fileName, TraceStorageTask.cpp:322-363 Write role)."""
-                if self.path.split("?")[0] != "/command":
+                (Start/Stop/Query/Configure/Clear; trace save = storage
+                Configure with fileName, TraceStorageTask.cpp:322-363).
+                /open {path} -> replay a saved TRZ into the monitor views
+                (TraceReplayTask; the QtControl open-file role)."""
+                route = self.path.split("?")[0]
+                if route == "/open":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                        path = str(req.get("path", ""))
+                        if not os.path.isfile(path):
+                            raise ValueError(f"no such trace file: {path}")
+                        monitor_server._open_trace(path)
+                        body = json.dumps({"ok": True}).encode()
+                        status = 200
+                    except Exception as e:
+                        body = json.dumps(
+                            {"ok": False, "error": str(e)}
+                        ).encode()
+                        status = 400
+                    self.send_response(status)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if route != "/command":
                     self.send_response(404)
                     self.end_headers()
                     return
@@ -748,7 +799,8 @@ class MonitorServer:
                     code = str(req.get("code", ""))
                     if subject not in COMMANDABLE:
                         raise ValueError(f"uncommandable subject {subject!r}")
-                    if code not in ("start", "stop", "query", "configure"):
+                    if code not in ("start", "stop", "query", "configure",
+                                    "clear"):
                         raise ValueError(f"unknown command {code!r}")
                     snap = post_command(subject, code, req.get("params"))
                     body = json.dumps({"ok": True, "result": snap}).encode()
@@ -770,6 +822,22 @@ class MonitorServer:
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def _open_trace(self, path: str) -> None:
+        """Replay a saved TRZ into the monitor views via TraceReplayTask
+        (QtControl open-file role): frames land in the frame table +
+        parser trees, adaptive streams in the wave lanes.  One replay at a
+        time; a second open while one runs terminates the first."""
+        from ..runtime.pipeline import TraceReplayTask
+
+        prev = getattr(self, "_replay", None)
+        if prev is not None:
+            prev[0].terminate()
+            prev[1].join(timeout=5)
+        task = TraceReplayTask(path)
+        t = threading.Thread(target=task.run, daemon=True)
+        t.start()
+        self._replay = (task, t)
 
     def start(self) -> "MonitorServer":
         self._thread.start()

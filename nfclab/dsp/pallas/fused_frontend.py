@@ -46,13 +46,18 @@ row as an (8, 128) VPU tile per time step).  `native_layout=True` returns
 that directly — the production path derives SD/masks in the same layout and
 never pays the 14-output HBM transpose back to [B, T].
 
-Window constants are for 10 MS/s capture rate (the reference's recommended
-rate); other rates fall back to the unfused path.
+The kernel geometry is RATE-PARAMETRIC (kernel_plan): box widths, ring
+sizes, detect cascades and history lengths derive from the same bitrate
+tables the host FSMs use, so any capture rate gets its own compiled
+variant — the reference re-derives these tables on every sample-rate
+change (NfcDecoder.cpp:382-388).  The constants documented above are the
+10 MS/s instance.
 """
 
 from __future__ import annotations
 
 import functools
+import typing
 
 import numpy as np
 
@@ -77,104 +82,182 @@ UNROLL = False  # +2.5% GS/s but ~25 min first compile; not worth cold-cache ris
 UNROLL_FACTOR = int(_os.environ.get("NFCLAB_KERNEL_UNROLL", "16"))
 _VMEM_LIMIT = int(_os.environ.get("NFCLAB_KERNEL_VMEM_MB", "100")) * 1024 * 1024
 
-# 10 MS/s window set
-BV_WIDTHS = (12, 24, 47, 94)
-Q_WIDTHS = (47, 189)
-PB = ((24, 6), (47, 12), (94, 24))  # (lag, box)
-
-RV_RING = 128
-RF_RING = 128
-RQ_RING = 256
-RP_RINGS = (8, 16, 32)
-
-# NFC-A detect per rate: (delay cascade d, gap = p1-p2, p2, index of p2 in
-# BV_WIDTHS); max history lookback = d + gap
-A_RATES = ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
-
-# NFC-B falling-edge trigger delays (filtered-signal lookbacks)
-B_DELAYS = (0, 94)
-# NFC-F detect per rate: (d, gap, p2, A_RATES index naming the shared box) —
-# F's SD reads the same bv24/bv12 box values as A rates 1/2
-F_RATES = ((0, 23, 24, 1), (0, 12, 12, 2))
-# NFC-V signed SD: (d, gap, p2, BV_WIDTHS index); lookback d+gap = 473
-V_RATE = (378, 95, 94, 3)
-
-# The detect masks are computed VECTORIZED per time block (outside the
-# serial per-sample loop) from linear history buffers: each buffer holds
-# [L, sub, 128] of past values followed by [TILE, sub, 128] of the current
-# block, so every lookback `c` is the static slice [L-c : L-c+TILE].  L is
-# the family's max lookback; histories advance by a TILE shift per block.
-H_BV47 = 47    # A rate 0: lags 1 and 47
-H_BV24 = 117   # A rate 1 (d=94): lags 94/95/117; F rate 1: lags 1/23
-H_BV12 = 153   # A rate 2 (d=141): lags 141/142/153; F rate 2: lags 1/12
-H_BV94 = 473   # V: lags 378 and 473
-H_FILT = 94    # B falling-edge delay 94
-H_SIZES = (H_BV47, H_BV24, H_BV12, H_BV94, H_FILT)
-
 # detect_mask bit weights (f32-exact integers)
 MASK_BITS_A = (1.0, 2.0, 4.0)
 MASK_BITS_B = (8.0, 16.0)
 MASK_BITS_F = (32.0, 64.0)
 MASK_BIT_V = 128.0
 
-N_OUT = 5 + len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB) + 1
 
-# Channels whose current time block the vectorized detect phase (and the
-# history append) reads.  When one of these is excluded from the HBM output
-# set it still gets a [TILE, sub, 128] VMEM scratch block the serial loop
-# writes instead — the kernel is HBM-write-bound, so trimming unread outputs
-# raises throughput proportionally (the batch TPU-fed decode consumes only
-# the box channels + detect_mask; conditioning is host-recomputed there).
-MASK_DEPS = ("envelope", "filtered", "bv12", "bv24", "bv47", "bv94")
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
-# ring-state layout inside the carried state array [NSTATE, sub, 128]:
-# every VMEM ring plus the conditioning carry and running sums, so a stream
-# can be fed through the kernel in time chunks (state_out of chunk k is
-# state_in of chunk k+1) with outputs bit-identical to one monolithic pass.
-S_CARRY = 0
-S_RV = S_CARRY + 8
-S_RF = S_RV + RV_RING
-S_RQ = S_RF + RF_RING
-S_RP0 = S_RQ + RQ_RING
-S_RP1 = S_RP0 + RP_RINGS[0]
-S_RP2 = S_RP1 + RP_RINGS[1]
-S_H = S_RP2 + RP_RINGS[2]
-N_HIST = sum(h + TILE for h in H_SIZES)
-S_SUMS = S_H + N_HIST
-N_SUMS = len(BV_WIDTHS) + len(Q_WIDTHS) + len(PB)
-NSTATE = S_SUMS + N_SUMS
+class KernelPlan(typing.NamedTuple):
+    """Rate-parametric kernel geometry: box-window widths, VMEM ring
+    sizes, detect-cascade parameters and history lengths, all derived from
+    the same bitrate tables the host FSMs use (core.params.nfca_bitrates,
+    demod.nfcv.nfcv_bitrate — the reference re-derives these on any
+    sample-rate change, NfcDecoder.cpp:382-388).  A plan is hashable: it
+    is part of every jit cache key, so each capture rate compiles its own
+    kernel variant once."""
+
+    bv_widths: tuple          # raw-value box widths (A p2 set + V p2)
+    q_widths: tuple           # squared-filtered box widths
+    pb: tuple                 # BPSK (lag, box) pairs, ascending by lag
+    rv_ring: int              # value ring (pow2 > max bv width)
+    rf_ring: int              # filtered ring (pow2 > max pb lag)
+    rq_ring: int              # squared ring (pow2 > max q width)
+    rp_rings: tuple           # product rings (pow2 > box) per pb entry
+    a_rates: tuple            # (d, gap, p2, widx into bv_widths) per A rate
+    f_rates: tuple            # (d, gap, p2, widx) per F rate
+    b_delays: tuple           # filtered-signal lookback delays
+    v_rate: tuple             # (d, gap, p2, widx)
+    h_bv: tuple               # history length per bv width (max lookback)
+    h_filt: int               # filtered history length
+
+    @property
+    def h_sizes(self) -> tuple:
+        return (*self.h_bv, self.h_filt)
+
+    @property
+    def n_sums(self) -> int:
+        return len(self.bv_widths) + len(self.q_widths) + len(self.pb)
+
+    @property
+    def state_sections(self) -> tuple:
+        """(offset, length) pairs covering the carried state, in scratch
+        order: carry, rv, rf, rq, product rings, histories (per bv width
+        then filt), sums."""
+        secs = []
+        off = 0
+        for ln in (8, self.rv_ring, self.rf_ring, self.rq_ring,
+                   *self.rp_rings,
+                   *(h + TILE for h in self.h_sizes), self.n_sums):
+            secs.append((off, ln))
+            off += ln
+        return tuple(secs)
+
+    @property
+    def nstate(self) -> int:
+        off, ln = self.state_sections[-1]
+        return off + ln
+
+    @property
+    def output_names(self) -> tuple:
+        return (
+            "envelope", "filtered", "deviation", "average", "mod_depth",
+            *(f"bv{w}" for w in self.bv_widths),
+            *(f"q{w}" for w in self.q_widths),
+            *(f"p{lag}x{box}" for lag, box in self.pb),
+            "detect_mask",
+        )
+
+    @property
+    def mask_deps(self) -> tuple:
+        """Channels whose current time block the vectorized detect phase
+        (and the history append) reads; excluded ones keep a VMEM scratch
+        block."""
+        return ("envelope", "filtered",
+                *(f"bv{w}" for w in self.bv_widths))
+
+    @property
+    def fold_modulus(self) -> int:
+        """Clock-fold modulus for unbounded streams: every ring size must
+        divide it so folded clocks keep identical ring phases."""
+        return max(
+            512, self.rv_ring, self.rf_ring, self.rq_ring, *self.rp_rings
+        )
 
 
-def _hist_sections():
-    secs = []
-    off = S_H
-    for h in H_SIZES:
-        secs.append((off, h + TILE))
-        off += h + TILE
-    return tuple(secs)
+@functools.lru_cache(maxsize=16)
+def kernel_plan(sample_rate: int) -> KernelPlan:
+    """Derive the kernel geometry for a capture rate (see KernelPlan)."""
+    from ...core.params import nfca_bitrates
+    from ...demod.nfcv import nfcv_bitrate
+
+    bra = nfca_bitrates(sample_rate)
+    brv = nfcv_bitrate(sample_rate)
+    bv = tuple(sorted({br.period2 for br in bra} | {brv.period2}))
+    q = tuple(sorted({bra[0].period2, brv.period1}))
+    pb = tuple(sorted((br.period1, br.period4) for br in bra))
+    widx = {w: i for i, w in enumerate(bv)}
+    a_rates = tuple(
+        (br.symbol_delay_detect, br.period1 - br.period2, br.period2,
+         widx[br.period2])
+        for br in bra
+    )
+    f_rates = tuple(
+        (0, br.period1 - br.period2, br.period2, widx[br.period2])
+        for br in bra[1:]
+    )
+    b_delays = tuple(br.symbol_delay_detect for br in bra[:2])
+    v_rate = (
+        brv.symbol_delay_detect, brv.period1 - brv.period2, brv.period2,
+        widx[brv.period2],
+    )
+    # history length per bv width = max lookback over its detect consumers
+    # (A: d+gap and d+1; F: gap and 1; V: d+gap)
+    h_bv = []
+    for w in bv:
+        need = 1
+        for d, gap, p2, wi in a_rates:
+            if p2 == w:
+                need = max(need, d + gap, d + 1)
+        for d, gap, p2, wi in f_rates:
+            if p2 == w:
+                need = max(need, gap, 1)
+        if v_rate[2] == w:
+            need = max(need, v_rate[0] + v_rate[1])
+        h_bv.append(need)
+    return KernelPlan(
+        bv_widths=bv,
+        q_widths=q,
+        pb=pb,
+        rv_ring=_pow2_at_least(max(bv) + 1),
+        rf_ring=_pow2_at_least(max(lag for lag, _ in pb) + 1),
+        rq_ring=_pow2_at_least(max(q) + 1),
+        rp_rings=tuple(_pow2_at_least(box + 1) for _, box in pb),
+        a_rates=a_rates,
+        f_rates=f_rates,
+        b_delays=b_delays,
+        v_rate=v_rate,
+        h_bv=tuple(h_bv),
+        h_filt=max(b_delays),
+    )
 
 
-# (section offset, length) pairs covering the carried state, in scratch
-# order: carry, rv, rf, rq, rp0, rp1, rp2, histories (bv47/bv24/bv12/bv94/
-# filt), sums
-STATE_SECTIONS = (
-    (S_CARRY, 8),
-    (S_RV, RV_RING),
-    (S_RF, RF_RING),
-    (S_RQ, RQ_RING),
-    (S_RP0, RP_RINGS[0]),
-    (S_RP1, RP_RINGS[1]),
-    (S_RP2, RP_RINGS[2]),
-    *_hist_sections(),
-    (S_SUMS, N_SUMS),
-)
+# the reference's recommended 10 MS/s rate: module-level aliases kept for
+# the (many) importers of the original constants; tests assert the derived
+# plan reproduces them exactly
+def _plan_10m() -> KernelPlan:
+    return kernel_plan(10_000_000)
 
 
-def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
-                  load_state, outs, blks, save_state,
-                  carry, rv, rf, rq, rp0, rp1, rp2,
-                  h47, h24, h12, h94, hfilt, sums):
+_P10 = _plan_10m()
+BV_WIDTHS = _P10.bv_widths          # (12, 24, 47, 94)
+Q_WIDTHS = _P10.q_widths            # (47, 189)
+PB = _P10.pb                        # ((24, 6), (47, 12), (94, 24))
+RV_RING = _P10.rv_ring              # 128
+RF_RING = _P10.rf_ring              # 128
+RQ_RING = _P10.rq_ring              # 256
+RP_RINGS = _P10.rp_rings            # (8, 16, 32)
+A_RATES = _P10.a_rates
+B_DELAYS = _P10.b_delays
+F_RATES = _P10.f_rates
+V_RATE = _P10.v_rate
+H_SIZES = _P10.h_sizes              # (47, 117, 153, 473, 94)
+MASK_DEPS = _P10.mask_deps
+NSTATE = _P10.nstate
+STATE_SECTIONS = _P10.state_sections
+N_OUT = len(_P10.output_names)
+
+
+def _fused_kernel(plan, params, mask_params, sub, n_t, base_ref, value_ref,
+                  load_state, outs, blks, save_state, scratch):
     """Compute body: conditioning + channels over one [TILE, sub, 128] time
     block.  State residency is the caller's concern — `load_state()` fills
     the scratch rings at the first time block, `save_state()` persists them
@@ -192,7 +275,12 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     (power_thr, a_thr, b_min_deep, f_thr, v_thr) = mask_params
 
     t_idx = pl.program_id(1)
-    rps = (rp0, rp1, rp2)
+    carry, rv, rf, rq = scratch[0:4]
+    nrp = len(plan.rp_rings)
+    rps = scratch[4 : 4 + nrp]
+    hists = scratch[4 + nrp : 4 + nrp + len(plan.h_sizes)]
+    sums = scratch[4 + nrp + len(plan.h_sizes)]
+    RV_RING, RF_RING, RQ_RING = plan.rv_ring, plan.rf_ring, plan.rq_ring
     # absolute clock of this chunk's first sample (0 for a fresh stream; the
     # ring slot phases and the envelope seeding window depend on it)
     base = base_ref[0]
@@ -252,7 +340,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         # clocks the kernel sees)
         s = 0
         slot_v = jax.lax.bitwise_and(t, RV_RING - 1)
-        for w in BV_WIDTHS:
+        for w in plan.bv_widths:
             old = rv[jax.lax.bitwise_and(t - w + RV_RING, RV_RING - 1)]
             sums[s] = sums[s] + v - old
             put(f"bv{w}", j, sums[s])
@@ -262,7 +350,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
         # squared-filtered boxes
         q = filt * filt * 10.0
         slot_q = jax.lax.bitwise_and(t, RQ_RING - 1)
-        for w in Q_WIDTHS:
+        for w in plan.q_widths:
             old = rq[jax.lax.bitwise_and(t - w + RQ_RING, RQ_RING - 1)]
             sums[s] = sums[s] + q - old
             put(f"q{w}", j, sums[s])
@@ -271,7 +359,7 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
         # BPSK product boxes: prod = filt[t] * filt[t-lag] * 10
         slot_f = jax.lax.bitwise_and(t, RF_RING - 1)
-        for (lag, box), rp, rsize in zip(PB, rps, RP_RINGS):
+        for (lag, box), rp, rsize in zip(plan.pb, rps, plan.rp_rings):
             lagged = rf[jax.lax.bitwise_and(t - lag + RF_RING, RF_RING - 1)]
             prod = filt * lagged * 10.0
             slot_p = jax.lax.bitwise_and(t, rsize - 1)
@@ -329,12 +417,10 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
     # The append always runs (even with detect_mask excluded) so the carried
     # state stays selection-independent for chunked streaming.
     blk_of = {
-        47: (h47, H_BV47, "bv47"),
-        24: (h24, H_BV24, "bv24"),
-        12: (h12, H_BV12, "bv12"),
-        94: (h94, H_BV94, "bv94"),
-        "filt": (hfilt, H_FILT, "filtered"),
+        w: (hists[i], plan.h_bv[i], f"bv{w}")
+        for i, w in enumerate(plan.bv_widths)
     }
+    blk_of["filt"] = (hists[-1], plan.h_filt, "filtered")
     cur = {}
     for key, (hist, size, name) in blk_of.items():
         # left-to-right TILE-chunk shift: each chunk's source [i+1 .. i+2)
@@ -363,8 +449,8 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
         # NFC-A: |SD| above the correlation threshold (NfcA.cpp:224-291)
         min_corr_a = a_thr * env_b
-        for r, (d, gap, p2, widx) in enumerate(A_RATES):
-            w = BV_WIDTHS[widx]
+        for r, (d, gap, p2, widx) in enumerate(plan.a_rates):
+            w = plan.bv_widths[widx]
             b0 = lagged(w, d)
             b1 = lagged(w, d + 1)
             bg = lagged(w, d + gap)
@@ -372,10 +458,10 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
             mask = power_ok & (jnp.abs(sd) > min_corr_a)
             mval += jnp.where(mask, jnp.float32(MASK_BITS_A[r]), 0.0)
 
-        # NFC-F: same SD family over the bv24/bv12 boxes A rates 1/2 use
+        # NFC-F: same SD family over the boxes A rates 1/2 use
         min_corr_f = f_thr * env_b
-        for r, (d, gap, p2, ridx) in enumerate(F_RATES):
-            w = BV_WIDTHS[A_RATES[ridx][3]]
+        for r, (d, gap, p2, widx) in enumerate(plan.f_rates):
+            w = plan.bv_widths[widx]
             b0 = lagged(w, 0)
             b1 = lagged(w, 1)
             bg = lagged(w, gap)
@@ -385,15 +471,16 @@ def _fused_kernel(params, mask_params, sub, n_t, base_ref, value_ref,
 
         # NFC-B: falling edge filt[t-d] < -(minDeep*env) (NfcB.cpp:283)
         edge_b = -(b_min_deep * env_b)
-        for r, d in enumerate(B_DELAYS):
+        for r, d in enumerate(plan.b_delays):
             fd = lagged("filt", d)
             mask = power_ok & (fd < edge_b)
             mval += jnp.where(mask, jnp.float32(MASK_BITS_B[r]), 0.0)
 
         # NFC-V: signed SD = (B(u-gap)-B(u))/p2 > thr*env (NfcV.cpp:236-435)
-        dv, gapv, p2v, _widxv = V_RATE
-        u0 = lagged(94, dv)
-        ug = lagged(94, dv + gapv)
+        dv, gapv, p2v, widxv = plan.v_rate
+        wv = plan.bv_widths[widxv]
+        u0 = lagged(wv, dv)
+        ug = lagged(wv, dv + gapv)
         sd_v = (ug - u0) / jnp.float32(p2v)
         mask_v = power_ok & (sd_v > v_thr * env_b)
         mval += jnp.where(mask_v, jnp.float32(MASK_BIT_V), 0.0)
@@ -429,72 +516,95 @@ class _View:
         return self.ref.shape[1:]
 
 
-def _normalize_select(select):
-    """None (all outputs) or iterable of names -> tuple in OUTPUT_NAMES
-    order, validated.  The tuple is the lru_cache key component."""
+def _normalize_select(select, plan: KernelPlan = None):
+    """None (all outputs) or iterable of names -> tuple in the plan's
+    output order, validated.  The tuple is the lru_cache key component."""
+    names = (plan or _P10).output_names
     if select is None:
-        return tuple(OUTPUT_NAMES)
+        return tuple(names)
     sel = set(select)
-    unknown = sel - set(OUTPUT_NAMES)
+    unknown = sel - set(names)
     if unknown:
         raise ValueError(f"unknown fused-frontend outputs: {sorted(unknown)}")
-    return tuple(n for n in OUTPUT_NAMES if n in sel)
+    return tuple(n for n in names if n in sel)
 
 
-@functools.lru_cache(maxsize=8)
+def _scratch_shapes(plan: KernelPlan, sub: int, excl_deps: tuple):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    return [
+        pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
+        pltpu.VMEM((plan.rv_ring, sub, 128), jnp.float32),
+        pltpu.VMEM((plan.rf_ring, sub, 128), jnp.float32),
+        pltpu.VMEM((plan.rq_ring, sub, 128), jnp.float32),
+        *(pltpu.VMEM((r, sub, 128), jnp.float32) for r in plan.rp_rings),
+        *(pltpu.VMEM((h + TILE, sub, 128), jnp.float32)
+          for h in plan.h_sizes),
+        pltpu.VMEM((plan.n_sums, sub, 128), jnp.float32),
+    ] + [pltpu.VMEM((TILE, sub, 128), jnp.float32) for _ in excl_deps]
+
+
+@functools.lru_cache(maxsize=16)
 def _jitted(params, mask_params, g: int, t: int, sub: int,
-            sel: tuple = None):
+            sel: tuple = None, plan: KernelPlan = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    plan = plan or _P10
     n_t = t // TILE
-    sel = _normalize_select(sel)
+    sel = _normalize_select(sel, plan)
     n_sel = len(sel)
-    # excluded MASK_DEPS still need a [TILE, sub, 128] VMEM block the serial
-    # loop writes so the detect phase / history append sees their current
-    # block without an HBM output allocation
-    excl_deps = tuple(n for n in MASK_DEPS if n not in sel)
+    # excluded mask-dep channels still need a [TILE, sub, 128] VMEM block
+    # the serial loop writes so the detect phase / history append sees
+    # their current block without an HBM output allocation
+    excl_deps = tuple(n for n in plan.mask_deps if n not in sel)
+    sections = plan.state_sections
+    nstate = plan.nstate
 
     tile_spec = pl.BlockSpec(
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
     state_spec = pl.BlockSpec(
-        (1, NSTATE, sub, 128), lambda b, i: (b, 0, 0, 0),
+        (1, nstate, sub, 128), lambda b, i: (b, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    n_sec = len(STATE_SECTIONS)
+    n_sec = len(sections)
 
     def kernel(base_ref, value_ref, state_in_ref, *rest):
         state_out_ref = rest[n_sel]
         scratch = rest[n_sel + 1 : n_sel + 1 + n_sec]
-        outs = {n: None for n in OUTPUT_NAMES}
+        outs = {n: None for n in plan.output_names}
         for n, r in zip(sel, rest[:n_sel]):
             outs[n] = _View(r)
         blks = dict(zip(excl_deps, rest[n_sel + 1 + n_sec :]))
 
         def load_state():
-            for (off, ln), buf in zip(STATE_SECTIONS, scratch):
+            for (off, ln), buf in zip(sections, scratch):
                 buf[...] = state_in_ref[0, off : off + ln]
 
         def save_state():
-            for (off, ln), buf in zip(STATE_SECTIONS, scratch):
+            for (off, ln), buf in zip(sections, scratch):
                 state_out_ref[0, off : off + ln] = buf[...]
 
         _fused_kernel(
-            params, mask_params, sub, n_t, base_ref, _View(value_ref),
-            load_state, outs, blks, save_state, *scratch,
+            plan, params, mask_params, sub, n_t, base_ref,
+            _View(value_ref), load_state, outs, blks, save_state, scratch,
         )
 
     out_shape = [
-        jax.ShapeDtypeStruct((g, t, sub, 128), OUTPUT_DTYPES[n])
+        jax.ShapeDtypeStruct(
+            (g, t, sub, 128),
+            np.uint8 if n == "detect_mask" else np.float32,
+        )
         for n in sel
     ]
-    out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
+    out_shape.append(jax.ShapeDtypeStruct((g, nstate, sub, 128), jnp.float32))
 
     def run(base, value, state):
         return pl.pallas_call(
@@ -506,36 +616,20 @@ def _jitted(params, mask_params, g: int, t: int, sub: int,
             in_specs=[base_spec, tile_spec, state_spec],
             out_specs=[tile_spec] * n_sel + [state_spec],
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
-                pltpu.VMEM((RV_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RF_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RQ_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV47 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV24 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV12 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV94 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
-            ] + [
-                pltpu.VMEM((TILE, sub, 128), jnp.float32) for _ in excl_deps
-            ],
+            scratch_shapes=_scratch_shapes(plan, sub, excl_deps),
         )(base, value, state)
 
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
-                sel: tuple = None):
+                sel: tuple = None, plan: KernelPlan = None):
     """DMA-state variant: the carried state lives in HBM (memory space ANY)
     and is copied section-by-section into the VMEM scratch rings at the
     first time block (and back at the last) with explicit async DMAs.
 
-    Keeping the (NSTATE, sub, 128) state blocks out of VMEM residency frees
+    Keeping the (nstate, sub, 128) state blocks out of VMEM residency frees
     ~2x state bytes of VMEM, which is what makes sub=32 tiles fit — wider
     tiles amortize the serial per-step loop latency over more streams."""
     import jax
@@ -543,11 +637,13 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    plan = plan or _P10
     n_t = t // TILE
-    n_sec = len(STATE_SECTIONS)
-    sel = _normalize_select(sel)
+    sections = plan.state_sections
+    n_sec = len(sections)
+    sel = _normalize_select(sel, plan)
     n_sel = len(sel)
-    excl_deps = tuple(n for n in MASK_DEPS if n not in sel)
+    excl_deps = tuple(n for n in plan.mask_deps if n not in sel)
 
     tile_spec = pl.BlockSpec(
         (1, TILE, sub, 128), lambda b, i: (b, i, 0, 0),
@@ -560,7 +656,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
         state_out_ref = rest[n_sel]
         scratch = rest[n_sel + 1 : n_sel + 1 + n_sec]
         sems = rest[n_sel + 1 + n_sec]
-        outs = {n: None for n in OUTPUT_NAMES}
+        outs = {n: None for n in plan.output_names}
         for n, r in zip(sel, rest[:n_sel]):
             outs[n] = _View(r)
         blks = dict(zip(excl_deps, rest[n_sel + 2 + n_sec :]))
@@ -572,7 +668,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
                     state_in_ref.at[b, pl.ds(off, ln)], buf, sems.at[i]
                 )
                 for i, ((off, ln), buf) in enumerate(
-                    zip(STATE_SECTIONS, scratch)
+                    zip(sections, scratch)
                 )
             ]
             for d in dmas:
@@ -586,7 +682,7 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
                     buf, state_out_ref.at[b, pl.ds(off, ln)], sems.at[i]
                 )
                 for i, ((off, ln), buf) in enumerate(
-                    zip(STATE_SECTIONS, scratch)
+                    zip(sections, scratch)
                 )
             ]
             for d in dmas:
@@ -595,15 +691,20 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
                 d.wait()
 
         _fused_kernel(
-            params, mask_params, sub, n_t, base_ref, _View(value_ref),
-            load_state, outs, blks, save_state, *scratch,
+            plan, params, mask_params, sub, n_t, base_ref,
+            _View(value_ref), load_state, outs, blks, save_state, scratch,
         )
 
     out_shape = [
-        jax.ShapeDtypeStruct((g, t, sub, 128), OUTPUT_DTYPES[n])
+        jax.ShapeDtypeStruct(
+            (g, t, sub, 128),
+            np.uint8 if n == "detect_mask" else np.float32,
+        )
         for n in sel
     ]
-    out_shape.append(jax.ShapeDtypeStruct((g, NSTATE, sub, 128), jnp.float32))
+    out_shape.append(
+        jax.ShapeDtypeStruct((g, plan.nstate, sub, 128), jnp.float32)
+    )
 
     def run(base, value, state):
         return pl.pallas_call(
@@ -615,21 +716,8 @@ def _jitted_dma(params, mask_params, g: int, t: int, sub: int,
             in_specs=[base_spec, tile_spec, any_spec],
             out_specs=[tile_spec] * n_sel + [any_spec],
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((8, sub, 128), jnp.float32),  # carry + prev boxes
-                pltpu.VMEM((RV_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RF_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RQ_RING, sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[0], sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[1], sub, 128), jnp.float32),
-                pltpu.VMEM((RP_RINGS[2], sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV47 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV24 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV12 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_BV94 + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((H_FILT + TILE, sub, 128), jnp.float32),
-                pltpu.VMEM((N_SUMS, sub, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((len(STATE_SECTIONS),)),
+            scratch_shapes=_scratch_shapes(plan, sub, ()) + [
+                pltpu.SemaphoreType.DMA((n_sec,)),
             ] + [
                 pltpu.VMEM((TILE, sub, 128), jnp.float32) for _ in excl_deps
             ],
@@ -697,8 +785,13 @@ def _enable_persistent_cache() -> None:
 def fused_frontend(value, params, native_layout=False,
                    mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
                    state=None, base=0, return_state=False, sub=None,
-                   select=None):
+                   select=None, sample_rate=10_000_000):
     """value: [B, T], B % 1024 == 0, T % TILE == 0.
+
+    sample_rate selects the kernel geometry (box widths, ring sizes,
+    detect cascades — kernel_plan): any capture rate compiles its own
+    bucketed variant, reproducing NfcDecoder.cpp:382-388's re-derivation
+    on rate change.  Output names are the rate's box_keys names.
 
     native_layout=False: dict of [B, T] f32 (pays one transpose per output).
     native_layout=True:  dict of [g, t, sub, 128] f32 (kernel-native tiling;
@@ -720,7 +813,8 @@ def fused_frontend(value, params, native_layout=False,
     import jax.numpy as jnp
 
     _enable_persistent_cache()
-    sel = _normalize_select(select)
+    plan = kernel_plan(sample_rate)
+    sel = _normalize_select(select, plan)
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
     assert base >= 0  # ring slots index with AND; clocks must be non-negative
@@ -741,11 +835,11 @@ def fused_frontend(value, params, native_layout=False,
         .transpose(0, 3, 1, 2)
     )
     if state is None:
-        state = jnp.zeros((g, NSTATE, sub, 128), jnp.float32)
+        state = jnp.zeros((g, plan.nstate, sub, 128), jnp.float32)
     base_arr = jnp.asarray([base], jnp.int32)
     mp = tuple(np.float32(m) for m in mask_params)
     impl = _jitted_dma if sub >= 32 else _jitted
-    outs = impl(params, mp, g, t, sub, sel)(base_arr, vt, state)
+    outs = impl(params, mp, g, t, sub, sel, plan)(base_arr, vt, state)
     state_out = outs[-1]
     res = {}
     for name, o in zip(sel, outs[:-1]):
@@ -757,7 +851,7 @@ def fused_frontend(value, params, native_layout=False,
 
 def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
                           mask_params=(0.01, 0.75, 0.10, 0.50, 0.50),
-                          select=None):
+                          select=None, sample_rate=10_000_000):
     """Generator: feed [B, T] through the kernel in `chunk`-sample slices
     with carried ring state, yielding (offset, outputs) per chunk.  Device
     memory is bounded by one chunk's outputs; the concatenated outputs are
@@ -776,6 +870,6 @@ def fused_frontend_stream(value, params, chunk=1 << 16, native_layout=False,
         res, state = fused_frontend(
             value[:, off:end], params, native_layout=native_layout,
             mask_params=mask_params, state=state, base=off,
-            return_state=True, select=select,
+            return_state=True, select=select, sample_rate=sample_rate,
         )
         yield off, res

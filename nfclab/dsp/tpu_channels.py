@@ -104,6 +104,12 @@ _BOX_KEYS = box_keys(10_000_000)
 _FETCH = list(_BOX_KEYS) + ["detect_mask"]
 
 
+def fetch_names(sample_rate: int) -> tuple:
+    """Rate's box channel names + detect_mask (the non-conditioning
+    kernel output set)."""
+    return tuple(box_keys(sample_rate)) + ("detect_mask",)
+
+
 _COND_FETCH = ("envelope", "filtered", "deviation", "average", "mod_depth")
 
 
@@ -253,24 +259,19 @@ def _run_batch_blocks(
     the envelope from the modulated level and the freeze rule
     (NfcTech.cpp:42-53) keeps it low for ~100k samples.  Box sums are
     raw-value windows (exact after the halo, restart only changes the
-    roundoff family), and an UNDER-estimated envelope only loosens every
-    trigger comparison (lower thr*env, lower B edge magnitude), so the
-    detect mask stays a superset; over-estimation cannot arise from a
-    zeros seed.  Kernel conditioning VALUES, however, are simply wrong in
-    that regime — the exact chained runner is mandatory for them."""
+    roundoff family), and an UNDER-estimated envelope only loosens the
+    SD/edge trigger comparisons (lower thr*env, lower B edge magnitude).
+    The POWER GATE, however, is NOT superset-safe under an under-estimated
+    envelope (env < power_thr drops real triggers) — which is why every
+    production mask consumer now takes its detect triggers from the
+    chained exact-state engine (chained_batch_masks / run_chained_masks)
+    and this path serves BOX CHANNELS (and the sharded demonstration
+    path, whose caveat is pinned in test_multichip's hazard fixtures)."""
     import jax.numpy as jnp
 
     from .frontend import _params_tuple
     from .pallas.fused_frontend import LANES, TILE, fused_frontend
 
-    if sample_rate != 10_000_000:
-        # the kernel's box widths / delay cascades are compiled for the
-        # reference's recommended 10 MS/s capture rate (fused_frontend.py
-        # window constants); other rates use the host channel path
-        raise ValueError(
-            f"fused TPU channels require a 10 MS/s capture (got "
-            f"{sample_rate}); decode without frontend='fused' instead"
-        )
     T = H + L
     assert T % TILE == 0
     layouts = []  # (n, nb, row_offset) per capture
@@ -330,6 +331,7 @@ def _run_batch_blocks(
     res = fused_frontend(
         x, _params_tuple(params), native_layout=False,
         mask_params=mask_params, select=tuple(fetch),
+        sample_rate=sample_rate,
     )
 
     # slice away the dead padding blocks before fetching, but bucket the
@@ -374,7 +376,7 @@ CHAIN_CHUNK = 1 << 16
 
 @functools.lru_cache(maxsize=64)
 def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
-                      cap: int):
+                      cap: int, sample_rate: int = 10_000_000):
     """jit: (x[n_live, K*chunk] f32, state) ->
     (mask[n_live, K*chunk] u8  [device-resident overflow fallback],
      idx[n_live, cap] i32 (-1 padded, first `cap` trigger positions),
@@ -424,13 +426,17 @@ def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
     return jax.jit(run)
 
 
-def chain_state0(n_groups: int = 1, sub: int = 8):
-    """Fresh carried kernel state for a chained stream batch."""
+def chain_state0(n_groups: int = 1, sub: int = 8,
+                 sample_rate: int = 10_000_000):
+    """Fresh carried kernel state for a chained stream batch (the state
+    extent is rate-parametric — kernel_plan(sample_rate).nstate)."""
     import jax.numpy as jnp
 
-    from .pallas.fused_frontend import NSTATE
+    from .pallas.fused_frontend import kernel_plan
 
-    return jnp.zeros((n_groups, NSTATE, sub, 128), jnp.float32)
+    return jnp.zeros(
+        (n_groups, kernel_plan(sample_rate).nstate, sub, 128), jnp.float32
+    )
 
 
 def chained_mask_params(power_level_threshold: float, thresholds=None):
@@ -448,7 +454,8 @@ def chained_mask_params(power_level_threshold: float, thresholds=None):
 
 
 def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
-                      cap_div: int = 16, chunk: int = CHAIN_CHUNK):
+                      cap_div: int = 16, chunk: int = CHAIN_CHUNK,
+                      sample_rate: int = 10_000_000):
     """One chained-K dispatch + compacted fetch over device-put rows.
 
     blocks: [n_live, T] f32 host samples, T % chunk == 0.  Returns
@@ -459,22 +466,115 @@ def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
     assert T % chunk == 0
     K = T // chunk
     cap = max(4096, T // cap_div)
-    fn = _chained_mask_jit(pt, mp, K, chunk, n_live, base0, cap)
+    fn = _chained_mask_jit(pt, mp, K, chunk, n_live, base0, cap,
+                           sample_rate)
     x = device_put_samples(blocks)
     mm, idx, bits, cnt, state = fn(x, state)
-    fetched = fetch_arrays({"idx": idx, "bits": bits, "cnt": cnt})
+    # two-phase fetch: the tiny count vector first (it also serves as the
+    # dispatch-completion sync), then only what each row needs — the
+    # compacted arrays for sparse rows, the dense mask row (1 B/sample,
+    # through the split-pipelined fetch_arrays path — a bare multi-MB
+    # np.asarray measures ~1 MB/s on a tunnel attachment) for rows whose
+    # trigger count overflows the cap
+    cnt_h = fetch_arrays({"cnt": cnt})["cnt"]
+    over = [i for i in range(n_live) if int(cnt_h[i]) > cap]
+    want = {}
+    if len(over) < n_live:
+        want["idx"] = idx
+        want["bits"] = bits
+    for i in over:
+        want[i] = mm[i]
+    fetched = fetch_arrays(want)
     out = []
     for i in range(n_live):
-        c = int(fetched["cnt"][i])
-        if c > cap:
-            # rare dense stream: fetch its dense mask row (1 B/sample)
-            row = np.asarray(mm[i])
+        if i in fetched:
+            row = fetched[i]
             rel = np.flatnonzero(row).astype(np.int64)
             out.append((rel, row[rel]))
         else:
+            c = int(cnt_h[i])
             rel = fetched["idx"][i][:c].astype(np.int64)
             out.append((rel, fetched["bits"][i][:c]))
     return out, state
+
+
+def chained_batch_masks(
+    captures: list[np.ndarray],
+    sample_rate: int,
+    power_level_threshold: float = 0.01,
+    thresholds=None,
+    k_chunks: int = 32,
+) -> list[dict]:
+    """SPARSE detect triggers for many captures via the chained
+    exact-state engine: captures ride the kernel as independent lanes
+    through K-chunk windows with carried ring state, the packed mask is
+    compacted on device, and each capture gets
+    {"detect_idx": i64 positions, "detect_bits": u8, "n": length}.
+
+    This replaces the overlap-save block mask layout for the mask-only
+    frontends: chained conditioning is the EXACT streaming envelope, so
+    the mask's power gate is sound (the block layout's zeros-halo restart
+    can freeze the kernel envelope below the power threshold and drop
+    real triggers — advisor finding); the SD thresholds keep
+    MASK_ONLY_MARGIN for the kernel-f32 vs host-f64 box roundoff."""
+    from .frontend import _params_tuple
+    from .pallas.fused_frontend import LANES
+
+    caps = [np.ascontiguousarray(c, np.float32) for c in captures]
+    assert len(caps) <= LANES
+    params = SignalParams(
+        sample_rate, power_level_threshold=power_level_threshold
+    )
+    pt = _params_tuple(params)
+    mp = chained_mask_params(power_level_threshold, thresholds)
+    t_max = max(len(c) for c in caps)
+    state = chain_state0(sample_rate=sample_rate)
+    idx_parts: list[list] = [[] for _ in caps]
+    bit_parts: list[list] = [[] for _ in caps]
+    lo = 0
+    while lo < t_max:
+        # window width: k_chunks full chunks, final window bucketed to a
+        # power of two so the compile set stays {1,2,4,...,k_chunks}
+        rem = -(-(t_max - lo) // CHAIN_CHUNK)
+        k = min(k_chunks, rem)
+        if k & (k - 1):
+            k2 = 1
+            while k2 < k:
+                k2 *= 2
+            k = min(k2, k_chunks)
+        width = k * CHAIN_CHUNK
+        batch = np.zeros((len(caps), width), np.float32)
+        for i, c in enumerate(caps):
+            seg = c[lo : lo + width]
+            batch[i, : len(seg)] = seg
+        # int32-safe clock fold: every ring size divides the plan's fold
+        # modulus and lo is a multiple of CHAIN_CHUNK (>= any ring size),
+        # so the folded base is exactly `mod` after the first window —
+        # one static compile variant per rate (and mod >= 512 > etu keeps
+        # the stream-head envelope seeding off)
+        from .pallas.fused_frontend import kernel_plan
+
+        mod = kernel_plan(sample_rate).fold_modulus
+        base0 = 0 if lo == 0 else mod + lo % mod
+        per, state = run_chained_masks(batch, state, base0, pt, mp,
+                                       sample_rate=sample_rate)
+        for i, (rel, bits) in enumerate(per):
+            keep = rel + lo < len(caps[i])
+            idx_parts[i].append(rel[keep] + lo)
+            bit_parts[i].append(bits[keep])
+        lo += width
+    return [
+        {
+            "detect_idx": (
+                np.concatenate(ip) if ip else np.empty(0, np.int64)
+            ),
+            "detect_bits": (
+                np.concatenate(bp) if bp else np.empty(0, np.uint8)
+            ),
+            "n": len(c),
+        }
+        for ip, bp, c in zip(idx_parts, bit_parts, caps)
+    ]
 
 
 @functools.lru_cache(maxsize=8)
@@ -538,10 +638,13 @@ def _run_batch_chained(
     )
     pt = _params_tuple(params)
 
-    from .pallas.fused_frontend import OUTPUT_DTYPES
-
     outs = [
-        {name: np.empty(n, OUTPUT_DTYPES[name]) for name in fetch}
+        {
+            name: np.empty(
+                n, np.uint8 if name == "detect_mask" else np.float32
+            )
+            for name in fetch
+        }
         for n in lens
     ]
     state = None
@@ -558,6 +661,7 @@ def _run_batch_chained(
         res, state = fused_frontend(
             x, pt, native_layout=False, mask_params=mask_params,
             state=state, base=lo, return_state=True, select=tuple(fetch),
+            sample_rate=sample_rate,
         )
         fetched = fetch_arrays({name: res[name][:live] for name in fetch})
         for i in range(live):
@@ -600,7 +704,8 @@ def fused_capture_channels(
     conditioning stays host-side — see fused_capture_all for the full
     device frontend)."""
     return _run_capture_blocks(
-        samples, sample_rate, power_level_threshold, L, H, tuple(_FETCH),
+        samples, sample_rate, power_level_threshold, L, H,
+        fetch_names(sample_rate),
         thresholds=thresholds,
     )
 
@@ -628,7 +733,7 @@ def fused_capture_all(
 
     arrs = _run_batch_chained(
         [samples], sample_rate, power_level_threshold,
-        tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
+        fetch_names(sample_rate) + _COND_FETCH, thresholds=thresholds,
     )[0]
     n = len(samples)
     params = SignalParams(
@@ -647,7 +752,7 @@ def fused_capture_all(
         bufs["average"], bufs["mod_depth"], bufs["edge_peak"],
         bufs["edge_time"],
     )
-    return cond, {k: arrs[k] for k in _FETCH}
+    return cond, {k: arrs[k] for k in fetch_names(sample_rate)}
 
 
 def fused_batch_channels(
@@ -658,12 +763,24 @@ def fused_batch_channels(
     H: int = DEFAULT_H,
     thresholds=None,
 ) -> list[dict[str, np.ndarray]]:
-    """Box channels + packed detect_mask for MANY captures in one device
-    dispatch + one fetch (see _run_batch_blocks); one dict per capture."""
-    return _run_batch_blocks(
-        captures, sample_rate, power_level_threshold, L, H, tuple(_FETCH),
-        thresholds=thresholds,
+    """Box channels + detect triggers for MANY captures; one dict per
+    capture.  Box channels ride the one-dispatch overlap-save block layout
+    (raw-value windows tolerate block restarts — only the roundoff family
+    changes); the detect triggers come from the chained exact-state engine
+    in SPARSE form so their power gate reads the true streaming envelope
+    (the block layout's frozen-envelope hole — advisor finding).  The SD
+    margin covers the chained-f32 vs fetched-block-f32 box roundoff the
+    same way it covers f32-vs-host-f64."""
+    boxes = _run_batch_blocks(
+        captures, sample_rate, power_level_threshold, L, H,
+        tuple(box_keys(sample_rate)), thresholds=thresholds,
     )
+    sparse = chained_batch_masks(
+        captures, sample_rate, power_level_threshold, thresholds=thresholds,
+    )
+    for b, s in zip(boxes, sparse):
+        b.update(s)
+    return boxes
 
 
 def fused_capture_masks(
@@ -673,18 +790,18 @@ def fused_capture_masks(
     L: int = DEFAULT_L,
     H: int = DEFAULT_H,
     thresholds=None,
-) -> dict[str, np.ndarray]:
-    """Packed detect-trigger mask ONLY for one capture — the lightest
-    device frontend: 1 byte/sample over the link (vs 37 for the full
-    channel set), replacing exactly the host's trigger-index construction
-    (the dominant non-walk host cost); conditioning and box channels build
-    natively on the host.  The SD triggers carry MASK_ONLY_MARGIN so the
-    kernel-f32-derived mask stays a conservative superset of the host-f64
-    channels the walk reads (see _run_batch_blocks)."""
-    return _run_batch_blocks(
-        [samples], sample_rate, power_level_threshold, L, H,
-        ("detect_mask",), thresholds=thresholds,
-        mask_margin=MASK_ONLY_MARGIN,
+) -> dict:
+    """Sparse detect triggers ONLY for one capture — the lightest device
+    frontend: O(triggers) over the link, replacing exactly the host's
+    trigger-index construction (the dominant non-walk host cost);
+    conditioning and box channels build natively on the host.  Runs the
+    chained exact-state engine (chained_batch_masks) so the power gate is
+    sound; SD thresholds carry MASK_ONLY_MARGIN (conservative superset of
+    the host-f64 triggers the walk re-checks).  L/H are accepted for API
+    compatibility; the chained layout has no halo."""
+    return chained_batch_masks(
+        [samples], sample_rate, power_level_threshold,
+        thresholds=thresholds,
     )[0]
 
 
@@ -695,13 +812,13 @@ def fused_batch_masks(
     L: int = DEFAULT_L,
     H: int = DEFAULT_H,
     thresholds=None,
-) -> list[dict[str, np.ndarray]]:
-    """Packed detect masks for MANY captures in one dispatch + one fetch
-    (superset-margined like fused_capture_masks)."""
-    return _run_batch_blocks(
-        captures, sample_rate, power_level_threshold, L, H,
-        ("detect_mask",), thresholds=thresholds,
-        mask_margin=MASK_ONLY_MARGIN,
+) -> list[dict]:
+    """Sparse detect triggers for MANY captures (chained exact-state
+    engine, one device pass over lane-stacked captures — see
+    fused_capture_masks)."""
+    return chained_batch_masks(
+        captures, sample_rate, power_level_threshold,
+        thresholds=thresholds,
     )
 
 
@@ -724,7 +841,7 @@ def fused_batch_all(
 
     arr_sets = _run_batch_chained(
         captures, sample_rate, power_level_threshold,
-        tuple(_FETCH) + _COND_FETCH, thresholds=thresholds,
+        fetch_names(sample_rate) + _COND_FETCH, thresholds=thresholds,
     )
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
@@ -745,7 +862,7 @@ def fused_batch_all(
             bufs["deviation"], bufs["average"], bufs["mod_depth"],
             bufs["edge_peak"], bufs["edge_time"],
         )
-        outs.append((cond, {k: arrs[k] for k in _FETCH}))
+        outs.append((cond, {k: arrs[k] for k in fetch_names(sample_rate)}))
     return outs
 
 
@@ -820,8 +937,9 @@ def preload_channels(
     ran with so keys and mask bits agree)."""
     from .pallas.fused_frontend import MASK_LAYOUT
 
-    n = len(arrs["detect_mask"])
     assert channels.base == 0, "TPU preload is for whole-capture decode"
+    sparse = "detect_idx" in arrs
+    n = arrs["n"] if sparse else len(arrs["detect_mask"])
 
     # mask-only sets skip the box preload: the box channels then build
     # natively on the host (cheap; the trigger-index construction the mask
@@ -842,15 +960,26 @@ def preload_channels(
                 "meta": (kind_code, width, lag),
             }
 
-    # detect_mask bits -> index channels, gated at the 1024-sample warm-up
-    bits = arrs["detect_mask"].astype(np.int32)
-    bits[:_WARMUP] = 0
+    # detect triggers -> index channels, gated at the 1024-sample warm-up.
+    # Dense form: a packed mask byte per sample.  Sparse form (the chained
+    # compacted engine): trigger positions + their packed bits.
+    if sparse:
+        pos = arrs["detect_idx"].astype(np.int64)
+        pbits = arrs["detect_bits"].astype(np.int32)
+        keep = pos >= _WARMUP
+        pos, pbits = pos[keep], pbits[keep]
+    else:
+        bits = arrs["detect_mask"].astype(np.int32)
+        bits[:_WARMUP] = 0
     masks = {name: w for name, w in MASK_LAYOUT}
 
     for mname, key, fx in idx_key_map(
         sample_rate, power_level_threshold, thresholds=thresholds
     ):
-        idx = np.flatnonzero(bits & masks[mname]).astype(np.int64)
+        if sparse:
+            idx = np.ascontiguousarray(pos[(pbits & masks[mname]) != 0])
+        else:
+            idx = np.flatnonzero(bits & masks[mname]).astype(np.int64)
         channels._cache[key] = {
             "arr": None,
             "n": 0,

@@ -63,6 +63,48 @@ DEFAULT_CONFIG: dict = {
 }
 
 
+class SettingsStore:
+    """Persistent settings tier — the reference's ``nfc-lab.ini``
+    (README.md:100-252, app-qt main.cpp:119-133 QSettings): device /
+    decoder / logic settings survive across sessions.  JSON instead of
+    ini (consistent with the Configure wire format), stored at
+    ``~/.config/nfclab/settings.json`` unless ``NFCLAB_SETTINGS`` or an
+    explicit path overrides it.  Writes are atomic (tmp + rename)."""
+
+    def __init__(self, path: str | Path | None = None):
+        import os
+
+        self.path = Path(
+            path
+            or os.environ.get("NFCLAB_SETTINGS")
+            or Path.home() / ".config" / "nfclab" / "settings.json"
+        )
+
+    def load(self) -> dict:
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                data = json.load(f)
+            return data if isinstance(data, dict) else {}
+        except (OSError, ValueError):
+            return {}
+
+    def save(self, data: dict) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+        tmp.replace(self.path)
+
+    def update(self, patch: dict) -> dict:
+        """Merge-patch `patch` into the stored settings; returns the new
+        tree (live Configure changes persist through this — the monitor's
+        Configure POSTs survive a restart)."""
+        data = merge_patch(self.load(), patch)
+        self.save(data)
+        return data
+
+
 class Config:
     def __init__(self, base: dict | None = None):
         self.data = merge_patch(DEFAULT_CONFIG, base or {})

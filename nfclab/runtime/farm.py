@@ -18,10 +18,12 @@ One chip sustains ~10 GS/s of dense phase (bench.py), i.e. a thousand
 (they are independent — no collectives).
 
 Kernel base clocks are int32: for unbounded streams the farm folds the
-absolute chunk clock to ``512 + clock % 512`` (every ring size divides 512,
-and the fold keeps ``t >= ETU`` so the stream-head envelope seeding never
-re-triggers), so ring phases stay consistent forever while frame clocks
-remain absolute int64 on the host.
+absolute chunk clock to ``fold + clock % fold`` where ``fold`` is the
+rate's plan modulus (every ring size divides it, and the fold keeps
+``t >= ETU`` so the stream-head envelope seeding never re-triggers), so
+ring phases stay consistent forever while frame clocks remain absolute
+int64 on the host.  The kernel geometry is rate-parametric
+(fused_frontend.kernel_plan), so the farm serves any capture rate.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import numpy as np
 
 from ..core.frame import Frame
 from ..core.params import SignalParams
-from ..dsp.tpu_channels import _BOX_KEYS, _WARMUP, idx_key_map
+from ..dsp.tpu_channels import _WARMUP, box_keys, idx_key_map
 from .decoder import CarrierDetector, DecoderContext, walk
 from .streaming import StreamingNfcDecoder
 
@@ -138,7 +140,9 @@ class KernelFedStream(StreamingNfcDecoder):
 
         cap = max(len(self._bufs["value"]), 4096, lz.capacity_hint)
         self._box_entries = []
-        for name, (key, kind_code, width, lag) in _BOX_KEYS.items():
+        for name, (key, kind_code, width, lag) in box_keys(
+            self.sample_rate
+        ).items():
             lz._cache[key] = {
                 "arr": alloc_array(cap, np.float32),
                 "n": 0,
@@ -322,7 +326,7 @@ class MaskFedStream(StreamingNfcDecoder):
 
 
 class TpuStreamFarm:
-    """Decode ``n_streams`` independent 10 MS/s magnitude streams with the
+    """Decode ``n_streams`` independent magnitude streams with the
     dense detect phase on the device; host walkers emit frames per stream.
 
     feed(blocks[n_streams, width]) -> list of per-stream new frames.
@@ -353,13 +357,10 @@ class TpuStreamFarm:
         fetch: str = "full",
         k_chunks: int = 32,
         pipeline_depth: int = 2,
-        cap_div: int = 8,
+        cap_div: int = 16,
+        walk_threads: int | None = None,
         **decoder_kwargs,
     ):
-        if sample_rate != 10_000_000:
-            raise ValueError(
-                "the fused kernel's windows are built for 10 MS/s captures"
-            )
         if fetch not in ("full", "mask"):
             raise ValueError("fetch must be 'full' or 'mask'")
         if k_chunks & (k_chunks - 1):
@@ -370,6 +371,8 @@ class TpuStreamFarm:
         self.k_chunks = k_chunks
         self.pipeline_depth = pipeline_depth
         self.cap_div = cap_div
+        self.walk_threads = walk_threads
+        self._walk_pool = None
         self.params = SignalParams(
             sample_rate, power_level_threshold=power_level_threshold
         )
@@ -397,6 +400,13 @@ class TpuStreamFarm:
             )
             for _ in range(n_streams)
         ]
+        from ..dsp.pallas.fused_frontend import kernel_plan
+
+        # clock-fold modulus: every ring size of this rate's kernel plan
+        # divides it, and it exceeds the ETU so folded clocks never
+        # re-enable the stream-head envelope seeding
+        self._fold = kernel_plan(sample_rate).fold_modulus
+        assert self._fold > self.params.elementary_time_unit
         self._state = None
         self._clock = 0
         # mask-mode pipeline
@@ -404,13 +414,18 @@ class TpuStreamFarm:
         self._staged_len = 0
         self._inflight: "deque" = deque()
         self._io = None
+        # stage accounting (seconds + dispatch count): device_s is the
+        # background upload+dispatch+fetch time, walk_s the host walk time;
+        # in steady state the pipeline overlaps them so wall ~= max, not sum
+        self.stats = {"device_s": 0.0, "walk_s": 0.0, "dispatches": 0,
+                      "wait_s": 0.0}
 
     def _kernel_base(self) -> int:
-        # int32-safe fold; every ring size divides 512 and the fold keeps
-        # t >= ETU so stream-head envelope seeding happens only at clock 0.
-        # Dispatch widths are multiples of 512, so the folded base is
-        # always 0 or 512 — at most two compiled variants per shape.
-        return self._clock if self._clock == 0 else 512 + (self._clock % 512)
+        # int32-safe fold (see self._fold); dispatch widths are multiples
+        # of the modulus, so the folded base is always 0 or `fold` — at
+        # most two compiled variants per shape
+        m = self._fold
+        return self._clock if self._clock == 0 else m + (self._clock % m)
 
     def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
         blocks = np.ascontiguousarray(blocks, np.float32)
@@ -418,8 +433,10 @@ class TpuStreamFarm:
         if n_s != self.n_streams:
             raise ValueError(f"expected {self.n_streams} stream rows")
         if self.fetch == "mask":
-            if width % 512:
-                raise ValueError("feed width must be a multiple of 512")
+            if width % self._fold:
+                raise ValueError(
+                    f"feed width must be a multiple of {self._fold}"
+                )
             self._staged.append(blocks)
             self._staged_len += width
             self._launch_ready()
@@ -472,17 +489,24 @@ class TpuStreamFarm:
         """Background stage: upload (i16 when on-grid) + chained dispatch
         + compacted fetch.  Runs on the single IO thread, so kernel state
         threads through dispatches in submission order."""
+        import time
+
         from ..dsp.tpu_channels import chain_state0, run_chained_masks
 
+        t0 = time.perf_counter()
         if self._state is None:
-            self._state = chain_state0()
+            self._state = chain_state0(sample_rate=self.sample_rate)
         per_stream, self._state = run_chained_masks(
             batch, self._state, base0, self._pt, self._mp,
-            cap_div=self.cap_div,
+            cap_div=self.cap_div, sample_rate=self.sample_rate,
         )
+        self.stats["device_s"] += time.perf_counter() - t0
+        self.stats["dispatches"] += 1
         return per_stream
 
     def _drain(self, block: bool) -> list[list[Frame]]:
+        import time
+
         from ..dsp.tpu_channels import CHAIN_CHUNK
 
         out = [[] for _ in self.streams]
@@ -492,19 +516,43 @@ class TpuStreamFarm:
                     or fut.done()):
                 break
             self._inflight.popleft()
+            t0 = time.perf_counter()
             per_stream = fut.result()
+            self.stats["wait_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             width = batch.shape[1]
-            for i, st in enumerate(self.streams):
+
+            def walk_one(i):
+                st = self.streams[i]
                 rel, bits = per_stream[i]
+                frames = []
                 # walk in window-memory-safe sub-chunks
                 for lo in range(0, width, CHAIN_CHUNK):
                     hi = min(lo + CHAIN_CHUNK, width)
                     sel = (rel >= lo) & (rel < hi)
-                    out[i].extend(
+                    frames.extend(
                         st.feed_mask_idx(
                             batch[i, lo:hi], rel[sel] - lo, bits[sel]
                         )
                     )
+                return frames
+
+            if self.walk_threads and self.walk_threads > 1:
+                # streams are independent; the hot walk is GIL-releasing
+                # native code, so per-stream threads scale on multi-core
+                # hosts (each stream keeps ITS OWN decoder — no sharing)
+                if self._walk_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._walk_pool = ThreadPoolExecutor(self.walk_threads)
+                for i, frames in enumerate(
+                    self._walk_pool.map(walk_one, range(len(self.streams)))
+                ):
+                    out[i].extend(frames)
+            else:
+                for i in range(len(self.streams)):
+                    out[i].extend(walk_one(i))
+            self.stats["walk_s"] += time.perf_counter() - t0
         return out
 
     # ----------------------------------------------------- full fetch mode
@@ -527,15 +575,16 @@ class TpuStreamFarm:
         res, self._state = fused_frontend(
             x, self._pt, native_layout=False, mask_params=self._mp,
             state=self._state, base=self._kernel_base(), return_state=True,
+            sample_rate=self.sample_rate,
         )
         self._clock += chunk
 
-        names = (*_COND_KEYS, *_BOX_KEYS, "detect_mask")
+        names = (*_COND_KEYS, *box_keys(self.sample_rate), "detect_mask")
         fetch = fetch_arrays({name: res[name][:n_s] for name in names})
         out = []
         for i, st in enumerate(self.streams):
             cond = {k: fetch[k][i] for k in _COND_KEYS}
-            boxes = {k: fetch[k][i] for k in _BOX_KEYS}
+            boxes = {k: fetch[k][i] for k in box_keys(self.sample_rate)}
             out.append(
                 st.feed_external(blocks[i], cond, boxes,
                                  fetch["detect_mask"][i])
@@ -566,6 +615,9 @@ class TpuStreamFarm:
             if self._io is not None:
                 self._io.shutdown()
                 self._io = None
+            if self._walk_pool is not None:
+                self._walk_pool.shutdown()
+                self._walk_pool = None
         for i, st in enumerate(self.streams):
             out[i].extend(st.finish())
         return out

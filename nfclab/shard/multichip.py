@@ -284,7 +284,8 @@ def _fetch_global(v) -> np.ndarray:
 
 @functools.lru_cache(maxsize=2)
 def _sharded_kernel_step(params_tuple, mask_params, n_devices: int,
-                         nb_loc: int, L: int, H: int, devices=None):
+                         nb_loc: int, L: int, H: int, devices=None,
+                         sample_rate: int = 10_000_000):
     """jit: rows[NB, L] sharded over a 1-D `blocks` mesh -> channel dict,
     computed by the PRODUCTION fused Pallas kernel inside shard_map (the
     real multi-chip hot path: per-device windows pad to the kernel's
@@ -297,7 +298,9 @@ def _sharded_kernel_step(params_tuple, mask_params, n_devices: int,
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from ..dsp.pallas.fused_frontend import LANES, fused_frontend
-    from ..dsp.tpu_channels import _FETCH
+    from ..dsp.tpu_channels import fetch_names
+
+    fetch = fetch_names(sample_rate)
     from .temporal import halo_exchange
 
     assert nb_loc <= LANES, "more than LANES blocks per device unsupported"
@@ -338,7 +341,8 @@ def _sharded_kernel_step(params_tuple, mask_params, n_devices: int,
         wp = jnp.pad(windows, ((0, pad), (0, 0)))
         res = fused_frontend(
             wp, params_tuple, native_layout=False,
-            mask_params=mask_params, select=tuple(_FETCH),
+            mask_params=mask_params, select=fetch,
+            sample_rate=sample_rate,
         )
         out = {}
         for k, v in res.items():
@@ -370,8 +374,7 @@ def sharded_kernel_channels(
     thresholds=None,
 ) -> dict[str, np.ndarray]:
     """Multi-chip channel computation with the production Pallas kernel
-    inside shard_map (10 MS/s; the kernel's windows are compiled for the
-    reference rate — other rates use sharded_capture_channels' jnp path).
+    inside shard_map, rate-parametric via fused_frontend.kernel_plan.
     Bit-identical to dsp.tpu_channels.fused_capture_channels (validated on
     hardware by tools/validate_tpu_shard_kernel)."""
     import jax
@@ -380,11 +383,6 @@ def sharded_kernel_channels(
     from ..core.thresholds import DecoderThresholds
     from ..dsp.frontend import _params_tuple
 
-    if sample_rate != 10_000_000:
-        raise ValueError(
-            "the fused kernel's windows are built for 10 MS/s captures; "
-            "use sharded_capture_channels for other rates"
-        )
     if devices is None:
         devices = jax.devices()[: n_devices or len(jax.devices())]
     n_dev = len(devices)
@@ -403,7 +401,7 @@ def sharded_kernel_channels(
     )
     step, sharding = _sharded_kernel_step(
         _params_tuple(params), tuple(mask_params), n_dev, nb_pad // n_dev,
-        L, H, tuple(devices),
+        L, H, tuple(devices), sample_rate=sample_rate,
     )
     arr = jax.device_put(rows, sharding)
     out_dev = step(arr)

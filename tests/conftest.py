@@ -11,6 +11,13 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# hermetic persistent-settings tier: live CLI runs inside the suite must
+# never read or write the developer's real ~/.config/nfclab/settings.json
+os.environ.setdefault(
+    "NFCLAB_SETTINGS",
+    f"/tmp/nfclab-test-settings-{os.getpid()}/settings.json",
+)
+
 _cpu_forced = False
 
 

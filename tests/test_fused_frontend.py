@@ -181,3 +181,59 @@ def test_tpu_logic_frontend_matches_host():
         cwd=repo,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_kernel_plan_reproduces_10msps_constants():
+    """The rate-parametric plan must derive the original hand-written
+    10 MS/s kernel constants exactly."""
+    from nfclab.dsp.pallas import fused_frontend as ff
+
+    p = ff.kernel_plan(10_000_000)
+    assert p.bv_widths == (12, 24, 47, 94)
+    assert p.q_widths == (47, 189)
+    assert p.pb == ((24, 6), (47, 12), (94, 24))
+    assert (p.rv_ring, p.rf_ring, p.rq_ring) == (128, 128, 256)
+    assert p.rp_rings == (8, 16, 32)
+    assert p.a_rates == ((0, 47, 47, 2), (94, 23, 24, 1), (141, 12, 12, 0))
+    assert p.b_delays == (0, 94)
+    assert p.f_rates == ((0, 23, 24, 1), (0, 12, 12, 0))
+    assert p.v_rate == (378, 95, 94, 3)
+    # history lengths per width (12, 24, 47, 94) + filt
+    assert p.h_sizes == (153, 117, 47, 473, 94)
+    assert p.nstate == ff.NSTATE
+    assert p.fold_modulus == 512
+    assert p.output_names == tuple(ff.OUTPUT_NAMES)
+
+
+@pytest.mark.parametrize("rate", [3_200_000, 8_000_000])
+def test_fused_kernel_traces_at_other_rates(rate):
+    """Rate-parametric kernel variants abstract-eval on CPU: the plan's
+    ring/history/state geometry must be internally consistent at the
+    degraded RTL-SDR rate (3.2 MS/s) and a resampled rate."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfclab.core.params import SignalParams
+    from nfclab.core.thresholds import DecoderThresholds
+    from nfclab.dsp.frontend import _params_tuple
+    from nfclab.dsp.pallas import fused_frontend as ff
+
+    plan = ff.kernel_plan(rate)
+    pt = _params_tuple(SignalParams(rate))
+    mp = tuple(
+        np.float32(m) for m in DecoderThresholds().detect_mask_tuple(0.01)
+    )
+    for sel in (None, ("detect_mask",)):
+        sel_t = ff._normalize_select(sel, plan)
+        run = ff._jitted(pt, mp, 1, 2 * ff.TILE, 8, sel_t, plan)
+        v = jax.ShapeDtypeStruct((1, 2 * ff.TILE, 8, 128), jnp.float32)
+        st = jax.ShapeDtypeStruct((1, plan.nstate, 8, 128), jnp.float32)
+        out = jax.eval_shape(
+            run, jax.ShapeDtypeStruct((1,), jnp.int32), v, st
+        )
+        assert len(out) == len(sel_t) + 1
+        assert out[-1].shape == (1, plan.nstate, 8, 128)

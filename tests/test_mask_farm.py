@@ -153,7 +153,8 @@ def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch):
 
     clock = {"t": 0}
 
-    def fake_run(blocks, state, base0, pt, mp, cap_div=8, chunk=65536):
+    def fake_run(blocks, state, base0, pt, mp, cap_div=8, chunk=65536,
+                 sample_rate=10_000_000):
         lo = clock["t"]
         T = blocks.shape[1]
         out = []

@@ -366,3 +366,57 @@ def test_monitor_signal_analysis_surface():
     snap = state.snapshot()
     assert snap["frames"][0]["time_end"] == 2e-4
     assert snap["frames"][0]["data"] == "52"
+
+
+def test_monitor_open_trace(tmp_path):
+    """The monitor can OPEN a saved TRZ (QtControl open-file role): POST
+    /open routes the file through TraceReplayTask and the replayed frames
+    + adaptive streams land in the monitor's frame table and wave lanes."""
+    import numpy as np
+
+    from nfclab.apps.monitor import MonitorServer
+    from nfclab.core.frame import Frame
+    from nfclab.io.trz import SignalStream, write_trace
+    from nfclab.runtime.subject import Subject
+
+    Subject.clear_registry()
+    frames = [
+        Frame(tech_type=0x0101, frame_type=0x0102, frame_rate=105938,
+              sample_rate=10_000_000, sample_start=1000, sample_end=2000,
+              time_start=1e-4, time_end=2e-4, data=bytes([0x52])),
+        Frame(tech_type=0x0101, frame_type=0x0103, frame_rate=105938,
+              sample_rate=10_000_000, sample_start=3000, sample_end=4000,
+              time_start=3e-4, time_end=4e-4, data=bytes([0x04, 0x00])),
+    ]
+    sig = SignalStream(
+        stream_id=0, sample_rate=10_000_000, kind="radio",
+        offsets=np.arange(0, 4096, 16, dtype=np.int64),
+        values=np.linspace(0, 1, 256).astype(np.float32),
+    )
+    trz = tmp_path / "session.trz"
+    write_trace(str(trz), frames, [sig])
+
+    monitor = MonitorServer(port=0).start()
+    base = f"http://127.0.0.1:{monitor.port}"
+    try:
+        # a bogus path rejects
+        r = _post(f"{base}/open", {"path": str(tmp_path / "missing.trz")})
+        assert not r["ok"] and "no such trace" in r["error"]
+
+        r = _post(f"{base}/open", {"path": str(trz)})
+        assert r["ok"], r
+        deadline = time.time() + 20
+        rows = []
+        while time.time() < deadline:
+            with urllib.request.urlopen(f"{base}/data", timeout=10) as resp:
+                snap = json.loads(resp.read())
+            rows = snap["frames"]
+            if len(rows) >= 2 and snap.get("wave"):
+                break
+            time.sleep(0.1)
+        assert len(rows) == 2, rows
+        assert rows[0]["data"] == "52" and rows[0]["tech"] == "NfcA"
+        assert rows[1]["event"] in ("LISTEN", "?") or rows[1]["data"]
+        assert snap["wave"], "replayed adaptive stream must reach the view"
+    finally:
+        monitor.stop()

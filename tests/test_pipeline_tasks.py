@@ -289,3 +289,71 @@ def test_trace_storage_write_command(tmp_path, fixture_dir):
     # the normal end-of-stream write still happened
     frames2, _ = read_trace(final_path)
     assert len(frames2) >= len(frames)
+
+
+def test_decoder_clear_command(fixture_dir):
+    """Clear (RadioDecoderTask.cpp:368-375): drops pending signal buffers
+    without ending the session — queued buffers never decode, and the task
+    keeps serving later sessions normally."""
+    import queue as _queue
+    import time
+
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import RadioDecoderTask
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    frames_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames_q.put, replay=False)
+    raw = Subject.name("radio.signal.raw")
+    cmd = Subject.name("radio.decoder.command")
+
+    decoder = RadioDecoderTask()
+    # queue a whole session BEFORE the task loop starts, then a Clear: the
+    # loop handles commands first, so the pending buffers (and their EOF)
+    # are dropped before any decode
+    raw.next(SignalBuffer(
+        samples, info.sample_rate, 0,
+        signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+    ))
+    raw.next(SignalBuffer.eof(info.sample_rate))
+    cleared = threading.Event()
+    cmd.next(Event("clear", on_resolve=lambda *a: cleared.set(),
+                   on_reject=lambda e: cleared.set()))
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+    try:
+        assert cleared.wait(10)
+        time.sleep(0.5)
+        assert frames_q.empty(), "cleared buffers must not decode"
+
+        # a fresh session decodes normally after Clear
+        raw.next(SignalBuffer(
+            samples, info.sample_rate, 0,
+            signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+        ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+        polls = 0
+        while True:
+            f = frames_q.get(timeout=30)
+            if f is None:
+                break
+            polls += f.frame_type == 0x102
+        assert polls > 0
+    finally:
+        ex.shutdown()
+
+
+def test_trace_storage_clear_command(tmp_path, fixture_dir):
+    """TraceStorageTask Clear (TraceStorageTask.cpp:242-252): the
+    accumulated frame cache empties, so a later write starts fresh."""
+    from nfclab.core.frame import Frame
+
+    Subject.clear_registry()
+    task = TraceStorageTask(str(tmp_path / "t.trz"))
+    Subject.name("radio.decoder.frame").next(
+        Frame(tech_type=0x0101, frame_type=0x0102)
+    )
+    assert len(task.frames) == 1
+    task._on_clear()
+    assert task.frames == [] and task.signals == []
