@@ -19,7 +19,15 @@ import ctypes
 import ctypes.util
 
 _M_MMAP_THRESHOLD = -3
+_M_TRIM_THRESHOLD = -1
 _done = False
+
+
+def tuned() -> bool:
+    """Whether malloc_tune() has been applied in this process (consumers
+    like native.binding.alloc_array prefer recyclable heap allocations
+    over one-shot mmaps when it has)."""
+    return _done
 
 
 def malloc_tune(mmap_threshold: int = 1 << 28) -> bool:
@@ -32,6 +40,13 @@ def malloc_tune(mmap_threshold: int = 1 << 28) -> bool:
         name = ctypes.util.find_library("c") or "libc.so.6"
         libc = ctypes.CDLL(name)
         ok = bool(libc.mallopt(_M_MMAP_THRESHOLD, mmap_threshold))
+        # the OTHER half of the recycling story: after a large free glibc
+        # TRIMS the heap top back to the kernel (default threshold 128 KB),
+        # so the next allocation refaults every page.  On this VM class a
+        # minor fault costs ~250 us of charged user time (userspace memory
+        # backend), which made repeated decodes oscillate 1-12 MS/s with
+        # the fault count.  A huge trim threshold keeps the heap mapped.
+        ok = bool(libc.mallopt(_M_TRIM_THRESHOLD, mmap_threshold)) and ok
     except (OSError, AttributeError):
         return False
     _done = ok

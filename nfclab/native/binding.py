@@ -39,6 +39,15 @@ def alloc_array(n: int, dtype=np.float32) -> np.ndarray:
     nbytes = int(n) * np.dtype(dtype).itemsize
     if nbytes < (1 << 22):
         return np.empty(n, dtype)
+    from ..core.malloc_tune import tuned
+
+    if tuned():
+        # malloc_tune'd (bench / short-lived) processes: heap allocations
+        # recycle freed blocks WITHOUT refaulting, while a fresh mmap must
+        # fault every page again — on this VM's slow fault path that
+        # difference is ~10x wall.  Long-running live capture keeps the
+        # populate-at-alloc mmap below (bounded high-water mark).
+        return np.empty(n, dtype)
     try:
         # MAP_PRIVATE, never the (default) MAP_SHARED: anonymous SHARED
         # mappings survive fork as the SAME physical pages, so a forked

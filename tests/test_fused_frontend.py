@@ -237,3 +237,23 @@ def test_fused_kernel_traces_at_other_rates(rate):
         )
         assert len(out) == len(sel_t) + 1
         assert out[-1].shape == (1, plan.nstate, 8, 128)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    not _tpu_available(),
+    reason="no TPU device (set NFCLAB_SKIP_TPU_TESTS=1 to silence the probe)",
+)
+def test_rate_parametric_kernel_on_tpu():
+    """Device frontends at 3.2 MS/s (degraded RTL-SDR mode) and 8 MS/s
+    (resampled) must frame-equal the rate-generic host decode
+    (tools/validate_rate_parametric)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "nfclab.tools.validate_rate_parametric"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
