@@ -422,6 +422,7 @@ def cmd_live(args) -> int:
 
         store = SettingsStore(getattr(args, "settings", None))
     desired = store.load().get("decoder", {}) if store else {}
+    file_desired = {}
     if getattr(args, "config", None):
         # app-rx reconciliation: desired config file -> Query/diff/Configure.
         # Must complete BEFORE the source starts streaming: Configure takes
@@ -431,7 +432,11 @@ def cmd_live(args) -> int:
             file_desired = _json.load(fh).get("decoder", {})
         desired = merge_patch(desired, file_desired) if store else file_desired
     if desired and not isinstance(decoder, RadioDecoderTask):
-        print("# decoder settings apply to radio capture", file=sys.stderr)
+        if file_desired:
+            # only warn about an EXPLICIT --config; silently skip stored
+            # radio settings on a logic session
+            print("# --config decoder section applies to radio capture",
+                  file=sys.stderr)
         desired = {}
     elif desired:
         snap = reconcile_decoder(

@@ -818,6 +818,12 @@ def fused_frontend(value, params, native_layout=False,
     b, t = value.shape
     assert b % LANES == 0 and t % TILE == 0
     assert base >= 0  # ring slots index with AND; clocks must be non-negative
+    if state is not None and state.shape[1] != plan.nstate:
+        raise ValueError(
+            f"carried state extent {state.shape[1]} does not match "
+            f"kernel_plan({sample_rate}).nstate={plan.nstate} — state from "
+            "a different rate's plan?"
+        )
     # wider tiles amortize the serial per-step latency over more streams:
     # sub=16 measures ~1.5x sub=8 on v5e (the serial loop's step latency is
     # the bottleneck at sub=8).  sub=32 only fits in VMEM with the DMA-state

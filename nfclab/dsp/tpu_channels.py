@@ -405,7 +405,7 @@ def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
             res, st = fused_frontend(
                 xp, pt, native_layout=False, mask_params=mp,
                 state=st, base=base0 + k * chunk, return_state=True,
-                select=("detect_mask",),
+                select=("detect_mask",), sample_rate=sample_rate,
             )
             rows.append(res["detect_mask"][:n_live])
         mm = jnp.concatenate(rows, axis=1)  # [n_live, T] u8
@@ -771,13 +771,21 @@ def fused_batch_channels(
     (the block layout's frozen-envelope hole — advisor finding).  The SD
     margin covers the chained-f32 vs fetched-block-f32 box roundoff the
     same way it covers f32-vs-host-f64."""
-    boxes = _run_batch_blocks(
-        captures, sample_rate, power_level_threshold, L, H,
-        tuple(box_keys(sample_rate)), thresholds=thresholds,
-    )
-    sparse = chained_batch_masks(
-        captures, sample_rate, power_level_threshold, thresholds=thresholds,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the two device passes are independent until the merge: run the
+    # chained trigger pass on a background thread so its device work +
+    # fetch overlaps the block pass instead of serializing dispatch floors
+    with ThreadPoolExecutor(1) as bg:
+        fut = bg.submit(
+            chained_batch_masks, captures, sample_rate,
+            power_level_threshold, thresholds=thresholds,
+        )
+        boxes = _run_batch_blocks(
+            captures, sample_rate, power_level_threshold, L, H,
+            tuple(box_keys(sample_rate)), thresholds=thresholds,
+        )
+        sparse = fut.result()
     for b, s in zip(boxes, sparse):
         b.update(s)
     return boxes

@@ -418,7 +418,7 @@ class TpuStreamFarm:
         # background upload+dispatch+fetch time, walk_s the host walk time;
         # in steady state the pipeline overlaps them so wall ~= max, not sum
         self.stats = {"device_s": 0.0, "walk_s": 0.0, "dispatches": 0,
-                      "wait_s": 0.0}
+                      "wait_s": 0.0, "drained_samples": 0}
 
     def _kernel_base(self) -> int:
         # int32-safe fold (see self._fold); dispatch widths are multiples
@@ -437,7 +437,12 @@ class TpuStreamFarm:
                 raise ValueError(
                     f"feed width must be a multiple of {self._fold}"
                 )
-            self._staged.append(blocks)
+            # COPY at staging: consumption (upload + the deferred
+            # pipelined walk) happens up to k_chunks feeds later, and
+            # callers legitimately reuse their feed buffer every call —
+            # staging a reference would make every staged window alias
+            # the caller's latest contents
+            self._staged.append(blocks.copy())
             self._staged_len += width
             self._launch_ready()
             return self._drain(block=False)
@@ -553,6 +558,7 @@ class TpuStreamFarm:
                 for i in range(len(self.streams)):
                     out[i].extend(walk_one(i))
             self.stats["walk_s"] += time.perf_counter() - t0
+            self.stats["drained_samples"] += width * len(self.streams)
         return out
 
     # ----------------------------------------------------- full fetch mode
@@ -578,6 +584,7 @@ class TpuStreamFarm:
             sample_rate=self.sample_rate,
         )
         self._clock += chunk
+        self.stats["drained_samples"] += chunk * n_s
 
         names = (*_COND_KEYS, *box_keys(self.sample_rate), "detect_mask")
         fetch = fetch_arrays({name: res[name][:n_s] for name in names})

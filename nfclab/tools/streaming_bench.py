@@ -99,11 +99,13 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
                              **farm_kwargs)
         blocks = np.empty((n_streams, chunk), np.float32)
         frames = 0
-        seg_len = max(chunk, n_samples // 8 // chunk * chunk)
+        # segment on DRAINED (fully processed) samples: fed samples stage
+        # instantly in the pipeline and would alias the segment clock
+        seg_len = max(chunk, n_samples // 8 // chunk * chunk) * n_streams
         segments = []
         t0 = time.perf_counter()
         t_seg = t0
-        seg_done = 0
+        seg_mark = 0
         r0 = resource.getrusage(resource.RUSAGE_SELF)
         for off in range(0, n_samples, chunk):
             part = sig[off : off + chunk]
@@ -112,13 +114,13 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
             for s in range(n_streams):
                 blocks[s] = part
             frames += sum(len(f) for f in farm.feed(blocks))
-            seg_done += chunk
-            if seg_done >= seg_len:
+            drained = farm.stats["drained_samples"]
+            if drained - seg_mark >= seg_len:
                 now = time.perf_counter()
                 segments.append(
-                    round(n_streams * seg_done / (now - t_seg))
+                    round((drained - seg_mark) / (now - t_seg))
                 )
-                t_seg, seg_done = now, 0
+                t_seg, seg_mark = now, drained
         frames += sum(len(f) for f in farm.finish())
         r1 = resource.getrusage(resource.RUSAGE_SELF)
         cpu = (r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)

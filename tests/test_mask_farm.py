@@ -172,9 +172,12 @@ def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch):
     farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4)
     frames = [[] for _ in sigs]
     step = 40960  # deliberately NOT the chain chunk size (but % 512 == 0)
-    for off in range(0, total, step):
-        block = np.stack([s[off : off + step] for s in sigs])
-        for i, new in enumerate(farm.feed(block)):
+    block = np.empty((2, step), np.float32)  # REUSED buffer: the farm
+    for off in range(0, total, step):       # must copy at staging
+        w = min(step, total - off)
+        for i, s in enumerate(sigs):
+            block[i, :w] = s[off : off + w]
+        for i, new in enumerate(farm.feed(block[:, :w])):
             frames[i].extend(new)
     for i, new in enumerate(farm.finish()):
         frames[i].extend(new)
