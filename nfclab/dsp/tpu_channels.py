@@ -119,33 +119,40 @@ _FETCH_THREADS = 32
 
 
 @functools.lru_cache(maxsize=4)
-def _i16_to_f32():
-    """jitted exact dequant: i16 codes -> f32 samples.  Scaling by 2^-15
-    only changes the exponent (never rounds), so the result is bit-identical
-    to the host's read_wav conversion (raw.astype(f32) / 2^15)."""
+def _int_to_f32(shift: int):
+    """jitted exact dequant: integer codes -> f32 samples.  Scaling by a
+    power of two only changes the exponent (never rounds), so the result
+    is bit-identical to the host's read_wav conversion."""
     import jax
     import jax.numpy as jnp
 
     def conv(x):
-        return x.astype(jnp.float32) * jnp.float32(2.0 ** -15)
+        return x.astype(jnp.float32) * jnp.float32(2.0 ** -shift)
 
     return jax.jit(conv)
 
 
 def device_put_samples(x: np.ndarray):
-    """Upload a [rows, T] f32 sample matrix, halving the link bytes when
-    the samples sit on the int16 grid (true for every 16-bit and 8-bit WAV
-    source): ship i16 codes and dequantize on device — bit-exact, because
-    both directions only scale by powers of two."""
+    """Upload a [rows, T] f32 sample matrix, shrinking the link bytes when
+    the samples sit on an integer grid: 8-bit sources (RTL-SDR capture
+    depth) ship as 1-byte codes, 16-bit WAV as 2-byte codes — bit-exact
+    either way, because both directions only scale by powers of two."""
     import jax
 
+    s8 = x * np.float32(1 << 7)
+    if (
+        np.array_equal(s8, np.floor(s8))
+        and s8.min() >= -(1 << 7)
+        and s8.max() < (1 << 7)
+    ):
+        return _int_to_f32(7)(jax.device_put(s8.astype(np.int8)))
     scaled = x * np.float32(1 << 15)
     if (
         np.array_equal(scaled, np.floor(scaled))
         and scaled.min() >= -(1 << 15)
         and scaled.max() < (1 << 15)
     ):
-        return _i16_to_f32()(jax.device_put(scaled.astype(np.int16)))
+        return _int_to_f32(15)(jax.device_put(scaled.astype(np.int16)))
     return jax.device_put(x)
 
 

@@ -54,3 +54,20 @@ def test_device_put_samples_i16_grid_bit_exact(fixture_dir):
     off = x + np.float32(1e-6)  # off the i16 grid
     d2 = device_put_samples(off)
     assert np.array_equal(np.asarray(d2), off)
+
+
+def test_device_put_samples_i8_grid_bit_exact():
+    """8-bit-grid samples (RTL-SDR capture depth) ship as 1-byte codes and
+    dequantize on device bit-identically."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import numpy as np
+
+    from nfclab.dsp.tpu_channels import device_put_samples
+
+    codes = np.arange(-128, 128, dtype=np.int16)
+    x = (codes.astype(np.float32) / np.float32(1 << 7))[None, :]
+    d = device_put_samples(x)
+    assert np.array_equal(np.asarray(d), x)
+    assert np.asarray(d).dtype == np.float32
