@@ -527,15 +527,23 @@ def chained_batch_masks(
     from .frontend import _params_tuple
     from .pallas.fused_frontend import LANES
 
-    caps = [np.ascontiguousarray(c, np.float32) for c in captures]
+    from .pallas.fused_frontend import kernel_plan
+
+    # captures sorted by length (desc) so finished ones form a suffix:
+    # each window uploads only the LIVE prefix (bucketed to a power of
+    # two for jit-cache reuse) — zero-padded tails otherwise dominated
+    # the upload bytes for mixed-length suites
+    order = sorted(range(len(captures)), key=lambda i: -len(captures[i]))
+    caps = [np.ascontiguousarray(captures[i], np.float32) for i in order]
     assert len(caps) <= LANES
     params = SignalParams(
         sample_rate, power_level_threshold=power_level_threshold
     )
     pt = _params_tuple(params)
     mp = chained_mask_params(power_level_threshold, thresholds)
-    t_max = max(len(c) for c in caps)
+    t_max = len(caps[0])
     state = chain_state0(sample_rate=sample_rate)
+    mod = kernel_plan(sample_rate).fold_modulus
     idx_parts: list[list] = [[] for _ in caps]
     bit_parts: list[list] = [[] for _ in caps]
     lo = 0
@@ -550,27 +558,32 @@ def chained_batch_masks(
                 k2 *= 2
             k = min(k2, k_chunks)
         width = k * CHAIN_CHUNK
-        batch = np.zeros((len(caps), width), np.float32)
-        for i, c in enumerate(caps):
-            seg = c[lo : lo + width]
+        live = sum(1 for c in caps if len(c) > lo)
+        live_b = 1
+        while live_b < live:
+            live_b *= 2
+        live_b = min(live_b, len(caps))
+        batch = np.zeros((live_b, width), np.float32)
+        for i in range(live):
+            seg = caps[i][lo : lo + width]
             batch[i, : len(seg)] = seg
         # int32-safe clock fold: every ring size divides the plan's fold
         # modulus and lo is a multiple of CHAIN_CHUNK (>= any ring size),
         # so the folded base is exactly `mod` after the first window —
         # one static compile variant per rate (and mod >= 512 > etu keeps
-        # the stream-head envelope seeding off)
-        from .pallas.fused_frontend import kernel_plan
-
-        mod = kernel_plan(sample_rate).fold_modulus
+        # the stream-head envelope seeding off).  Dropping finished lanes
+        # from the upload is state-consistent: the device-side pad feeds
+        # them the same zeros their tails held.
         base0 = 0 if lo == 0 else mod + lo % mod
         per, state = run_chained_masks(batch, state, base0, pt, mp,
                                        sample_rate=sample_rate)
-        for i, (rel, bits) in enumerate(per):
+        for i in range(live):
+            rel, bits = per[i]
             keep = rel + lo < len(caps[i])
             idx_parts[i].append(rel[keep] + lo)
             bit_parts[i].append(bits[keep])
         lo += width
-    return [
+    sorted_out = [
         {
             "detect_idx": (
                 np.concatenate(ip) if ip else np.empty(0, np.int64)
@@ -582,6 +595,10 @@ def chained_batch_masks(
         }
         for ip, bp, c in zip(idx_parts, bit_parts, caps)
     ]
+    out: list = [None] * len(captures)
+    for pos, i in enumerate(order):
+        out[i] = sorted_out[pos]
+    return out
 
 
 @functools.lru_cache(maxsize=8)
