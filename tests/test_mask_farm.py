@@ -131,7 +131,8 @@ def test_mask_fed_stream_sparse_indices(fixture_dir):
     assert [f for f in sparse_frames if f.frame_type in GOLDEN_TYPES]
 
 
-def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch):
+@pytest.mark.parametrize("walk_threads", [None, 2])
+def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch, walk_threads):
     """TpuStreamFarm fetch='mask' pipeline plumbing on CPU: staging into
     k_chunks windows, background dispatch ordering, compacted-index walk,
     pow2 + host-tail flush at finish — with run_chained_masks stubbed by a
@@ -169,7 +170,8 @@ def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch):
     monkeypatch.setattr(tc, "run_chained_masks", fake_run)
     monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
 
-    farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4)
+    farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4,
+                         walk_threads=walk_threads)
     frames = [[] for _ in sigs]
     step = 40960  # deliberately NOT the chain chunk size (but % 512 == 0)
     block = np.empty((2, step), np.float32)  # REUSED buffer: the farm
