@@ -373,6 +373,7 @@ def cmd_live(args) -> int:
             reconnect=args.reconnect,
         )
         decoder = RadioDecoderTask(
+            frontend=getattr(args, "frontend", "host"),
             enable_nfca=not args.disable_nfca,
             enable_nfcb=not args.disable_nfcb,
             enable_nfcf=not args.disable_nfcf,
@@ -548,6 +549,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--channel-map", metavar="MAP",
         help="ISO7816 probe wiring (see 'run --channel-map')",
+    )
+    p.add_argument(
+        "--frontend", choices=["host", "mask"], default="host",
+        help="live dense frontend: host (native conditioning + trigger "
+        "scan) or mask (detect triggers from the TPU chained engine — "
+        "pipelined k-chunk dispatches, device-compacted fetch; falls "
+        "back to host when no accelerator is reachable)",
     )
     p.add_argument(
         "--settings", metavar="PATH", default=None,

@@ -433,10 +433,9 @@ class TpuStreamFarm:
         if n_s != self.n_streams:
             raise ValueError(f"expected {self.n_streams} stream rows")
         if self.fetch == "mask":
-            if width % self._fold:
-                raise ValueError(
-                    f"feed width must be a multiple of {self._fold}"
-                )
+            # any feed width is fine: dispatches always consume
+            # k*CHAIN_CHUNK columns (multiples of the fold modulus), and
+            # the sub-chunk remainder at finish() walks on the host path.
             # COPY at staging: consumption (upload + the deferred
             # pipelined walk) happens up to k_chunks feeds later, and
             # callers legitimately reuse their feed buffer every call —

@@ -396,7 +396,8 @@ class RadioDecoderTask(Task):
     protocol thresholds — configDecoder :207-366 semantics) applied from
     the next decode session on."""
 
-    def __init__(self, window: int | None = 1 << 20, **decoder_kwargs):
+    def __init__(self, window: int | None = 1 << 20, frontend: str = "host",
+                 **decoder_kwargs):
         # window 2^20 (vs 2^21): still 2.8x the ~370k FWT lookback at
         # 10 MS/s, but halves the dense-array footprint — on this VM the
         # first-touch fault storm at session start is the dominant live
@@ -404,6 +405,11 @@ class RadioDecoderTask(Task):
         # (measured 12.3 vs 4.9 MS/s wall over the first 10M samples)
         super().__init__("worker.RadioDecoder", "radio.decoder")
         self.window = window
+        # frontend="mask": detect triggers from the TPU chained engine
+        # (a farm of one stream — pipelined k-chunk dispatches, compacted
+        # fetch); falls back to the host frontend when no accelerator is
+        # reachable at session start
+        self.frontend = frontend
         self.decoder_kwargs = decoder_kwargs
         self.frame_stream = Subject.name("radio.decoder.frame")
         self.signal_queue: "queue.Queue[SignalBuffer]" = queue.Queue()
@@ -458,6 +464,24 @@ class RadioDecoderTask(Task):
         # the next buffer resumes at its absolute offset)
         self._drain(self.signal_queue)
 
+    def _make_decoder(self, sample_rate: int):
+        from .streaming import StreamingNfcDecoder
+
+        if self.frontend == "mask":
+            try:
+                return _MaskLiveDecoder(
+                    sample_rate, window=self.window, **self.decoder_kwargs
+                )
+            except Exception as e:
+                # no accelerator (or kernel bring-up failed): live capture
+                # must keep decoding — fall back to the host frontend
+                self.update_status(
+                    "streaming", frontend_fallback=f"host ({e!r})"
+                )
+        return StreamingNfcDecoder(
+            sample_rate, window=self.window, **self.decoder_kwargs
+        )
+
     def run(self):
         from .streaming import StreamingNfcDecoder
 
@@ -493,9 +517,7 @@ class RadioDecoderTask(Task):
             if not self.streaming:
                 continue  # Stopped: drop buffers (RadioDecoderTask.cpp:76-79)
             if dec is None:
-                dec = StreamingNfcDecoder(
-                    buf.sample_rate, window=self.window, **self.decoder_kwargs
-                )
+                dec = self._make_decoder(buf.sample_rate)
                 self.update_status("streaming")
             for frame in dec.feed(np.asarray(buf.data, np.float32)):
                 self.frame_stream.next(frame)
@@ -503,6 +525,38 @@ class RadioDecoderTask(Task):
         if dec is not None:
             flush(dec)
         self.update_status("complete", frames=self.throughput.total)
+
+
+class _MaskLiveDecoder:
+    """StreamingNfcDecoder-shaped adapter over a one-stream TpuStreamFarm
+    in mask mode: live blocks stage into pipelined chained kernel
+    dispatches (device-compacted detect triggers), the host walks with
+    bit-exact native conditioning.  k_chunks=8 keeps frame latency at
+    ~0.05 s/MS-of-rate while still amortizing the dispatch floor ~15x.
+
+    Constructing it probes the accelerator (jax device lookup) so a
+    missing chip fails fast and the caller can fall back to the host
+    frontend."""
+
+    def __init__(self, sample_rate: int, window: int | None = None,
+                 **decoder_kwargs):
+        import jax
+
+        from .farm import TpuStreamFarm
+
+        jax.devices()  # raises when no accelerator is reachable
+        self._farm = TpuStreamFarm(
+            1, sample_rate, fetch="mask", window=window, k_chunks=8,
+            **decoder_kwargs,
+        )
+
+    def feed(self, block: np.ndarray) -> list[Frame]:
+        return self._farm.feed(
+            np.asarray(block, np.float32)[None, :]
+        )[0]
+
+    def finish(self) -> list[Frame]:
+        return self._farm.finish()[0]
 
 
 class LogicDecoderTask(Task):

@@ -357,3 +357,107 @@ def test_trace_storage_clear_command(tmp_path, fixture_dir):
     assert len(task.frames) == 1
     task._on_clear()
     assert task.frames == [] and task.signals == []
+
+
+def test_live_mask_frontend_task(fixture_dir, monkeypatch):
+    """RadioDecoderTask(frontend='mask'): live buffers flow through the
+    one-stream TPU farm adapter (chained engine stubbed with the CPU mask
+    oracle) and decode the same POLL frames as the host frontend."""
+    import queue as _queue
+
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    from test_mask_farm import _cpu_mask
+
+    import nfclab.dsp.tpu_channels as tc
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import RadioDecoderTask
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    samples = np.asarray(samples, np.float32)
+    mask = _cpu_mask(samples, info.sample_rate)
+    clock = {"t": 0}
+
+    def fake_run(blocks, state, base0, pt, mp, cap_div=16, chunk=65536,
+                 sample_rate=10_000_000):
+        lo = clock["t"]
+        T = blocks.shape[1]
+        seg = np.zeros(T, np.uint8)
+        avail = mask[lo : lo + T]
+        seg[: len(avail)] = avail
+        np.testing.assert_array_equal(
+            blocks[0][: len(avail)], samples[lo : lo + len(avail)]
+        )
+        rel = np.flatnonzero(seg).astype(np.int64)
+        clock["t"] = lo + T
+        return [(rel, seg[rel])], state
+
+    monkeypatch.setattr(tc, "run_chained_masks", fake_run)
+    monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
+
+    frames_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames_q.put, replay=False)
+    raw = Subject.name("radio.signal.raw")
+    decoder = RadioDecoderTask(frontend="mask")
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+    try:
+        for off in range(0, len(samples), 65536):
+            raw.next(SignalBuffer(
+                samples[off : off + 65536], info.sample_rate, off,
+                signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+            ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+        polls = 0
+        while True:
+            f = frames_q.get(timeout=60)
+            if f is None:
+                break
+            polls += f.frame_type == 0x102
+        assert polls > 0
+        # chained dispatches actually ran (not the host fallback)
+        assert clock["t"] > 0
+    finally:
+        ex.shutdown()
+
+
+def test_live_mask_frontend_falls_back_to_host(fixture_dir, monkeypatch):
+    """No accelerator at session start: frontend='mask' must keep decoding
+    via the host frontend instead of failing the capture."""
+    import queue as _queue
+
+    import nfclab.runtime.pipeline as rp
+    from nfclab.io.wav import read_wav
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("no accelerator")
+
+    monkeypatch.setattr(rp, "_MaskLiveDecoder", Boom)
+
+    frames_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames_q.put, replay=False)
+    raw = Subject.name("radio.signal.raw")
+    decoder = rp.RadioDecoderTask(frontend="mask")
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+    try:
+        raw.next(SignalBuffer(
+            np.asarray(samples, np.float32), info.sample_rate, 0,
+            signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+        ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+        polls = 0
+        while True:
+            f = frames_q.get(timeout=60)
+            if f is None:
+                break
+            polls += f.frame_type == 0x102
+        assert polls > 0
+    finally:
+        ex.shutdown()

@@ -835,3 +835,51 @@ def test_auto_discovery_attaches_and_rescans():
         assert not th.is_alive()
     finally:
         DeviceFactory._registry.pop("fakesdr", None)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    "NFCLAB_SKIP_TPU_TESTS" in __import__("os").environ
+    and __import__("os").environ["NFCLAB_SKIP_TPU_TESTS"] == "1",
+    reason="NFCLAB_SKIP_TPU_TESTS=1",
+)
+def test_live_mask_frontend_on_tpu(fixture_dir):
+    """Full live loop on the real chip: mock rtl_tcp radio -> decode_cli
+    live --frontend mask (one-stream TPU farm, pipelined chained
+    dispatches, device-compacted triggers) -> correct POLL frames."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from nfclab.io.wav import read_wav
+
+    # probe for a real accelerator the same way the other tpu tests do
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = subprocess.run(
+        [_sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    if probe.returncode != 0 or "cpu" in probe.stdout:
+        pytest.skip("no TPU device")
+
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_001.wav"))
+    n = len(samples)
+    iq = np.empty(2 * n, np.uint8)
+    iq[0::2] = np.clip(np.round(samples * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    iq[1::2] = 128
+    server = MockRtlTcpServer(payload=iq, min_commands=2)
+    res = subprocess.run(
+        [
+            _sys.executable, "-m", "nfclab.apps.decode_cli", "live",
+            f"rtltcp://127.0.0.1:{server.port}", "--json",
+            "--frontend", "mask", "--no-settings",
+            "--sample-rate", str(info.sample_rate), "--timeout", "30",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr
+    frames = [_json.loads(line) for line in res.stdout.splitlines() if line]
+    polls = [f for f in frames if f.get("type") == "POLL"]
+    assert polls and polls[0]["data"] == "52", frames[:5]
+    assert polls[0]["tech"] == "NfcA"
