@@ -631,13 +631,18 @@ class TpuStreamFarm:
 
 class TpuLogicFarm:
     """Decode ``n_streams`` independent logic-analyzer streams (ISO7816):
-    one batched device dispatch per chunk computes every stream's packed
-    event mask (dsp/logic_frontend, per-stream carried edge state); the host
-    walkers consume only the sparse event indices.
+    batched device dispatches compute every stream's packed event mask
+    (dsp/logic_frontend, per-stream carried edge state); the host walkers
+    consume only the sparse event indices.
 
-    feed(blocks[n_streams, chunk, channels]) -> per-stream new frames.
-    The logic analog of TpuStreamFarm; a deployment serving both subsystems
-    runs one of each (streams are independent — no collectives)."""
+    feed(blocks[n_streams, width, channels]) -> per-stream new frames.
+    The logic analog of TpuStreamFarm, with the same PIPELINE shape:
+    feeds stage until ``k_samples`` accumulate, one dispatch computes the
+    whole window's masks, a single background IO thread owns
+    upload+dispatch+fetch while the caller's thread walks the previous
+    window (frames may surface up to ``pipeline_depth`` windows late;
+    finish() flushes).  ``k_samples=0`` dispatches synchronously per feed
+    (the round-4 behavior)."""
 
     def __init__(
         self,
@@ -646,11 +651,15 @@ class TpuLogicFarm:
         channels: int = 4,
         stream_time: float = 0.0,
         channel_map=None,
+        k_samples: int = 1 << 20,
+        pipeline_depth: int = 2,
     ):
         from .logic_decoder import StreamingIsoDecoder, normalize_channel_map
 
         self.n_streams = n_streams
         self.channels = channels
+        self.k_samples = k_samples
+        self.pipeline_depth = pipeline_depth
         # the farm permutes blocks BEFORE the batched device dispatch so
         # the event masks are computed over the decoder layout; the streams
         # then consume identity-mapped blocks + masks
@@ -662,25 +671,90 @@ class TpuLogicFarm:
             for _ in range(n_streams)
         ]
         self._carry = None
+        self._staged: list[np.ndarray] = []
+        self._staged_len = 0
+        self._inflight: "deque" = deque()
+        self._io = None
 
     def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
-        from ..dsp.logic_frontend import logic_event_mask
-
         blocks = np.ascontiguousarray(blocks, np.float32)
         if blocks.ndim != 3 or blocks.shape[0] != self.n_streams or (
             blocks.shape[2] != self.channels
         ):
             raise ValueError(
-                f"expected [{self.n_streams}, chunk, {self.channels}] blocks"
+                f"expected [{self.n_streams}, width, {self.channels}] blocks"
             )
         if self._perm is not None:
             blocks = np.ascontiguousarray(blocks[:, :, self._perm])
-        mask, self._carry = logic_event_mask(blocks, self._carry)
-        mask = np.asarray(mask)
-        return [
-            st.feed(blocks[i], mask=mask[i])
-            for i, st in enumerate(self.streams)
-        ]
+        if not self.k_samples:
+            mask = self._mask(blocks)
+            return [
+                st.feed(blocks[i], mask=mask[i])
+                for i, st in enumerate(self.streams)
+            ]
+        # COPY at staging (callers reuse feed buffers; the channel-map
+        # permute above already produced a private array when it ran)
+        self._staged.append(
+            blocks if self._perm is not None else blocks.copy()
+        )
+        self._staged_len += blocks.shape[1]
+        while self._staged_len >= self.k_samples:
+            self._submit(self._take(self.k_samples))
+        return self._drain(block=False)
+
+    def _mask(self, batch: np.ndarray) -> np.ndarray:
+        from ..dsp.logic_frontend import logic_event_mask
+        from ..dsp.tpu_channels import fetch_arrays
+
+        mask_dev, self._carry = logic_event_mask(batch, self._carry)
+        return fetch_arrays({"m": mask_dev})["m"]
+
+    def _take(self, width: int) -> np.ndarray:
+        parts, got = [], 0
+        while got < width:
+            piece = self._staged[0]
+            need = width - got
+            if piece.shape[1] <= need:
+                parts.append(piece)
+                got += piece.shape[1]
+                self._staged.pop(0)
+            else:
+                parts.append(piece[:, :need])
+                self._staged[0] = piece[:, need:]
+                got = width
+        self._staged_len -= width
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+    def _submit(self, batch: np.ndarray):
+        if self._io is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._io = ThreadPoolExecutor(1)  # ordered edge-carry threading
+        self._inflight.append((self._io.submit(self._mask, batch), batch))
+
+    def _drain(self, block: bool) -> list[list[Frame]]:
+        out = [[] for _ in self.streams]
+        while self._inflight:
+            fut, batch = self._inflight[0]
+            if not (block or len(self._inflight) > self.pipeline_depth
+                    or fut.done()):
+                break
+            self._inflight.popleft()
+            mask = fut.result()
+            for i, st in enumerate(self.streams):
+                out[i].extend(st.feed(batch[i], mask=mask[i]))
+        return out
 
     def finish(self) -> list[list[Frame]]:
-        return [st.finish() for st in self.streams]
+        out = [[] for _ in self.streams]
+        if self.k_samples:
+            if self._staged_len:
+                self._submit(self._take(self._staged_len))
+            for i, new in enumerate(self._drain(block=True)):
+                out[i].extend(new)
+            if self._io is not None:
+                self._io.shutdown()
+                self._io = None
+        for i, st in enumerate(self.streams):
+            out[i].extend(st.finish())
+        return out
