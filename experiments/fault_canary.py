@@ -8,7 +8,8 @@ and honest benchmarks must report steady-state segment rates over LONG
 sessions (see CLAUDE.md environment notes and streaming_bench).
 """
 import sys, time, resource
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 def main():
     from nfclab.core.malloc_tune import malloc_tune

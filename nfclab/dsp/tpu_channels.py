@@ -139,20 +139,20 @@ def device_put_samples(x: np.ndarray):
     either way, because both directions only scale by powers of two."""
     import jax
 
-    s8 = x * np.float32(1 << 7)
-    if (
-        np.array_equal(s8, np.floor(s8))
-        and s8.min() >= -(1 << 7)
-        and s8.max() < (1 << 7)
-    ):
-        return _int_to_f32(7)(jax.device_put(s8.astype(np.int8)))
+    # one grid probe serves both depths: x is on the i8 grid exactly when
+    # its i16 code is a multiple of 256 (scales are powers of two)
     scaled = x * np.float32(1 << 15)
     if (
         np.array_equal(scaled, np.floor(scaled))
         and scaled.min() >= -(1 << 15)
         and scaled.max() < (1 << 15)
     ):
-        return _int_to_f32(15)(jax.device_put(scaled.astype(np.int16)))
+        codes = scaled.astype(np.int16)
+        if not np.any(codes & 0xFF):
+            return _int_to_f32(7)(
+                jax.device_put((codes >> 8).astype(np.int8))
+            )
+        return _int_to_f32(15)(jax.device_put(codes))
     return jax.device_put(x)
 
 

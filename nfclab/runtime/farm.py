@@ -229,6 +229,85 @@ def _append_sparse_idx(lz, idx_entries, rel_idx, bits, abs_lo, abs_hi):
         LazyChannels._append_idx(ent, pos[(b32 & weight) != 0], abs_hi)
 
 
+class _DispatchPipeline:
+    """Staging + ordered background dispatch + bounded-depth drain —
+    the pipeline machinery the stream and logic farms share.
+
+    Batches ([n_streams, width, ...] arrays, staged as PRIVATE copies by
+    the caller) dispatch on ONE IO thread, so carried device state
+    threads in submission order; `drain` consumes (batch, result) pairs
+    in completion order on the caller's thread, blocking only when the
+    in-flight depth exceeds `depth` (backpressure) or on an explicit
+    flush.  A failed dispatch leaves its batch queued
+    (result-before-popleft), so `recover_batches` can hand every
+    unprocessed sample to a host-path fallback losslessly."""
+
+    def __init__(self, depth: int):
+        self.depth = depth
+        self.staged: list[np.ndarray] = []
+        self.staged_len = 0
+        self.inflight: "deque" = deque()
+        self._io = None
+
+    def stage(self, batch: np.ndarray) -> None:
+        self.staged.append(batch)
+        self.staged_len += batch.shape[1]
+
+    def take(self, width: int) -> np.ndarray:
+        """Pop exactly `width` staged columns as one batch."""
+        parts, got = [], 0
+        while got < width:
+            piece = self.staged[0]
+            need = width - got
+            if piece.shape[1] <= need:
+                parts.append(piece)
+                got += piece.shape[1]
+                self.staged.pop(0)
+            else:
+                parts.append(piece[:, :need])
+                self.staged[0] = piece[:, need:]
+                got = width
+        self.staged_len -= width
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+    def submit(self, fn, batch: np.ndarray) -> None:
+        if self._io is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._io = ThreadPoolExecutor(1)  # ordered state threading
+        self.inflight.append((self._io.submit(fn, batch), batch))
+
+    def drain(self, walk, block: bool, on_wait=None) -> None:
+        import time
+
+        while self.inflight:
+            fut, batch = self.inflight[0]
+            if not (block or len(self.inflight) > self.depth
+                    or fut.done()):
+                break
+            t0 = time.perf_counter()
+            result = fut.result()  # before popleft: see class docstring
+            self.inflight.popleft()
+            if on_wait is not None:
+                on_wait(time.perf_counter() - t0)
+            walk(batch, result)
+
+    def recover_batches(self) -> list[np.ndarray]:
+        """Ordered unprocessed batches (in-flight first, then staged);
+        clears the pipeline for a host-path fallback."""
+        out = [b for _f, b in self.inflight] + list(self.staged)
+        self.inflight.clear()
+        self.staged.clear()
+        self.staged_len = 0
+        self.shutdown(wait=False)
+        return out
+
+    def shutdown(self, wait: bool = True) -> None:
+        if self._io is not None:
+            self._io.shutdown(wait=wait)
+            self._io = None
+
+
 import functools
 
 
@@ -409,11 +488,7 @@ class TpuStreamFarm:
         assert self._fold > self.params.elementary_time_unit
         self._state = None
         self._clock = 0
-        # mask-mode pipeline
-        self._staged: list[np.ndarray] = []
-        self._staged_len = 0
-        self._inflight: "deque" = deque()
-        self._io = None
+        self._pipe = _DispatchPipeline(pipeline_depth)  # mask-mode pipeline
         # stage accounting (seconds + dispatch count): device_s is the
         # background upload+dispatch+fetch time, walk_s the host walk time;
         # in steady state the pipeline overlaps them so wall ~= max, not sum
@@ -441,8 +516,7 @@ class TpuStreamFarm:
             # callers legitimately reuse their feed buffer every call —
             # staging a reference would make every staged window alias
             # the caller's latest contents
-            self._staged.append(blocks.copy())
-            self._staged_len += width
+            self._pipe.stage(blocks.copy())
             self._launch_ready()
             return self._drain(block=False)
         from ..dsp.pallas.fused_frontend import TILE
@@ -457,37 +531,20 @@ class TpuStreamFarm:
         from ..dsp.tpu_channels import CHAIN_CHUNK
 
         target = self.k_chunks * CHAIN_CHUNK
-        while self._staged_len >= target:
-            batch = self._take(target)
-            self._submit(batch)
-
-    def _take(self, width: int) -> np.ndarray:
-        """Pop exactly `width` staged columns as one [n_s, width] batch."""
-        parts, got = [], 0
-        while got < width:
-            piece = self._staged[0]
-            need = width - got
-            if piece.shape[1] <= need:
-                parts.append(piece)
-                got += piece.shape[1]
-                self._staged.pop(0)
-            else:
-                parts.append(piece[:, :need])
-                self._staged[0] = piece[:, need:]
-                got = width
-        self._staged_len -= width
-        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        while self._pipe.staged_len >= target:
+            self._submit(self._pipe.take(target))
 
     def _submit(self, batch: np.ndarray):
-        if self._io is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            # ONE worker: dispatch order is kernel-state order
-            self._io = ThreadPoolExecutor(1)
         base0 = self._kernel_base()
         self._clock += batch.shape[1]
-        fut = self._io.submit(self._device_pass, batch, base0)
-        self._inflight.append((fut, batch))
+        self._pipe.submit(
+            lambda b, base0=base0: self._device_pass(b, base0), batch
+        )
+
+    def recover_unprocessed(self) -> list[np.ndarray]:
+        """Ordered unprocessed [n_s, width] batches after a dispatch
+        failure; clears the pipeline (host-path fallback support)."""
+        return self._pipe.recover_batches()
 
     def _device_pass(self, batch: np.ndarray, base0: int):
         """Background stage: upload (i16 when on-grid) + chained dispatch
@@ -514,15 +571,11 @@ class TpuStreamFarm:
         from ..dsp.tpu_channels import CHAIN_CHUNK
 
         out = [[] for _ in self.streams]
-        while self._inflight:
-            fut, batch = self._inflight[0]
-            if not (block or len(self._inflight) > self.pipeline_depth
-                    or fut.done()):
-                break
-            self._inflight.popleft()
-            t0 = time.perf_counter()
-            per_stream = fut.result()
-            self.stats["wait_s"] += time.perf_counter() - t0
+
+        def on_wait(dt):
+            self.stats["wait_s"] += dt
+
+        def walk(batch, per_stream):
             t0 = time.perf_counter()
             width = batch.shape[1]
 
@@ -558,6 +611,8 @@ class TpuStreamFarm:
                     out[i].extend(walk_one(i))
             self.stats["walk_s"] += time.perf_counter() - t0
             self.stats["drained_samples"] += width * len(self.streams)
+
+        self._pipe.drain(walk, block, on_wait)
         return out
 
     # ----------------------------------------------------- full fetch mode
@@ -603,24 +658,22 @@ class TpuStreamFarm:
             from ..dsp.tpu_channels import CHAIN_CHUNK
 
             # flush staged windows in power-of-two chunk dispatches
-            while self._staged_len >= CHAIN_CHUNK:
+            while self._pipe.staged_len >= CHAIN_CHUNK:
                 k = 1
                 while (k * 2 <= self.k_chunks
-                       and k * 2 * CHAIN_CHUNK <= self._staged_len):
+                       and k * 2 * CHAIN_CHUNK <= self._pipe.staged_len):
                     k *= 2
-                self._submit(self._take(k * CHAIN_CHUNK))
+                self._submit(self._pipe.take(k * CHAIN_CHUNK))
             for i, new in enumerate(self._drain(block=True)):
                 out[i].extend(new)
-            if self._staged_len:
+            if self._pipe.staged_len:
                 # sub-chunk tail: host path (the kernel-fed index entries
                 # host-extend past the kernel-appended range — fx
                 # descriptors in LazyChannels)
-                tail = self._take(self._staged_len)
+                tail = self._pipe.take(self._pipe.staged_len)
                 for i, st in enumerate(self.streams):
                     out[i].extend(st.feed(tail[i]))
-            if self._io is not None:
-                self._io.shutdown()
-                self._io = None
+            self._pipe.shutdown()
             if self._walk_pool is not None:
                 self._walk_pool.shutdown()
                 self._walk_pool = None
@@ -671,10 +724,7 @@ class TpuLogicFarm:
             for _ in range(n_streams)
         ]
         self._carry = None
-        self._staged: list[np.ndarray] = []
-        self._staged_len = 0
-        self._inflight: "deque" = deque()
-        self._io = None
+        self._pipe = _DispatchPipeline(pipeline_depth)
 
     def feed(self, blocks: np.ndarray) -> list[list[Frame]]:
         blocks = np.ascontiguousarray(blocks, np.float32)
@@ -694,12 +744,11 @@ class TpuLogicFarm:
             ]
         # COPY at staging (callers reuse feed buffers; the channel-map
         # permute above already produced a private array when it ran)
-        self._staged.append(
+        self._pipe.stage(
             blocks if self._perm is not None else blocks.copy()
         )
-        self._staged_len += blocks.shape[1]
-        while self._staged_len >= self.k_samples:
-            self._submit(self._take(self.k_samples))
+        while self._pipe.staged_len >= self.k_samples:
+            self._pipe.submit(self._mask, self._pipe.take(self.k_samples))
         return self._drain(block=False)
 
     def _mask(self, batch: np.ndarray) -> np.ndarray:
@@ -709,52 +758,26 @@ class TpuLogicFarm:
         mask_dev, self._carry = logic_event_mask(batch, self._carry)
         return fetch_arrays({"m": mask_dev})["m"]
 
-    def _take(self, width: int) -> np.ndarray:
-        parts, got = [], 0
-        while got < width:
-            piece = self._staged[0]
-            need = width - got
-            if piece.shape[1] <= need:
-                parts.append(piece)
-                got += piece.shape[1]
-                self._staged.pop(0)
-            else:
-                parts.append(piece[:, :need])
-                self._staged[0] = piece[:, need:]
-                got = width
-        self._staged_len -= width
-        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
-
-    def _submit(self, batch: np.ndarray):
-        if self._io is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._io = ThreadPoolExecutor(1)  # ordered edge-carry threading
-        self._inflight.append((self._io.submit(self._mask, batch), batch))
-
     def _drain(self, block: bool) -> list[list[Frame]]:
         out = [[] for _ in self.streams]
-        while self._inflight:
-            fut, batch = self._inflight[0]
-            if not (block or len(self._inflight) > self.pipeline_depth
-                    or fut.done()):
-                break
-            self._inflight.popleft()
-            mask = fut.result()
+
+        def walk(batch, mask):
             for i, st in enumerate(self.streams):
                 out[i].extend(st.feed(batch[i], mask=mask[i]))
+
+        self._pipe.drain(walk, block)
         return out
 
     def finish(self) -> list[list[Frame]]:
         out = [[] for _ in self.streams]
         if self.k_samples:
-            if self._staged_len:
-                self._submit(self._take(self._staged_len))
+            if self._pipe.staged_len:
+                self._pipe.submit(
+                    self._mask, self._pipe.take(self._pipe.staged_len)
+                )
             for i, new in enumerate(self._drain(block=True)):
                 out[i].extend(new)
-            if self._io is not None:
-                self._io.shutdown()
-                self._io = None
+            self._pipe.shutdown()
         for i, st in enumerate(self.streams):
             out[i].extend(st.finish())
         return out

@@ -469,15 +469,21 @@ class RadioDecoderTask(Task):
 
         if self.frontend == "mask":
             try:
-                return _MaskLiveDecoder(
-                    sample_rate, window=self.window, **self.decoder_kwargs
+                dec = _MaskLiveDecoder(
+                    sample_rate, window=self.window, task=self,
+                    **self.decoder_kwargs,
                 )
+                self.update_status("streaming")
+                return dec
             except Exception as e:
-                # no accelerator (or kernel bring-up failed): live capture
-                # must keep decoding — fall back to the host frontend
+                # no accelerator: live capture must keep decoding — fall
+                # back to the host frontend (dispatch-time failures fall
+                # back inside _MaskLiveDecoder, see its _host_fallback)
                 self.update_status(
                     "streaming", frontend_fallback=f"host ({e!r})"
                 )
+        else:
+            self.update_status("streaming")
         return StreamingNfcDecoder(
             sample_rate, window=self.window, **self.decoder_kwargs
         )
@@ -517,8 +523,11 @@ class RadioDecoderTask(Task):
             if not self.streaming:
                 continue  # Stopped: drop buffers (RadioDecoderTask.cpp:76-79)
             if dec is None:
+                # _make_decoder publishes the session's status itself (it
+                # may carry a frontend_fallback diagnostic that a plain
+                # update here would clobber — retained statuses replace
+                # wholesale)
                 dec = self._make_decoder(buf.sample_rate)
-                self.update_status("streaming")
             for frame in dec.feed(np.asarray(buf.data, np.float32)):
                 self.frame_stream.next(frame)
             self.throughput.update(buf.elements)
@@ -535,28 +544,61 @@ class _MaskLiveDecoder:
     ~0.05 s/MS-of-rate while still amortizing the dispatch floor ~15x.
 
     Constructing it probes the accelerator (jax device lookup) so a
-    missing chip fails fast and the caller can fall back to the host
-    frontend."""
+    missing chip fails fast; DISPATCH-time failures (first kernel compile
+    on an unsupported backend, a remote-compile error surfacing on the IO
+    thread many feeds later) fall back to the HOST frontend losslessly:
+    the stream's host-side conditioning state is current through every
+    walked sample, and the farm keeps failed/queued batches, so they
+    replay through the stream's plain host feed()."""
 
     def __init__(self, sample_rate: int, window: int | None = None,
-                 **decoder_kwargs):
+                 task=None, **decoder_kwargs):
         import jax
 
         from .farm import TpuStreamFarm
 
         jax.devices()  # raises when no accelerator is reachable
+        self._task = task
+        self._host = False
         self._farm = TpuStreamFarm(
             1, sample_rate, fetch="mask", window=window, k_chunks=8,
             **decoder_kwargs,
         )
 
     def feed(self, block: np.ndarray) -> list[Frame]:
-        return self._farm.feed(
-            np.asarray(block, np.float32)[None, :]
-        )[0]
+        block = np.asarray(block, np.float32)
+        if self._host:
+            return self._farm.streams[0].feed(block)
+        try:
+            return self._farm.feed(block[None, :])[0]
+        except Exception as e:
+            return self._host_fallback(e)
+
+    def _host_fallback(self, e: Exception) -> list[Frame]:
+        """Replay every queued (in-flight + staged) batch through the
+        stream's host path and continue there — no samples are lost; the
+        device state becomes irrelevant."""
+        farm = self._farm
+        st = farm.streams[0]
+        frames: list[Frame] = []
+        for batch in farm.recover_unprocessed():
+            frames.extend(st.feed(batch[0]))
+        self._host = True
+        if self._task is not None:
+            self._task.update_status(
+                "streaming", frontend_fallback=f"host ({e!r})"
+            )
+        return frames
 
     def finish(self) -> list[Frame]:
-        return self._farm.finish()[0]
+        if self._host:
+            return self._farm.streams[0].finish()
+        try:
+            return self._farm.finish()[0]
+        except Exception as e:
+            out = self._host_fallback(e)
+            out.extend(self._farm.streams[0].finish())
+            return out
 
 
 class LogicDecoderTask(Task):

@@ -461,3 +461,59 @@ def test_live_mask_frontend_falls_back_to_host(fixture_dir, monkeypatch):
         assert polls > 0
     finally:
         ex.shutdown()
+
+
+def test_live_mask_frontend_midsession_fallback(fixture_dir, monkeypatch):
+    """A dispatch failure surfacing on the farm's IO thread MID-session
+    (e.g. first kernel compile failing on an unsupported backend) must
+    fall back to the host frontend losslessly: queued batches replay
+    through the stream's host path and the session keeps decoding."""
+    import queue as _queue
+
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import nfclab.dsp.tpu_channels as tc
+    from nfclab.io.wav import read_wav
+    from nfclab.runtime.pipeline import RadioDecoderTask
+
+    Subject.clear_registry()
+    samples, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    samples = np.asarray(samples, np.float32)
+
+    def fake_run(*a, **k):
+        raise RuntimeError("kernel bring-up failed")
+
+    monkeypatch.setattr(tc, "run_chained_masks", fake_run)
+    monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
+
+    status_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.status").subscribe(
+        status_q.put, replay=False
+    )
+    frames_q: "_queue.Queue" = _queue.Queue()
+    Subject.name("radio.decoder.frame").subscribe(frames_q.put, replay=False)
+    raw = Subject.name("radio.signal.raw")
+    decoder = RadioDecoderTask(frontend="mask")
+    ex = Executor(pool_size=1)
+    ex.submit(decoder)
+    try:
+        for off in range(0, len(samples), 65536):
+            raw.next(SignalBuffer(
+                samples[off : off + 65536], info.sample_rate, off,
+                signal_type=SignalType.SIGNAL_TYPE_RADIO_SAMPLES,
+            ))
+        raw.next(SignalBuffer.eof(info.sample_rate))
+        polls = 0
+        while True:
+            f = frames_q.get(timeout=60)
+            if f is None:
+                break
+            polls += f.frame_type == 0x102
+        assert polls > 0, "fallback session must still decode POLL frames"
+        fallbacks = []
+        while not status_q.empty():
+            fallbacks.append(status_q.get_nowait())
+        assert any("frontend_fallback" in s for s in fallbacks), fallbacks
+    finally:
+        ex.shutdown()

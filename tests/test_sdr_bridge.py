@@ -874,7 +874,9 @@ def test_live_mask_frontend_on_tpu(fixture_dir):
             _sys.executable, "-m", "nfclab.apps.decode_cli", "live",
             f"rtltcp://127.0.0.1:{server.port}", "--json",
             "--frontend", "mask", "--no-settings",
-            "--sample-rate", str(info.sample_rate), "--timeout", "30",
+            # idle timeout must outlive a COLD first kernel compile
+            # (20-200 s on the remote-compile attachment)
+            "--sample-rate", str(info.sample_rate), "--timeout", "240",
         ],
         capture_output=True, text=True, timeout=900, cwd=repo,
     )
