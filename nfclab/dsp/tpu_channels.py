@@ -401,6 +401,7 @@ def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
 
     def run(x, state):
         st = state
+        pen = state
         rows = []
         for k in range(K):
             # device-side zero-pad of the real stream rows up to the
@@ -409,6 +410,8 @@ def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
             xp = jnp.zeros((LANES, chunk), jnp.float32).at[:n_live].set(
                 x[:, k * chunk : (k + 1) * chunk]
             )
+            if k == K - 1:
+                pen = st  # state at dispatch end minus one chunk
             res, st = fused_frontend(
                 xp, pt, native_layout=False, mask_params=mp,
                 state=st, base=base0 + k * chunk, return_state=True,
@@ -428,9 +431,41 @@ def _chained_mask_jit(pt, mp, K: int, chunk: int, n_live: int, base0: int,
             return idx, bits, cnt
 
         idx, bits, cnt = jax.vmap(one)(mm)
-        return mm, idx, bits, cnt, st
+        # per-stream full-state rows at end and end-minus-one-chunk: the
+        # segmented engine's carry handoff (tiny — [n_live, nstate])
+        pen_rows = _state_rows(pen, n_live)
+        end_rows = _state_rows(st, n_live)
+        return mm, idx, bits, cnt, st, pen_rows, end_rows
 
     return jax.jit(run)
+
+
+def _state_rows(state, n_live: int, stride: int = 1, first: int = 0):
+    """Extract full per-lane state columns as [n_live, nstate] rows (lanes
+    ``first + i*stride`` — the input-row order of fused_frontend's (sub,
+    128) tiling, which reshape preserves)."""
+    import jax.numpy as jnp
+
+    nstate = state.shape[1]
+    flat = state[0].reshape(nstate, -1)  # (nstate, LANES)
+    lanes = first + stride * jnp.arange(n_live)
+    return flat[:, lanes].T  # [n_live, nstate]
+
+
+@functools.lru_cache(maxsize=8)
+def _expand_state(nstate: int, sub: int = 8):
+    """jit: [n, nstate] per-stream state rows -> (1, nstate, sub, 128)
+    kernel state with stream i at lane i (the chained engines' layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    def expand(rows):
+        n = rows.shape[0]
+        full = jnp.zeros((sub * 128, nstate), jnp.float32)
+        full = full.at[jnp.arange(n)].set(rows)
+        return full.T.reshape(1, nstate, sub, 128)
+
+    return jax.jit(expand)
 
 
 def chain_state0(n_groups: int = 1, sub: int = 8,
@@ -462,13 +497,18 @@ def chained_mask_params(power_level_threshold: float, thresholds=None):
 
 def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
                       cap_div: int = 16, chunk: int = CHAIN_CHUNK,
-                      sample_rate: int = 10_000_000):
+                      sample_rate: int = 10_000_000, want_carry: bool = False):
     """One chained-K dispatch + compacted fetch over device-put rows.
 
     blocks: [n_live, T] f32 host samples, T % chunk == 0.  Returns
     (per-stream list of (rel_idx i64, bits u8), state_out).  Streams whose
     trigger count overflows the compaction cap fall back to fetching that
-    stream's dense mask row (device-resident)."""
+    stream's dense mask row (device-resident).
+
+    want_carry=True additionally returns {"pen", "end"}: host
+    [n_live, nstate] full-state rows at the dispatch end minus one chunk /
+    at the end — the segmented engine's carry handoff
+    (run_segmented_masks)."""
     n_live, T = blocks.shape
     assert T % chunk == 0
     K = T // chunk
@@ -476,14 +516,19 @@ def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
     fn = _chained_mask_jit(pt, mp, K, chunk, n_live, base0, cap,
                            sample_rate)
     x = device_put_samples(blocks)
-    mm, idx, bits, cnt, state = fn(x, state)
+    mm, idx, bits, cnt, state, pen_rows, end_rows = fn(x, state)
     # two-phase fetch: the tiny count vector first (it also serves as the
     # dispatch-completion sync), then only what each row needs — the
     # compacted arrays for sparse rows, the dense mask row (1 B/sample,
     # through the split-pipelined fetch_arrays path — a bare multi-MB
     # np.asarray measures ~1 MB/s on a tunnel attachment) for rows whose
     # trigger count overflows the cap
-    cnt_h = fetch_arrays({"cnt": cnt})["cnt"]
+    small = {"cnt": cnt}
+    if want_carry:
+        small["pen"] = pen_rows
+        small["end"] = end_rows
+    small_h = fetch_arrays(small)
+    cnt_h = small_h["cnt"]
     over = [i for i in range(n_live) if int(cnt_h[i]) > cap]
     want = {}
     if len(over) < n_live:
@@ -502,7 +547,304 @@ def run_chained_masks(blocks: np.ndarray, state, base0: int, pt, mp,
             c = int(cnt_h[i])
             rel = fetched["idx"][i][:c].astype(np.int64)
             out.append((rel, fetched["bits"][i][:c]))
+    if want_carry:
+        return out, state, {"pen": small_h["pen"], "end": small_h["end"]}
     return out, state
+
+
+# ---------------------------------------------------------------------------
+# Segmented speculative-lane engine: the chained engine's device stage is
+# serial in the window length (K chunks through one lane per stream), so a
+# small-stream-count farm uses a handful of the kernel's 1024 lanes and the
+# dispatch wall time is the FULL window's serial step count.  This engine
+# splits each stream's window into S segments that ride S parallel lanes —
+# device wall time drops to (K/S + 1) chunks — using the host conditioner's
+# proven halo + verify + repair scheme (dsp/conditioner.py, SURVEY §7.2) on
+# the kernel's carried state:
+#
+# - lane (i, 0) continues stream i's EXACT chain: its incoming state is the
+#   previous window's state at (end - chunk) and its halo chunk REPLAYS the
+#   previous window's last chunk (same samples, congruent ring phases), so
+#   its post-halo state is bit-identical to the previous end state;
+# - lanes (i, s>0) are SPECULATIVE: canonical warm-up seed (env/avg = first
+#   halo sample, w1 = 10x — the conditioner's init) over a one-chunk halo of
+#   the real preceding samples;
+# - verify: a segment is accepted iff its post-halo conditioning carry
+#   (env, w1, mdev, avg, pulse — the rows that determine every downstream
+#   value) equals its predecessor's end carry BIT-EXACTLY.  Ring buffers,
+#   histories and their phases are exact by construction after the halo
+#   (every extent <= 601 samples << the 65536-sample halo, and all segment
+#   offsets are congruent mod the fold modulus); the running box sums carry
+#   a fresh f32 accumulation of the same windows — the SAME roundoff family
+#   as the production chain vs the host f64 walk, covered by
+#   MASK_ONLY_MARGIN (the wrong early-halo contributions are ring-stored
+#   and subtracted back out bit-identically when they leave the window);
+# - repair: the first unverified segment onward re-runs through the EXACT
+#   chained engine (pow2 chunk buckets so no new jit shapes) from the
+#   accepted predecessor's full end state — worst case one serial window,
+#   i.e. the pre-segmentation behavior.
+#
+# The mask soundness structure is unchanged: the power gate reads an
+# envelope that is bit-exactly the true streaming envelope on every
+# accepted segment, and SD triggers keep MASK_ONLY_MARGIN.
+
+_NVER = 5  # verified carry rows: env, w1, mdev, avg, pulse-count
+
+
+@functools.lru_cache(maxsize=32)
+def _segmented_mask_jit(pt, mp, S: int, B: int, chunk: int, n_live: int,
+                        base: int, cap: int, sample_rate: int):
+    """jit: (x[n_live, S*B*chunk], tail[n_live, chunk],
+    carry_in[n_live, nstate]) -> (mask[n_lanes, B*chunk] u8 device-resident,
+    idx[n_lanes, cap] i32, bits[n_lanes, cap] u8, cnt[n_lanes] i32,
+    ver_halo[n_lanes, _NVER], ver_end[n_lanes, _NVER],
+    pen[n_live, nstate], end[n_live, nstate], end_all[n_lanes, nstate]).
+
+    Lane (i, s) = row i*S + s covers body samples [s*B*chunk, (s+1)*B*chunk)
+    of stream i after one halo chunk; `base` is the rate's fold modulus
+    (all segment offsets are multiples of it, so one static base serves
+    every lane and chunk with identical ring phases)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas.fused_frontend import LANES, fused_frontend, kernel_plan
+
+    plan = kernel_plan(sample_rate)
+    nstate = plan.nstate
+    n_lanes = n_live * S
+    assert n_lanes <= LANES
+    T_lane = B * chunk
+
+    def ver_rows(st):
+        return st[0, :_NVER].reshape(_NVER, LANES)[:, :n_lanes].T
+
+    def run(x, tail, carry_in):
+        chunks_x = x.reshape(n_live, S * B, chunk)
+        # halo chunk per lane: the previous window's tail for s=0, the
+        # preceding segment's last chunk for s>0 (device-side slices — the
+        # halo costs no extra upload)
+        prev = jnp.concatenate(
+            [tail[:, None, :], chunks_x[:, B - 1 :: B][:, : S - 1]], axis=1
+        )  # [n_live, S, chunk]
+
+        # initial state: speculative lanes get the conditioner's canonical
+        # warm-up seed from their halo's first sample; lanes (i, 0) get the
+        # carried end-minus-one-chunk state (full nstate rows)
+        heads = jnp.zeros((LANES,), jnp.float32).at[:n_lanes].set(
+            prev[:, :, 0].reshape(n_lanes)
+        ).reshape(8, 128)
+        spec = jnp.zeros((nstate, 8, 128), jnp.float32)
+        spec = spec.at[0].set(heads)                     # env
+        spec = spec.at[1].set(jnp.float32(10.0) * heads)  # w1 steady state
+        spec = spec.at[3].set(heads)                     # avg
+        exact = jnp.zeros((LANES, nstate), jnp.float32).at[
+            jnp.arange(n_live) * S
+        ].set(carry_in).T.reshape(nstate, 8, 128)
+        sel = jnp.zeros((LANES,), bool).at[
+            jnp.arange(n_live) * S
+        ].set(True).reshape(8, 128)
+        st = jnp.where(sel[None], exact, spec)[None]  # (1, nstate, 8, 128)
+
+        rows = []
+        ver_halo = pen = None
+        for k in range(B + 1):
+            xk = prev if k == 0 else chunks_x[:, k - 1 :: B]
+            xp = jnp.zeros((LANES, chunk), jnp.float32).at[:n_lanes].set(
+                xk.reshape(n_lanes, chunk)
+            )
+            if k == B:
+                pen = st  # state at window end minus one chunk
+            res, st = fused_frontend(
+                xp, pt, native_layout=False, mask_params=mp,
+                state=st, base=base, return_state=True,
+                select=("detect_mask",), sample_rate=sample_rate,
+            )
+            if k == 0:
+                ver_halo = ver_rows(st)
+            else:
+                rows.append(res["detect_mask"][:n_lanes])
+        mm = jnp.concatenate(rows, axis=1)  # [n_lanes, B*chunk] u8
+
+        def one(row):
+            idx = jnp.nonzero(row, size=cap, fill_value=-1)[0].astype(
+                jnp.int32
+            )
+            bits = jnp.where(
+                idx >= 0, row[jnp.clip(idx, 0, T_lane - 1)], 0
+            ).astype(jnp.uint8)
+            return idx, bits, jnp.sum((row != 0).astype(jnp.int32))
+
+        idx, bits, cnt = jax.vmap(one)(mm)
+        return (
+            mm, idx, bits, cnt, ver_halo, ver_rows(st),
+            _state_rows(pen, n_live, stride=S, first=S - 1),
+            _state_rows(st, n_live, stride=S, first=S - 1),
+            _state_rows(st, n_lanes),
+        )
+
+    return jax.jit(run)
+
+
+def run_segmented_masks(blocks: np.ndarray, carry: dict, pt, mp,
+                        segments: int, cap_div: int = 16,
+                        chunk: int = CHAIN_CHUNK,
+                        sample_rate: int = 10_000_000,
+                        k_bucket: int = 32):
+    """Segment-parallel chained masks over one window (see the scheme note
+    above).  blocks: [n_live, T], T = K*chunk, segments | K;
+    carry: {"pen": [n_live, nstate] state at prev end - chunk,
+    "end": same at prev end, "tail": [n_live, chunk] prev last chunk}.
+    Returns (per-stream (rel i64, bits u8) window-relative, new carry,
+    {"repaired_streams", "repair_chunks"})."""
+    import jax
+
+    from .pallas.fused_frontend import kernel_plan
+
+    n_live, T = blocks.shape
+    S = segments
+    assert T % chunk == 0
+    K = T // chunk
+    assert S >= 2 and K % S == 0
+    B = K // S
+    plan = kernel_plan(sample_rate)
+    base = plan.fold_modulus
+    cap = max(4096, (B * chunk) // cap_div)
+    fn = _segmented_mask_jit(pt, mp, S, B, chunk, n_live, base, cap,
+                             sample_rate)
+    x = device_put_samples(blocks)
+    tail_dev = device_put_samples(np.ascontiguousarray(carry["tail"]))
+    mm, idx, bits, cnt, vh, ve, pen_keep, end_keep, end_all = fn(
+        x, tail_dev, jax.device_put(np.ascontiguousarray(carry["pen"]))
+    )
+    small = fetch_arrays({"cnt": cnt, "vh": vh, "ve": ve,
+                          "pen": pen_keep, "end": end_keep})
+    cnt_h = small["cnt"]
+
+    # verify EVERY pairwise boundary (NaN compares unequal, which
+    # correctly forces a repair): ok[i][s] means lane (i, s)'s post-halo
+    # carry equals lane (i, s-1)'s end carry, i.e. segment s is exact
+    # WHENEVER its predecessor is
+    boundary_ok = np.ones((n_live, S), bool)
+    for i in range(n_live):
+        for s in range(1, S):
+            l = i * S + s
+            boundary_ok[i, s] = np.array_equal(
+                small["vh"][l], small["ve"][l - 1]
+            )
+    first_bad: dict[int, int] = {
+        i: int(np.argmin(boundary_ok[i]))
+        for i in range(n_live)
+        if not boundary_ok[i].all()
+    }
+
+    # fetch compacted triggers + dense rows for lanes whose trigger count
+    # overflowed the compaction cap (the full-cap idx/bits arrays cover
+    # every lane already; overflow rows inside a repair range get
+    # overwritten, but fetching them is cheaper than a second round trip
+    # when the repair early-stops and re-accepts them)
+    want = {"idx": idx, "bits": bits}
+    over = [l for l in range(n_live * S) if int(cnt_h[l]) > cap]
+    for l in over:
+        want[l] = mm[l]
+    fetched = fetch_arrays(want)
+
+    # repair with convergence stop (the conditioner's scheme): re-run the
+    # first unverified segment exactly from the accepted predecessor's
+    # full end state, then compare the repaired end carry against the
+    # NEXT speculative lane's post-halo carry — a match means that lane
+    # (and everything after it, already verified pairwise) is exact, so
+    # the remaining speculative results are accepted as-is.  Divergence
+    # that persists escalates the repair span by powers of two, so a
+    # pause spanning many segments costs O(log S) dispatches, while the
+    # common localized case (a frame near one boundary) costs one.
+    rep_seg: dict[tuple, tuple] = {}   # (i, s) -> (rel within seg, bits)
+    rep_carry: dict[int, tuple] = {}
+    repair_chunks = 0
+    max_take = max(1, k_bucket // B)
+    if first_bad:
+        end_all_h = fetch_arrays({"ea": end_all})["ea"]
+        expand = _expand_state(plan.nstate)
+        for i in first_bad:
+            bad = np.flatnonzero(~boundary_ok[i])
+            j = 0
+            while j < len(bad):
+                s = int(bad[j])
+                # the predecessor lane is exact here: either it verified
+                # pairwise back to an exact ancestor, or an earlier repair
+                # rejoined the speculative chain before it
+                state_dev = expand(end_all_h[i * S + s - 1][None])
+                step = 1
+                rejoined = None
+                while s < S:
+                    take = min(step, S - s, max_take)
+                    while take & (take - 1):  # pow2 chunk buckets only
+                        take -= take & -take
+                    lo_c = s * B
+                    kk = take * B
+                    seg = blocks[
+                        i : i + 1, lo_c * chunk : (lo_c + kk) * chunk
+                    ]
+                    per, state_dev, c2 = run_chained_masks(
+                        seg, state_dev, base, pt, mp, cap_div=cap_div,
+                        chunk=chunk, sample_rate=sample_rate,
+                        want_carry=True,
+                    )
+                    rel, bb = per[0]
+                    for ss in range(s, s + take):
+                        in_seg = (rel >= (ss - s) * B * chunk) & (
+                            rel < (ss - s + 1) * B * chunk
+                        )
+                        rep_seg[(i, ss)] = (
+                            rel[in_seg] - (ss - s) * B * chunk, bb[in_seg]
+                        )
+                    repair_chunks += kk
+                    s += take
+                    if s >= S:
+                        rep_carry[i] = (c2["pen"][0], c2["end"][0])
+                        break
+                    if np.array_equal(c2["end"][0][:_NVER],
+                                      small["vh"][i * S + s]):
+                        rejoined = s  # speculative chain is exact again
+                        break
+                    step *= 2
+                if rejoined is None:
+                    break  # repaired through the window end
+                while j < len(bad) and bad[j] <= rejoined:
+                    j += 1
+
+    new_pen = np.array(small["pen"], copy=True)
+    new_end = np.array(small["end"], copy=True)
+    out = []
+    for i in range(n_live):
+        parts_r, parts_b = [], []
+        for s in range(S):
+            if (i, s) in rep_seg:
+                rel, bb = rep_seg[(i, s)]
+            else:
+                l = i * S + s
+                if l in fetched:
+                    row = fetched[l]
+                    rel = np.flatnonzero(row).astype(np.int64)
+                    bb = row[rel]
+                else:
+                    c = int(cnt_h[l])
+                    rel = fetched["idx"][l][:c].astype(np.int64)
+                    bb = fetched["bits"][l][:c]
+            parts_r.append(rel + s * B * chunk)
+            parts_b.append(bb)
+        if i in rep_carry:
+            new_pen[i], new_end[i] = rep_carry[i]
+        out.append((
+            np.concatenate(parts_r) if parts_r else np.empty(0, np.int64),
+            np.concatenate(parts_b) if parts_b else np.empty(0, np.uint8),
+        ))
+    new_carry = {
+        "pen": new_pen, "end": new_end,
+        "tail": np.ascontiguousarray(blocks[:, -chunk:]),
+    }
+    stats = {"repaired_streams": len(first_bad),
+             "repair_chunks": repair_chunks}
+    return out, new_carry, stats
 
 
 def chained_batch_masks(

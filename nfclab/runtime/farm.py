@@ -423,6 +423,18 @@ class TpuStreamFarm:
     serializing.  Frames for a window surface on a later feed() (up to
     ``pipeline_depth`` windows behind); finish() flushes everything.
 
+    ``segments`` (mask mode): split each stream's window across that many
+    parallel kernel lanes via the speculative halo + verify + repair
+    scheme (tpu_channels.run_segmented_masks) — the device stage's serial
+    step count drops by ~segments-fold, which matters exactly when
+    n_streams is far below the kernel's 1024-lane tile floor.  Default
+    (None) picks the largest power of two <= 16 that divides ``k_chunks``
+    (halving it at least once) and keeps n_streams*segments within the
+    lane count; pass 1 to force the plain serial chain.  Accepted
+    segments are bit-identical in conditioning state and carry the same
+    margined-mask contract, so frames are unchanged (golden-certified by
+    tools/validate_tpu_farm).
+
     ``fetch="full"`` fetches every kernel channel densely per feed
     (37 B/sample) and walks synchronously — the kernel-fed-channel
     configuration for PCIe-attached hosts."""
@@ -438,12 +450,34 @@ class TpuStreamFarm:
         pipeline_depth: int = 2,
         cap_div: int = 16,
         walk_threads: int | None = None,
+        segments: int | None = None,
         **decoder_kwargs,
     ):
         if fetch not in ("full", "mask"):
             raise ValueError("fetch must be 'full' or 'mask'")
         if k_chunks & (k_chunks - 1):
             raise ValueError("k_chunks must be a power of two")
+        from ..dsp.pallas.fused_frontend import LANES
+
+        self._segments_explicit = segments is not None
+        if segments is None:
+            segments = 1
+            if fetch == "mask":
+                while (segments * 2 <= 16
+                       and segments * 4 <= k_chunks
+                       and n_streams * segments * 2 <= LANES):
+                    segments *= 2
+        else:
+            if segments < 1 or segments & (segments - 1):
+                raise ValueError("segments must be a power of two >= 1")
+            if segments > 1 and (k_chunks % segments
+                                 or n_streams * segments > LANES):
+                raise ValueError(
+                    f"segments={segments} must divide k_chunks={k_chunks} "
+                    f"and keep n_streams*segments <= {LANES}"
+                )
+        self.segments = segments
+        self._carry = None  # segmented-engine handoff (pen/end/tail)
         self.fetch = fetch
         self.n_streams = n_streams
         self.sample_rate = sample_rate
@@ -486,6 +520,17 @@ class TpuStreamFarm:
         # re-enable the stream-head envelope seeding
         self._fold = kernel_plan(sample_rate).fold_modulus
         assert self._fold > self.params.elementary_time_unit
+        from ..dsp.tpu_channels import CHAIN_CHUNK
+
+        if self.segments > 1 and CHAIN_CHUNK % self._fold:
+            # segment offsets must be congruent mod the fold modulus for
+            # the shared static base (only reachable at extreme rates)
+            if self._segments_explicit:
+                raise ValueError(
+                    "segments>1 needs the chunk to be a multiple of the "
+                    f"rate's fold modulus ({self._fold})"
+                )
+            self.segments = 1
         self._state = None
         self._clock = 0
         self._pipe = _DispatchPipeline(pipeline_depth)  # mask-mode pipeline
@@ -493,7 +538,9 @@ class TpuStreamFarm:
         # background upload+dispatch+fetch time, walk_s the host walk time;
         # in steady state the pipeline overlaps them so wall ~= max, not sum
         self.stats = {"device_s": 0.0, "walk_s": 0.0, "dispatches": 0,
-                      "wait_s": 0.0, "drained_samples": 0}
+                      "wait_s": 0.0, "drained_samples": 0,
+                      "seg_dispatches": 0, "repaired_streams": 0,
+                      "repair_chunks": 0}
 
     def _kernel_base(self) -> int:
         # int32-safe fold (see self._fold); dispatch widths are multiples
@@ -549,18 +596,56 @@ class TpuStreamFarm:
     def _device_pass(self, batch: np.ndarray, base0: int):
         """Background stage: upload (i16 when on-grid) + chained dispatch
         + compacted fetch.  Runs on the single IO thread, so kernel state
-        threads through dispatches in submission order."""
+        (and the segmented engine's carry) threads through dispatches in
+        submission order.  Full windows after the first go through the
+        segment-parallel speculative engine when ``segments`` > 1; the
+        first window (true stream-head seeding semantics) and sub-window
+        flushes run the plain serial chain."""
         import time
 
-        from ..dsp.tpu_channels import chain_state0, run_chained_masks
+        from ..dsp.tpu_channels import (
+            CHAIN_CHUNK, _expand_state, chain_state0, run_chained_masks,
+            run_segmented_masks,
+        )
 
         t0 = time.perf_counter()
-        if self._state is None:
-            self._state = chain_state0(sample_rate=self.sample_rate)
-        per_stream, self._state = run_chained_masks(
-            batch, self._state, base0, self._pt, self._mp,
-            cap_div=self.cap_div, sample_rate=self.sample_rate,
-        )
+        seg = self.segments
+        if (seg > 1 and self._carry is not None
+                and batch.shape[1] == self.k_chunks * CHAIN_CHUNK):
+            per_stream, self._carry, rst = run_segmented_masks(
+                batch, self._carry, self._pt, self._mp, seg,
+                cap_div=self.cap_div, sample_rate=self.sample_rate,
+                k_bucket=self.k_chunks,
+            )
+            self._state = None  # rebuilt from carry["end"] if ever needed
+            self.stats["seg_dispatches"] += 1
+            self.stats["repaired_streams"] += rst["repaired_streams"]
+            self.stats["repair_chunks"] += rst["repair_chunks"]
+        else:
+            if self._state is None:
+                if self._carry is not None:
+                    self._state = _expand_state(
+                        self._carry["end"].shape[1]
+                    )(self._carry["end"])
+                else:
+                    self._state = chain_state0(
+                        sample_rate=self.sample_rate
+                    )
+            if seg > 1:
+                per_stream, self._state, c2 = run_chained_masks(
+                    batch, self._state, base0, self._pt, self._mp,
+                    cap_div=self.cap_div, sample_rate=self.sample_rate,
+                    want_carry=True,
+                )
+                self._carry = {
+                    "pen": c2["pen"], "end": c2["end"],
+                    "tail": np.ascontiguousarray(batch[:, -CHAIN_CHUNK:]),
+                }
+            else:
+                per_stream, self._state = run_chained_masks(
+                    batch, self._state, base0, self._pt, self._mp,
+                    cap_div=self.cap_div, sample_rate=self.sample_rate,
+                )
         self.stats["device_s"] += time.perf_counter() - t0
         self.stats["dispatches"] += 1
         return per_stream

@@ -82,7 +82,120 @@ def main(argv=None) -> int:
                     if a != b:
                         print(f"  first diff at {j}: got={a!r} want={b!r}")
                         break
+
+    if os.environ.get("NFCLAB_FARM_SKIP_SEGMENTED") != "1":
+        bad += _validate_segmented(window)
     return 1 if bad else 0
+
+
+def _validate_segmented(window) -> int:
+    """Segment-parallel engine validation (mask mode): a small-window farm
+    so the fixtures span several full windows (serial head window +
+    segmented continuations), golden-checked; then a synthetic field-off
+    pause long enough that speculative warm-up cannot converge, forcing
+    the verify+repair path, checked frame-equal against the host streaming
+    decoder."""
+    from ..io.golden import GOLDEN_TYPES, read_golden_frames
+    from ..io.wav import read_wav
+    from ..runtime.farm import TpuStreamFarm
+    from ..runtime.streaming import StreamingNfcDecoder
+
+    bad = 0
+    k_chunks = int(os.environ.get("NFCLAB_FARM_KCHUNKS", "4"))
+    segments = int(os.environ.get("NFCLAB_FARM_SEGMENTS", "2"))
+    names = [
+        "test_POLL_ABF_001",  # 948k samples: 3 full windows at k=4
+        "test_POLL_AB_001",
+        "test_NFC-B_106kbps_001",
+        "test_NFC-A_106kbps_002",
+    ]
+    streams = []
+    for n in names:
+        samples, _info = read_wav(os.path.join(WAV_DIR, f"{n}.wav"))
+        streams.append(np.asarray(samples, np.float32))
+    total = -(-max(len(s) for s in streams) // CHUNK) * CHUNK
+
+    farm = TpuStreamFarm(len(streams), window=window, fetch="mask",
+                         k_chunks=k_chunks, segments=segments)
+    frames = [[] for _ in streams]
+    for lo in range(0, total, CHUNK):
+        block = np.zeros((len(streams), CHUNK), np.float32)
+        for i, s in enumerate(streams):
+            seg = s[lo : lo + CHUNK]
+            block[i, : len(seg)] = seg
+        for i, new in enumerate(farm.feed(block)):
+            frames[i].extend(new)
+    for i, new in enumerate(farm.finish()):
+        frames[i].extend(new)
+    assert farm.stats["seg_dispatches"] >= 2, farm.stats
+    for i, name in enumerate(names):
+        got = [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
+        want = read_golden_frames(os.path.join(WAV_DIR, f"{name}.json"))
+        ok = got == want
+        print(
+            f"TPU FARM [mask seg={farm.segments} k={k_chunks}] stream {i} "
+            f"{name}: {'OK' if ok else 'MISMATCH'}",
+            flush=True,
+        )
+        if not ok:
+            bad += 1
+            print(f"  frames: got {len(got)} want {len(want)}")
+    print(f"  segmented stats: {farm.stats['seg_dispatches']} seg "
+          f"dispatches, {farm.stats['repaired_streams']} repaired "
+          f"streams, {farm.stats['repair_chunks']} repair chunks",
+          flush=True)
+
+    # synthetic field-off pause: the speculative envelope cannot recover
+    # the pre-pause frozen level from a zero halo, so boundary
+    # verification must fail and route those segments through the exact
+    # repair path; frames must equal the host streaming decode
+    base_a, _ = read_wav(os.path.join(WAV_DIR, "test_NFC-A_106kbps_002.wav"))
+    base_a = np.asarray(base_a, np.float32)
+    gap0, gap1 = 6 * CHUNK, 5 * CHUNK  # both >> EMA memory, different
+    synth = [
+        np.concatenate([base_a, np.zeros(g, np.float32), base_a])
+        for g in (gap0, gap1)
+    ]
+    total = -(-max(len(s) for s in synth) // CHUNK) * CHUNK
+    farm = TpuStreamFarm(len(synth), window=window, fetch="mask",
+                         k_chunks=k_chunks, segments=segments)
+    frames = [[] for _ in synth]
+    for lo in range(0, total, CHUNK):
+        block = np.zeros((len(synth), CHUNK), np.float32)
+        for i, s in enumerate(synth):
+            seg = s[lo : lo + CHUNK]
+            block[i, : len(seg)] = seg
+        for i, new in enumerate(farm.feed(block)):
+            frames[i].extend(new)
+    for i, new in enumerate(farm.finish()):
+        frames[i].extend(new)
+    for i, s in enumerate(synth):
+        host = StreamingNfcDecoder(10_000_000)
+        want = []
+        padded = np.zeros(total, np.float32)
+        padded[: len(s)] = s
+        for lo in range(0, total, CHUNK):
+            want.extend(host.feed(padded[lo : lo + CHUNK]))
+        want.extend(host.finish())
+        ok = frames[i] == want
+        print(
+            f"TPU FARM [mask seg pause] stream {i}: "
+            f"{'OK' if ok else 'MISMATCH'} "
+            f"({len([f for f in want if f.frame_type in GOLDEN_TYPES])} "
+            f"golden-type frames)",
+            flush=True,
+        )
+        if not ok:
+            bad += 1
+            print(f"  frames: got {len(frames[i])} want {len(want)}")
+            for a, b in zip(frames[i], want):
+                if a != b:
+                    print(f"  first diff: got={a!r} want={b!r}")
+                    break
+    print(f"  pause stats: {farm.stats['repaired_streams']} repaired "
+          f"streams, {farm.stats['repair_chunks']} repair chunks over "
+          f"{farm.stats['seg_dispatches']} seg dispatches", flush=True)
+    return bad
 
 
 if __name__ == "__main__":

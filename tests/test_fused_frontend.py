@@ -82,6 +82,48 @@ def test_fused_kernel_traces_on_cpu(impl, select):
     _trace_variant(impl, 32 if impl == "_jitted_dma" else 16, select)
 
 
+def test_segmented_mask_jit_traces_on_cpu():
+    """Abstract-eval of the segment-parallel chained-mask engine
+    (tpu_channels._segmented_mask_jit): output arities/shapes — compacted
+    triggers per lane, verification carries, and the full-state carry
+    handoff rows."""
+    from conftest import ensure_cpu_devices
+
+    ensure_cpu_devices()
+    import jax
+    import numpy as np
+
+    from nfclab.core.params import SignalParams
+    from nfclab.dsp.frontend import _params_tuple
+    from nfclab.dsp.pallas.fused_frontend import TILE, kernel_plan
+    from nfclab.dsp.tpu_channels import (
+        _NVER, _segmented_mask_jit, chained_mask_params,
+    )
+
+    rate = 10_000_000
+    pt = _params_tuple(SignalParams(rate, power_level_threshold=0.01))
+    mp = chained_mask_params(0.01)
+    S, B, chunk, n_live, cap = 2, 2, TILE, 2, 4096
+    plan = kernel_plan(rate)
+    fn = _segmented_mask_jit(pt, mp, S, B, chunk, n_live,
+                             plan.fold_modulus, cap, rate)
+    out = jax.eval_shape(
+        fn,
+        jax.ShapeDtypeStruct((n_live, S * B * chunk), np.float32),
+        jax.ShapeDtypeStruct((n_live, chunk), np.float32),
+        jax.ShapeDtypeStruct((n_live, plan.nstate), np.float32),
+    )
+    n_lanes = n_live * S
+    mm, idx, bits, cnt, vh, ve, pen, end, end_all = out
+    assert mm.shape == (n_lanes, B * chunk) and mm.dtype == np.uint8
+    assert idx.shape == (n_lanes, cap) and idx.dtype == np.int32
+    assert bits.shape == (n_lanes, cap) and bits.dtype == np.uint8
+    assert cnt.shape == (n_lanes,)
+    assert vh.shape == ve.shape == (n_lanes, _NVER)
+    assert pen.shape == end.shape == (n_live, plan.nstate)
+    assert end_all.shape == (n_lanes, plan.nstate)
+
+
 def test_fused_frontend_select_validates_names():
     from nfclab.dsp.pallas.fused_frontend import _normalize_select
 

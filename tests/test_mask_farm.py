@@ -171,7 +171,7 @@ def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch, walk_threads):
     monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
 
     farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4,
-                         walk_threads=walk_threads)
+                         walk_threads=walk_threads, segments=1)
     frames = [[] for _ in sigs]
     step = 40960  # deliberately NOT the chain chunk size (but % 512 == 0)
     block = np.empty((2, step), np.float32)  # REUSED buffer: the farm
@@ -183,6 +183,111 @@ def test_pipelined_farm_mask_mode(fixture_dir, monkeypatch, walk_threads):
             frames[i].extend(new)
     for i, new in enumerate(farm.finish()):
         frames[i].extend(new)
+
+    for i, s in enumerate(sigs):
+        host = StreamingNfcDecoder(rate)
+        want = []
+        for off in range(0, total, 65536):
+            want.extend(host.feed(s[off : off + 65536]))
+        want.extend(host.finish())
+        assert frames[i] == want, names[i]
+        assert [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
+
+
+def test_pipelined_farm_segmented_plumbing(fixture_dir, monkeypatch):
+    """The segment-parallel farm branch on CPU with stubbed engines: the
+    FIRST full window runs the serial chain (true stream-head seeding)
+    and hands off a carry, subsequent full windows go through
+    run_segmented_masks with the previous window's last chunk as the tail
+    and the carried end state threading in submission order, and the
+    finish() flush falls back to the serial chain.  Frames must equal the
+    plain host streaming decoder."""
+    import nfclab.dsp.tpu_channels as tc
+    from nfclab.runtime.farm import TpuStreamFarm
+    from nfclab.runtime.streaming import StreamingNfcDecoder
+
+    names = ["test_NFC-A_106kbps_002", "test_NFC-B_106kbps_001"]
+    sigs, rate = [], None
+    for n in names:
+        s, info = read_wav(str(fixture_dir / f"{n}.wav"))
+        rate = info.sample_rate
+        # tile to >= 3 full k_chunks=4 windows so the segmented branch
+        # runs at least twice after the serial head window
+        reps = -(-(3 * 4 * 65536 + 65536) // len(s))
+        sigs.append(np.tile(np.asarray(s, np.float32), reps))
+    total = min(len(s) for s in sigs) // 512 * 512
+    sigs = [s[:total] for s in sigs]
+    masks = [_cpu_mask(s, rate) for s in sigs]
+
+    clock = {"t": 0}
+    calls = {"serial": 0, "seg": 0}
+
+    def oracle(lo, blocks):
+        T = blocks.shape[1]
+        out = []
+        for i in range(blocks.shape[0]):
+            seg_m = masks[i][lo : lo + T]
+            np.testing.assert_array_equal(blocks[i], sigs[i][lo : lo + T])
+            rel = np.flatnonzero(seg_m).astype(np.int64)
+            out.append((rel, seg_m[rel]))
+        return out
+
+    def fake_run(blocks, state, base0, pt, mp, cap_div=8, chunk=65536,
+                 sample_rate=10_000_000, want_carry=False):
+        lo = clock["t"]
+        out = oracle(lo, blocks)
+        clock["t"] = lo + blocks.shape[1]
+        calls["serial"] += 1
+        if want_carry:
+            n = blocks.shape[0]
+            return out, state, {
+                "pen": np.full((n, 3), clock["t"] - chunk, np.float32),
+                "end": np.full((n, 3), clock["t"], np.float32),
+            }
+        return out, state
+
+    def fake_seg(blocks, carry, pt, mp, segments, cap_div=16, chunk=65536,
+                 sample_rate=10_000_000, k_bucket=32):
+        lo = clock["t"]
+        assert segments == 2
+        # carry threading: the tail is the previous window's last chunk,
+        # the end state is the previous dispatch's end
+        np.testing.assert_array_equal(
+            carry["tail"], np.stack([s[lo - chunk : lo] for s in sigs])
+        )
+        assert float(carry["end"][0, 0]) == lo
+        assert float(carry["pen"][0, 0]) == lo - chunk
+        out = oracle(lo, blocks)
+        clock["t"] = lo + blocks.shape[1]
+        calls["seg"] += 1
+        n = blocks.shape[0]
+        new_carry = {
+            "pen": np.full((n, 3), clock["t"] - chunk, np.float32),
+            "end": np.full((n, 3), clock["t"], np.float32),
+            "tail": blocks[:, -chunk:].copy(),
+        }
+        return out, new_carry, {"repaired_streams": 0, "repair_chunks": 0}
+
+    monkeypatch.setattr(tc, "run_chained_masks", fake_run)
+    monkeypatch.setattr(tc, "run_segmented_masks", fake_seg)
+    monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
+    monkeypatch.setattr(tc, "_expand_state",
+                        lambda n: (lambda rows: object()))
+
+    farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4)
+    assert farm.segments == 2  # auto: largest pow2 <= k_chunks/2 (<= 16)
+    frames = [[] for _ in sigs]
+    step = 40960
+    for off in range(0, total, step):
+        w = min(step, total - off)
+        block = np.stack([s[off : off + w] for s in sigs])
+        for i, new in enumerate(farm.feed(block)):
+            frames[i].extend(new)
+    for i, new in enumerate(farm.finish()):
+        frames[i].extend(new)
+
+    assert calls["serial"] >= 1 and calls["seg"] >= 2
+    assert farm.stats["seg_dispatches"] == calls["seg"]
 
     for i, s in enumerate(sigs):
         host = StreamingNfcDecoder(rate)
