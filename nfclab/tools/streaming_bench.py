@@ -165,6 +165,10 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
             "pipeline_wait_s": round(stats["wait_s"], 3),
             "dispatches": stats["dispatches"],
         }
+        if stats.get("seg_dispatches"):
+            out["stages"]["seg_dispatches"] = stats["seg_dispatches"]
+            out["stages"]["repaired_streams"] = stats["repaired_streams"]
+            out["stages"]["repair_chunks"] = stats["repair_chunks"]
     return out
 
 
@@ -229,6 +233,9 @@ def bench_farm_soak(n_streams: int = 4, per_stream: int = 256_000_000,
             "host_walk_s": round(farm.stats["walk_s"], 3),
             "pipeline_wait_s": round(farm.stats["wait_s"], 3),
             "dispatches": farm.stats["dispatches"],
+            "seg_dispatches": farm.stats["seg_dispatches"],
+            "repaired_streams": farm.stats["repaired_streams"],
+            "repair_chunks": farm.stats["repair_chunks"],
         },
         "note": "flat segment_rates + bounded rss_mb = the windowed farm "
                 "holds deployment-length sessions; rates include all "

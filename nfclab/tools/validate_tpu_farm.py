@@ -195,6 +195,50 @@ def _validate_segmented(window) -> int:
     print(f"  pause stats: {farm.stats['repaired_streams']} repaired "
           f"streams, {farm.stats['repair_chunks']} repair chunks over "
           f"{farm.stats['seg_dispatches']} seg dispatches", flush=True)
+
+    # production auto config (k_chunks=32 -> segments=16): the fixtures
+    # are shorter than one full 2.1M-sample window, so validate against
+    # the host streaming decoder on a long tiled capture instead of the
+    # golden JSON (positions shift per repetition)
+    if os.environ.get("NFCLAB_FARM_SKIP_PROD_SEG") != "1":
+        reps = -(-3 * 32 * CHUNK // len(base_a)) + 1
+        long_s = np.tile(base_a, reps)
+        streams = [long_s, np.concatenate(
+            [np.zeros(CHUNK, np.float32), long_s[:-CHUNK]]
+        )]
+        total = len(long_s)
+        farm = TpuStreamFarm(len(streams), window=1 << 20, fetch="mask")
+        assert farm.segments == 16 and farm.k_chunks == 32
+        frames = [[] for _ in streams]
+        for lo in range(0, total, CHUNK):
+            block = np.stack([s[lo : lo + CHUNK] for s in streams])
+            for i, new in enumerate(farm.feed(block)):
+                frames[i].extend(new)
+        for i, new in enumerate(farm.finish()):
+            frames[i].extend(new)
+        assert farm.stats["seg_dispatches"] >= 2, farm.stats
+        for i, s in enumerate(streams):
+            host = StreamingNfcDecoder(10_000_000, window=1 << 20)
+            want = []
+            for lo in range(0, total, CHUNK):
+                want.extend(host.feed(s[lo : lo + CHUNK]))
+            want.extend(host.finish())
+            ok = frames[i] == want
+            n_gold = len([f for f in want if f.frame_type in GOLDEN_TYPES])
+            print(f"TPU FARM [mask seg=16 k=32 tiled] stream {i}: "
+                  f"{'OK' if ok else 'MISMATCH'} ({n_gold} golden-type "
+                  f"frames)", flush=True)
+            if not ok:
+                bad += 1
+                print(f"  frames: got {len(frames[i])} want {len(want)}")
+                for a, b in zip(frames[i], want):
+                    if a != b:
+                        print(f"  first diff: got={a!r} want={b!r}")
+                        break
+        print(f"  prod-seg stats: {farm.stats['seg_dispatches']} seg "
+              f"dispatches, {farm.stats['repaired_streams']} repaired "
+              f"streams, {farm.stats['repair_chunks']} repair chunks",
+              flush=True)
     return bad
 
 
