@@ -435,6 +435,14 @@ class TpuStreamFarm:
     margined-mask contract, so frames are unchanged (golden-certified by
     tools/validate_tpu_farm).
 
+    Segmentation is ADAPTIVE: speculative warm-up cannot converge through
+    field-off pauses (the true envelope decays by path-dependent silence
+    timeouts), so pause-heavy windows verify-fail and pay speculative +
+    exact repair.  When a window repairs more than half the streams the
+    farm backs off to the serial chain and re-probes with exponentially
+    growing spacing (bounded steady-state overhead either way); dense or
+    carrier-on traffic keeps the full speedup.
+
     ``fetch="full"`` fetches every kernel channel densely per feed
     (37 B/sample) and walks synchronously — the kernel-fed-channel
     configuration for PCIe-attached hosts."""
@@ -451,6 +459,7 @@ class TpuStreamFarm:
         cap_div: int = 16,
         walk_threads: int | None = None,
         segments: int | None = None,
+        adaptive_segments: bool = True,
         **decoder_kwargs,
     ):
         if fetch not in ("full", "mask"):
@@ -540,7 +549,13 @@ class TpuStreamFarm:
         self.stats = {"device_s": 0.0, "walk_s": 0.0, "dispatches": 0,
                       "wait_s": 0.0, "drained_samples": 0,
                       "seg_dispatches": 0, "repaired_streams": 0,
-                      "repair_chunks": 0}
+                      "repair_chunks": 0, "seg_backoff_windows": 0}
+        # adaptive segmentation backoff (see class docstring);
+        # adaptive_segments=False keeps segmenting regardless of repair
+        # rate (validation harnesses exercising the repair path)
+        self.adaptive_segments = adaptive_segments
+        self._seg_backoff = 0       # serial windows left before re-probe
+        self._seg_backoff_next = 8  # next backoff span (exponential, capped)
 
     def _kernel_base(self) -> int:
         # int32-safe fold (see self._fold); dispatch widths are multiples
@@ -610,8 +625,14 @@ class TpuStreamFarm:
 
         t0 = time.perf_counter()
         seg = self.segments
-        if (seg > 1 and self._carry is not None
-                and batch.shape[1] == self.k_chunks * CHAIN_CHUNK):
+        use_seg = (seg > 1 and self._carry is not None
+                   and batch.shape[1] == self.k_chunks * CHAIN_CHUNK)
+        if use_seg and self._seg_backoff > 0:
+            # pause-heavy traffic: serial windows until the next probe
+            self._seg_backoff -= 1
+            self.stats["seg_backoff_windows"] += 1
+            use_seg = False
+        if use_seg:
             per_stream, self._carry, rst = run_segmented_masks(
                 batch, self._carry, self._pt, self._mp, seg,
                 cap_div=self.cap_div, sample_rate=self.sample_rate,
@@ -621,6 +642,16 @@ class TpuStreamFarm:
             self.stats["seg_dispatches"] += 1
             self.stats["repaired_streams"] += rst["repaired_streams"]
             self.stats["repair_chunks"] += rst["repair_chunks"]
+            if (self.adaptive_segments
+                    and rst["repaired_streams"] * 2 > self.n_streams):
+                # most streams verify-failed (pauses spanning boundaries):
+                # back off to the serial chain, re-probe later
+                self._seg_backoff = self._seg_backoff_next
+                self._seg_backoff_next = min(
+                    64, self._seg_backoff_next * 2
+                )
+            else:
+                self._seg_backoff_next = 8
         else:
             if self._state is None:
                 if self._carry is not None:

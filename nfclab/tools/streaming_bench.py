@@ -21,18 +21,33 @@ import time
 import numpy as np
 
 
-def _looped_capture(total: int, idle_ratio: int = 0) -> tuple[np.ndarray, int]:
+def _looped_capture(total: int, idle_ratio: int = 0,
+                    idle: str = "const") -> tuple[np.ndarray, int]:
     """Tile a reference capture to `total` samples; idle_ratio appends that
-    many capture-lengths of plain carrier between repetitions (live traffic
-    is frame-sparse; the looped fixture alone is ~10x denser)."""
+    many capture-lengths of idle carrier between repetitions (live traffic
+    is frame-sparse; the looped fixture alone is ~10x denser).
+
+    idle="const" is flat 0.5 carrier — the r04/r05-comparable synthetic
+    traffic, and a worst case for the farm's segmented engine: EXACTLY
+    constant f32 input has multiple EMA fixed points, so speculative
+    boundary states never bit-converge and the farm backs off to the
+    serial chain.  idle="recorded" tiles a real idle-carrier stretch of
+    the capture itself (noisy on the i16 grid, like any live SDR stream —
+    the noise dithers the conditioning trajectories together, which is
+    what production idle looks like)."""
     from ..io.wav import read_wav
 
     samples, info = read_wav(
         "/root/reference/wav/test_NFC-A_106kbps_001.wav"
     )
     if idle_ratio:
-        idle = np.full(len(samples) * idle_ratio, np.float32(0.5))
-        samples = np.concatenate([samples, idle])
+        n_idle = len(samples) * idle_ratio
+        if idle == "recorded":
+            stretch = np.asarray(samples[2048:10240], np.float32)
+            pad = np.tile(stretch, n_idle // len(stretch) + 1)[:n_idle]
+        else:
+            pad = np.full(n_idle, np.float32(0.5))
+        samples = np.concatenate([samples, pad])
     reps = total // len(samples) + 1
     return np.tile(samples, reps)[:total], info.sample_rate
 
@@ -87,10 +102,11 @@ def bench_single_stream(total: int = 40_000_000, chunk: int = 65536,
 def bench_farm(n_streams: int = 4, total: int = 2_000_000,
                chunk: int = 65536, window: int | None = 1 << 21,
                fetch: str = "full", idle_ratio: int = 0,
-               warm: bool = True, **farm_kwargs) -> dict:
+               idle: str = "const", warm: bool = True,
+               **farm_kwargs) -> dict:
     from ..runtime.farm import TpuStreamFarm
 
-    sig, rate = _looped_capture(total, idle_ratio)
+    sig, rate = _looped_capture(total, idle_ratio, idle)
 
     def run(n_samples: int) -> tuple[float, float, int, dict, list]:
         import resource
@@ -153,6 +169,7 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
         "n_streams": n_streams,
         "fetch": fetch,
         "idle_ratio": idle_ratio,
+        "idle": idle,
         "samples_per_stream": (total // chunk) * chunk,
         "frames": frames,
         "note": "pipelined chained engine: device+link work overlaps the "
@@ -175,7 +192,7 @@ def bench_farm(n_streams: int = 4, total: int = 2_000_000,
 def bench_farm_soak(n_streams: int = 4, per_stream: int = 256_000_000,
                     chunk: int = 65536, window: int | None = 1 << 21,
                     idle_ratio: int = 4, segment: int = 32_000_000,
-                    **farm_kwargs) -> dict:
+                    idle: str = "const", **farm_kwargs) -> dict:
     """Deployment-length farm soak: a >=1 G-sample aggregate 4-stream
     mask-mode session with O(window) host memory.  Reports per-segment
     aggregate rates (flatness = no state/leak-driven slowdown) and the
@@ -188,7 +205,7 @@ def bench_farm_soak(n_streams: int = 4, per_stream: int = 256_000_000,
         with open("/proc/self/statm") as f:
             return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
 
-    sig, rate = _looped_capture(segment, idle_ratio)
+    sig, rate = _looped_capture(segment, idle_ratio, idle)
     farm = TpuStreamFarm(n_streams, rate, window=window, fetch="mask",
                          **farm_kwargs)
     blocks = np.empty((n_streams, chunk), np.float32)
@@ -225,6 +242,7 @@ def bench_farm_soak(n_streams: int = 4, per_stream: int = 256_000_000,
         "aggregate_samples": n_streams * done,
         "frames": frames,
         "idle_ratio": idle_ratio,
+        "idle": idle,
         "window": window,
         "segment_rates": segments,
         "rss_mb": rss,
@@ -300,13 +318,29 @@ def main(argv=None) -> int:
             out["farm_tpu_mask_sparse"] = best_of(
                 2, args.streams, args.farm_total, fetch="mask", idle_ratio=4
             )
+            # "recorded" idle = the fixture's own noisy idle carrier (what
+            # live SDR traffic looks like; the segmented engine verifies
+            # and keeps its speedup) vs the legacy exactly-constant
+            # synthetic idle above (worst case: the farm backs off to the
+            # serial chain — see _looped_capture)
+            out["farm_tpu_mask_sparse_live"] = best_of(
+                2, args.streams, args.farm_total, fetch="mask",
+                idle_ratio=4, idle="recorded",
+            )
             out["farm_tpu_mask_16"] = best_of(
                 2, 16, args.farm_total, fetch="mask", window=1 << 21,
                 idle_ratio=4,
             )
+            out["farm_tpu_mask_16_live"] = best_of(
+                2, 16, args.farm_total, fetch="mask", window=1 << 21,
+                idle_ratio=4, idle="recorded",
+            )
             if args.soak:
                 out["farm_soak"] = bench_farm_soak(
                     args.streams, args.soak
+                )
+                out["farm_soak_live_idle"] = bench_farm_soak(
+                    args.streams, args.soak, idle="recorded"
                 )
         except Exception as e:  # no chip available
             out.setdefault("farm_tpu", {"error": repr(e)})

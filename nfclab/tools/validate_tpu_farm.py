@@ -116,7 +116,8 @@ def _validate_segmented(window) -> int:
     total = -(-max(len(s) for s in streams) // CHUNK) * CHUNK
 
     farm = TpuStreamFarm(len(streams), window=window, fetch="mask",
-                         k_chunks=k_chunks, segments=segments)
+                         k_chunks=k_chunks, segments=segments,
+                         adaptive_segments=False)
     frames = [[] for _ in streams]
     for lo in range(0, total, CHUNK):
         block = np.zeros((len(streams), CHUNK), np.float32)
@@ -158,7 +159,8 @@ def _validate_segmented(window) -> int:
     ]
     total = -(-max(len(s) for s in synth) // CHUNK) * CHUNK
     farm = TpuStreamFarm(len(synth), window=window, fetch="mask",
-                         k_chunks=k_chunks, segments=segments)
+                         k_chunks=k_chunks, segments=segments,
+                         adaptive_segments=False)
     frames = [[] for _ in synth]
     for lo in range(0, total, CHUNK):
         block = np.zeros((len(synth), CHUNK), np.float32)
@@ -207,7 +209,8 @@ def _validate_segmented(window) -> int:
             [np.zeros(CHUNK, np.float32), long_s[:-CHUNK]]
         )]
         total = len(long_s)
-        farm = TpuStreamFarm(len(streams), window=1 << 20, fetch="mask")
+        farm = TpuStreamFarm(len(streams), window=1 << 20, fetch="mask",
+                             adaptive_segments=False)
         assert farm.segments == 16 and farm.k_chunks == 32
         frames = [[] for _ in streams]
         for lo in range(0, total, CHUNK):

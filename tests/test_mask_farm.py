@@ -288,6 +288,7 @@ def test_pipelined_farm_segmented_plumbing(fixture_dir, monkeypatch):
 
     assert calls["serial"] >= 1 and calls["seg"] >= 2
     assert farm.stats["seg_dispatches"] == calls["seg"]
+    assert farm.stats["seg_backoff_windows"] == 0  # no repairs reported
 
     for i, s in enumerate(sigs):
         host = StreamingNfcDecoder(rate)
@@ -297,6 +298,79 @@ def test_pipelined_farm_segmented_plumbing(fixture_dir, monkeypatch):
         want.extend(host.finish())
         assert frames[i] == want, names[i]
         assert [f for f in frames[i] if f.frame_type in GOLDEN_TYPES]
+
+
+def test_pipelined_farm_segmented_backoff(fixture_dir, monkeypatch):
+    """Adaptive backoff: when a segmented window repairs most streams
+    (pause-heavy traffic), subsequent full windows run the serial chain
+    and the farm re-probes with exponential spacing — the steady state is
+    serial-engine behavior plus a bounded probe overhead."""
+    import nfclab.dsp.tpu_channels as tc
+    from nfclab.runtime.farm import TpuStreamFarm
+
+    s, info = read_wav(str(fixture_dir / "test_NFC-A_106kbps_002.wav"))
+    rate = info.sample_rate
+    reps = -(-(8 * 4 * 65536 + 65536) // len(s))
+    sig = np.tile(np.asarray(s, np.float32), reps)
+    total = len(sig) // 512 * 512
+    sig = sig[:total]
+    mask = _cpu_mask(sig, rate)
+    sigs = [sig, sig]
+
+    clock = {"t": 0}
+    calls = {"serial": 0, "seg": 0}
+
+    def oracle(lo, blocks):
+        T = blocks.shape[1]
+        return [
+            (np.flatnonzero(mask[lo : lo + T]).astype(np.int64),
+             mask[lo : lo + T][np.flatnonzero(mask[lo : lo + T])])
+            for _ in range(blocks.shape[0])
+        ]
+
+    def fake_run(blocks, state, base0, pt, mp, cap_div=8, chunk=65536,
+                 sample_rate=10_000_000, want_carry=False):
+        lo = clock["t"]
+        out = oracle(lo, blocks)
+        clock["t"] = lo + blocks.shape[1]
+        calls["serial"] += 1
+        if want_carry:
+            n = blocks.shape[0]
+            return out, state, {"pen": np.zeros((n, 3), np.float32),
+                                "end": np.zeros((n, 3), np.float32)}
+        return out, state
+
+    def fake_seg(blocks, carry, pt, mp, segments, cap_div=16, chunk=65536,
+                 sample_rate=10_000_000, k_bucket=32):
+        lo = clock["t"]
+        out = oracle(lo, blocks)
+        clock["t"] = lo + blocks.shape[1]
+        calls["seg"] += 1
+        n = blocks.shape[0]
+        new_carry = {"pen": np.zeros((n, 3), np.float32),
+                     "end": np.zeros((n, 3), np.float32),
+                     "tail": blocks[:, -chunk:].copy()}
+        # every stream verify-fails (a pause spans the boundaries)
+        return out, new_carry, {"repaired_streams": n,
+                                "repair_chunks": n * 4}
+
+    monkeypatch.setattr(tc, "run_chained_masks", fake_run)
+    monkeypatch.setattr(tc, "run_segmented_masks", fake_seg)
+    monkeypatch.setattr(tc, "chain_state0", lambda *a, **k: object())
+    monkeypatch.setattr(tc, "_expand_state",
+                        lambda n: (lambda rows: object()))
+
+    farm = TpuStreamFarm(2, rate, fetch="mask", k_chunks=4)
+    assert farm.segments == 2
+    for off in range(0, total, 65536):
+        farm.feed(np.stack([x[off : off + 65536] for x in sigs]))
+    farm.finish()
+
+    # window 1 serial (head), window 2 the probe (full repairs), then
+    # backoff: the remaining full windows run serial
+    assert calls["seg"] == 1
+    assert farm.stats["seg_backoff_windows"] >= 2
+    assert farm.stats["repaired_streams"] == 2
 
 
 def test_mask_fed_stream_custom_thresholds(fixture_dir):
