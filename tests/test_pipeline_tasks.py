@@ -381,7 +381,7 @@ def test_live_mask_frontend_task(fixture_dir, monkeypatch):
     clock = {"t": 0}
 
     def fake_run(blocks, state, base0, pt, mp, cap_div=16, chunk=65536,
-                 sample_rate=10_000_000):
+                 sample_rate=10_000_000, want_carry=False):
         lo = clock["t"]
         T = blocks.shape[1]
         seg = np.zeros(T, np.uint8)
@@ -392,6 +392,10 @@ def test_live_mask_frontend_task(fixture_dir, monkeypatch):
         )
         rel = np.flatnonzero(seg).astype(np.int64)
         clock["t"] = lo + T
+        if want_carry:
+            carry = {"pen": np.zeros((1, 3), np.float32),
+                     "end": np.zeros((1, 3), np.float32)}
+            return [(rel, seg[rel])], state, carry
         return [(rel, seg[rel])], state
 
     monkeypatch.setattr(tc, "run_chained_masks", fake_run)
